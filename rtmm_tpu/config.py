@@ -1,0 +1,48 @@
+"""Render configuration.
+
+The reference hard-codes all render/shading parameters as shader constants
+(/root/reference/shaders/closesthit.hlsl:1-9, shaders/raygen.hlsl:35-36,
+src/application.cpp:41-42). Here they are surfaced as a dataclass with the
+reference values as defaults, so benchmarks and tests can tune them without
+recompiling shaders.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # Window / dispatch size (src/application.cpp:41 — 1024x1024 window).
+    width: int = 1024
+    height: int = 1024
+
+    # Camera (src/application.cpp:42 — perspective(radians(80), aspect, 0.1, 1000)).
+    fov_y_degrees: float = 80.0
+    near: float = 0.1
+    far: float = 1000.0
+
+    # Ray extents (shaders/raygen.hlsl:35-36).
+    t_min: float = 0.001
+    t_max: float = 10000.0
+
+    # Miss/background color (shaders/miss.hlsl:7).
+    background: tuple[float, float, float] = (0.29, 0.29, 0.29)
+
+    # PBR material + lights (shaders/closesthit.hlsl:1-9).
+    shading_weight: float = 1.0
+    metallic: float = 0.25
+    roughness: float = 0.45
+    ambient_occlusion: float = 0.1
+    mesh_color: tuple[float, float, float] = (0.51, 0.62, 0.82)
+    light_color: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    light_intensity: float = 22.0
+
+    # Wavefront pipeline tuning (no reference analog — the reference relies on
+    # hardware TLAS traversal; we gather per-ray candidate base triangles).
+    max_candidates: int = 8       # top-K base-triangle candidates per ray
+    ray_chunk: int = 16384        # rays traced per jitted chunk
+    compute_dtype: str = "float32"
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,263 @@
+"""Per-scene host precompute: the ray-independent micro-mesh tables.
+
+Ports the reference's CPU precompute passes —
+  - displacement scales            (framework/src/mesh.cpp:386-420)
+  - hierarchical min/max heights   (framework/src/mesh.cpp:119-198)
+  - hierarchical edge-expansion deltas (framework/src/mesh.cpp:248-384)
+  - per-base-triangle AABBs        (shaders/createAABBs.hlsl:21-47)
+— plus everything the reference recomputes *per ray on the GPU* that is in
+fact ray-independent: displaced 2D node corner triangles, their delta
+expansion (intersection.hlsl:151-202), and the displaced leaf micro-triangle
+3D vertices (intersection.hlsl:465-470). Precomputing those once per scene is
+the core TPU-first redesign: the per-ray Pallas/XLA traversal then only does
+2D edge tests + height-band pruning + Möller-Trumbore on dense tables.
+
+All results are float32 to match the reference's C++/HLSL arithmetic.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..models import mesh as mesh_mod
+from . import subdivision
+
+BIG = np.float32(1e30)
+
+
+def plane_frame(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
+    """TBN plane of a base triangle (intersection.hlsl:490-500).
+
+    T = normalize(e1), N = normalize(cross(e1, e2)), B = normalize(cross(N, T)),
+    origin = v0.
+    """
+    e1 = (v1 - v0).astype(np.float32)
+    e2 = (v2 - v0).astype(np.float32)
+    n = _normalize(np.cross(e1, e2))
+    t = _normalize(e1)
+    b = _normalize(np.cross(n, t))
+    return t, b, n, v0.astype(np.float32)
+
+
+def project_onto(points: np.ndarray, t, b, origin) -> np.ndarray:
+    """Plane.projectOnto (intersection.hlsl:13-17): (dot(p-o,T), dot(p-o,B))."""
+    moved = points.astype(np.float32) - origin
+    return np.stack([moved @ t, moved @ b], axis=-1).astype(np.float32)
+
+
+def displacement_scales(tri: mesh_mod.MicroTriangle,
+                        mesh: mesh_mod.MicroMesh) -> np.ndarray:
+    """Per micro-vertex displacement scale, -1 sentinel when absent
+    (mesh.cpp:398-416)."""
+    bidx = tri.base_vertex_indices
+    a, b, c = (mesh.positions[bidx[0]], mesh.positions[bidx[1]],
+               mesh.positions[bidx[2]])
+    bc = mesh_mod.barycentric_coords(a, b, c, tri.u_positions)  # (M, 3)
+    d = (bc[:, :1] * mesh.directions[bidx[0]]
+         + bc[:, 1:2] * mesh.directions[bidx[1]]
+         + bc[:, 2:3] * mesh.directions[bidx[2]]).astype(np.float32)
+    disp = tri.u_displacements.astype(np.float32)
+    # The reference takes the ratio of the first nonzero direction component
+    # (mesh.cpp:408-412), which blows up when that component is tiny but
+    # nonzero. Since displacement == scale * direction by construction, the
+    # least-squares ratio dot(disp, d)/dot(d, d) is the numerically robust
+    # equivalent (identical for exactly parallel data, stable otherwise).
+    dd = (d * d).sum(axis=1)
+    scale = _safe_div((disp * d).sum(axis=1), dd).astype(np.float32)
+    scale = np.where(dd == 0.0, 0.0, scale)
+    return np.where(tri.u_present, scale, np.float32(-1.0)).astype(np.float32)
+
+
+@dataclasses.dataclass
+class TriangleTables:
+    """All precomputed tables for one base triangle."""
+
+    level: int
+    plane_t: np.ndarray          # (3,)
+    plane_b: np.ndarray
+    plane_n: np.ndarray
+    plane_o: np.ndarray
+    aabb_min: np.ndarray         # (3,)
+    aabb_max: np.ndarray
+    scales: np.ndarray           # (M,) with -1 sentinel
+    node_minmax: np.ndarray      # (NI_t, 2) levels 0..level-1, level-ordered
+    node_delta: np.ndarray       # (NI_t,)
+    node_verts: np.ndarray       # (NI_t, 3, 2) delta-expanded displaced 2D
+    leaf_slots: np.ndarray       # (NL,) slot in [0, 4^level)
+    leaf_verts: np.ndarray       # (NL, 3, 3) displaced 3D micro-triangles
+    tess_verts: np.ndarray       # (F, 3, 3) displaced uFaces (tessellated GT)
+
+
+def build_triangle_tables(tri: mesh_mod.MicroTriangle,
+                          mesh: mesh_mod.MicroMesh) -> TriangleTables:
+    lvl = tri.subdivision_level
+    bidx = tri.base_vertex_indices
+    v0, v1, v2 = (mesh.positions[bidx[0]], mesh.positions[bidx[1]],
+                  mesh.positions[bidx[2]])
+    pt, pb, pn, po = plane_frame(v0, v1, v2)
+
+    disp = tri.u_displacements.astype(np.float32)
+    displaced = (tri.u_positions + disp).astype(np.float32)
+
+    # AABB over displaced micro-vertices (createAABBs.hlsl:30-46).
+    aabb_min = displaced.min(axis=0)
+    aabb_max = displaced.max(axis=0)
+
+    scales = displacement_scales(tri, mesh)
+    heights = (disp @ pn).astype(np.float32)          # mesh.cpp:153
+    pts2d = project_onto(displaced, pt, pb, po)       # mesh.cpp:292
+
+    ni = subdivision.num_internal_nodes(lvl)
+    node_minmax = np.full((ni, 2), 0.0, dtype=np.float32)
+    node_delta = np.zeros((ni,), dtype=np.float32)
+    node_verts = np.zeros((ni, 3, 2), dtype=np.float32)
+
+    if lvl > 0:
+        coords_all = subdivision.grid_coords(lvl)          # (M, 2)
+        face_coords = coords_all[tri.u_faces]              # (F, 3, 2)
+        paths = subdivision.face_node_paths(face_coords, lvl)  # (F, lvl+1)
+        fheights = heights[tri.u_faces]                    # (F, 3)
+        fpts = pts2d[tri.u_faces]                          # (F, 3, 2)
+        tables = subdivision.node_corner_table(lvl)
+        for l in range(lvl):
+            off = subdivision.level_offset(l)
+            count = 4**l
+            node_of_face = paths[:, l]
+            # min/max heights per node (mesh.cpp:145-160)
+            mn = np.full(count, BIG, dtype=np.float32)
+            mx = np.full(count, -BIG, dtype=np.float32)
+            np.minimum.at(mn, np.repeat(node_of_face, 3), fheights.reshape(-1))
+            np.maximum.at(mx, np.repeat(node_of_face, 3), fheights.reshape(-1))
+            empty = mn > mx
+            # Reference leaves min/max at (+1e5, -1e5) for empty nodes
+            # (mesh.cpp:149) which prunes them — keep that behavior but with
+            # our sentinels.
+            node_minmax[off:off + count, 0] = np.where(empty, BIG, mn)
+            node_minmax[off:off + count, 1] = np.where(empty, -BIG, mx)
+
+            # delta per node (mesh.cpp:248-272,319-331)
+            corner_coords = tables[l]                      # (count, 3, 2)
+            scale_up = 2 ** (lvl - l)                      # finest units step
+            corner2d = pts2d[subdivision.grid_index(corner_coords)]
+            delta = _node_deltas(corner2d, node_of_face, fpts, count)
+            node_delta[off:off + count] = delta
+            node_verts[off:off + count] = expand_triangle(corner2d, delta)
+
+    # Leaf micro-triangles with stitching (intersection.hlsl:339-376,465-470).
+    present = tri.u_present
+
+    def present_at(c):
+        return present[subdivision.grid_index(c)]
+
+    leaf_slots, leaf_corners = subdivision.enumerate_leaves(lvl, present_at)
+    leaf_verts = _leaf_verts_3d(leaf_corners, lvl, v0, v1, v2,
+                                mesh.directions[bidx[0]],
+                                mesh.directions[bidx[1]],
+                                mesh.directions[bidx[2]], scales)
+
+    tess_verts = displaced[tri.u_faces]                    # (F, 3, 3)
+
+    return TriangleTables(
+        level=lvl, plane_t=pt, plane_b=pb, plane_n=pn, plane_o=po,
+        aabb_min=aabb_min, aabb_max=aabb_max, scales=scales,
+        node_minmax=node_minmax, node_delta=node_delta, node_verts=node_verts,
+        leaf_slots=leaf_slots, leaf_verts=leaf_verts, tess_verts=tess_verts)
+
+
+def _node_deltas(corner2d: np.ndarray, node_of_face: np.ndarray,
+                 fpts: np.ndarray, count: int) -> np.ndarray:
+    """Max outside-distance of member points to node edges (mesh.cpp:248-272).
+
+    corner2d: (count, 3, 2) displaced projected node corners.
+    node_of_face: (F,) node index per face; fpts: (F, 3, 2) member points.
+    """
+    c = corner2d[node_of_face]                     # (F, 3, 2)
+    a_ = c[:, [0, 1, 2]]                           # edge starts (F, 3, 2)
+    b_ = c[:, [1, 2, 0]]                           # edge ends
+    e1 = c[:, 1] - c[:, 0]
+    e2 = c[:, 2] - c[:, 0]
+    ccw = (e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]) > 0.0  # Triangle2D.isCCW
+
+    p = fpts[:, None, :, :]                        # (F, 1, 3pts, 2)
+    a = a_[:, :, None, :]                          # (F, 3edges, 1, 2)
+    b = b_[:, :, None, :]
+    ab = b - a
+    ap = p - a
+    ab_len2 = (ab * ab).sum(-1)
+    t = np.clip(_safe_div((ap * ab).sum(-1), ab_len2), 0.0, 1.0)
+    closest = a + t[..., None] * ab
+    dist = np.linalg.norm(p - closest, axis=-1)    # (F, 3, 3)
+    cross = ab[..., 0] * ap[..., 1] - ab[..., 1] * ap[..., 0]
+    is_right = cross <= 0.0                        # Edge2D.isRight
+    outside = np.where(ccw[:, None, None], is_right, ~is_right)
+    contrib = np.where(outside, dist, 0.0).reshape(fpts.shape[0], -1)
+
+    delta = np.zeros(count, dtype=np.float32)
+    np.maximum.at(delta, np.repeat(node_of_face, contrib.shape[1]),
+                  contrib.reshape(-1).astype(np.float32))
+    return delta
+
+
+def expand_triangle(verts: np.ndarray, delta: np.ndarray) -> np.ndarray:
+    """expandTriangle (intersection.hlsl:151-172), vectorized.
+
+    verts: (..., 3, 2); delta: (...,). Moves each edge outward by delta and
+    intersects adjacent expanded edges to form the new corners.
+    """
+    verts = verts.astype(np.float64)
+    v0, v1, v2 = verts[..., 0, :], verts[..., 1, :], verts[..., 2, :]
+    ods = []
+    for s, e in ((v0, v1), (v1, v2), (v2, v0)):
+        d = e - s
+        outward = np.stack([d[..., 1], -d[..., 0]], axis=-1)
+        norm = np.maximum(np.linalg.norm(outward, axis=-1, keepdims=True),
+                          1e-20)
+        ods.append(delta[..., None] * outward / norm)
+    od0, od1, od2 = ods
+    new0 = _line_intersect(v0 + od0, v1 + od0, v2 + od2, v0 + od2)
+    new1 = _line_intersect(v0 + od0, v1 + od0, v1 + od1, v2 + od1)
+    new2 = _line_intersect(v1 + od1, v2 + od1, v2 + od2, v0 + od2)
+    return np.stack([new0, new1, new2], axis=-2).astype(np.float32)
+
+
+def _line_intersect(p1, p2, p3, p4):
+    """Line-line intersection (intersection.hlsl:136-145)."""
+    val1 = p1[..., 0] * p2[..., 1] - p1[..., 1] * p2[..., 0]
+    val2 = p3[..., 0] * p4[..., 1] - p3[..., 1] * p4[..., 0]
+    denom = ((p1[..., 0] - p2[..., 0]) * (p3[..., 1] - p4[..., 1])
+             - (p1[..., 1] - p2[..., 1]) * (p3[..., 0] - p4[..., 0]))
+    denom = np.where(np.abs(denom) < 1e-20, 1e-20, denom)
+    px = (val1 * (p3[..., 0] - p4[..., 0])
+          - (p1[..., 0] - p2[..., 0]) * val2) / denom
+    py = (val1 * (p3[..., 1] - p4[..., 1])
+          - (p1[..., 1] - p2[..., 1]) * val2) / denom
+    return np.stack([px, py], axis=-1)
+
+
+def _leaf_verts_3d(leaf_corners: np.ndarray, lvl: int, v0, v1, v2,
+                   d0, d1, d2, scales: np.ndarray) -> np.ndarray:
+    """Displaced 3D leaf vertices (intersection.hlsl:465-470).
+
+    vs3D = unproject(pos2d, 0) + scale * bc-interpolated direction. Because
+    the base corners lie on the plane and micro positions are grid-affine,
+    unproject(project(p)) == bc-lerp of the base corner positions, so we
+    evaluate that closed form directly.
+    """
+    denom = max(2**lvl, 1)
+    u = leaf_corners[..., 0] / denom               # (NL, 3)
+    w = leaf_corners[..., 1] / denom
+    bc = np.stack([1.0 - u, u - w, w], axis=-1).astype(np.float32)  # (NL,3,3)
+    base = (bc[..., 0:1] * v0 + bc[..., 1:2] * v1 + bc[..., 2:3] * v2)
+    dirs = (bc[..., 0:1] * d0 + bc[..., 1:2] * d1 + bc[..., 2:3] * d2)
+    s = scales[subdivision.grid_index(leaf_corners)]        # (NL, 3)
+    return (base + s[..., None] * dirs).astype(np.float32)
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    return (v / max(np.linalg.norm(v), 1e-20)).astype(np.float32)
+
+
+def _safe_div(a, b):
+    return np.divide(a, np.where(b == 0.0, 1.0, b),
+                     dtype=np.float64 if a.dtype == np.float64 else np.float32)

@@ -1,0 +1,77 @@
+"""Frame renderer: raygen -> wavefront trace -> shade, fully jitted.
+
+Equivalent of the reference per-frame hot loop (Application::update,
+src/application.cpp:200-242): there, one DispatchRays call renders the frame
+into a UAV texture which is copied to the swapchain. Here one jitted XLA
+program maps the pixel grid through the wavefront pipeline in fixed-size ray
+chunks (lax.map keeps peak memory bounded regardless of resolution) and
+returns the (H, W, 3) framebuffer. The only per-frame host->device transfer
+is the 4x4 inverse view-projection matrix (application.cpp:204-205).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..models.scene import DeviceScene
+from ..ops import raygen, shading, traversal
+
+
+def render_image(scene: DeviceScene, inv_view_proj: jax.Array,
+                 cfg: RenderConfig) -> jax.Array:
+    """Render one frame. Returns (H, W, 3) float32 in [0, 1]."""
+    height, width = cfg.height, cfg.width
+    origins, directions = raygen.generate_rays(inv_view_proj, width, height)
+
+    total = height * width
+    chunk = _pick_chunk(cfg, scene)
+    padded = ((total + chunk - 1) // chunk) * chunk
+    pad = padded - total
+    origins = jnp.pad(origins, ((0, pad), (0, 0)))
+    directions = jnp.pad(directions, ((0, pad), (0, 0)),
+                         constant_values=1.0)
+
+    def per_chunk(args):
+        o, d = args
+        t, nrm, hit = traversal.trace(scene, o, d, cfg)
+        return shading.shade_or_miss(hit, nrm, -d, cfg)
+
+    colors = jax.lax.map(per_chunk,
+                         (origins.reshape(-1, chunk, 3),
+                          directions.reshape(-1, chunk, 3)))
+    return colors.reshape(-1, 3)[:total].reshape(height, width, 3)
+
+
+def _pick_chunk(cfg: RenderConfig, scene: DeviceScene) -> int:
+    """Scale the ray chunk down for deep hierarchies to bound peak memory."""
+    chunk = cfg.ray_chunk >> (2 * max(scene.max_level - 3, 0))
+    return max(min(chunk, cfg.height * cfg.width), 256)
+
+
+class Renderer:
+    """Owns the compiled render pipeline for one scene shape class.
+
+    Analog of Application's RayTraceShader setup (src/application.cpp:113-197):
+    construction "builds the pipeline" (traces + compiles on first call);
+    render() is the per-frame path.
+    """
+
+    def __init__(self, scene: DeviceScene, cfg: RenderConfig | None = None):
+        self.scene = scene
+        self.cfg = cfg or RenderConfig()
+        self._fn = jax.jit(
+            functools.partial(render_image, cfg=self.cfg))
+
+    def render(self, inv_view_proj: np.ndarray) -> jax.Array:
+        """Returns the (H, W, 3) float32 framebuffer (device array)."""
+        return self._fn(self.scene, jnp.asarray(inv_view_proj, jnp.float32))
+
+    def render_u8(self, inv_view_proj: np.ndarray) -> np.ndarray:
+        """Quantized frame, as the reference's R8G8B8A8_UNORM output texture
+        (src/application.cpp:82-89)."""
+        img = np.asarray(self.render(inv_view_proj))
+        return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)

@@ -1,0 +1,56 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+from rtmm_tpu.config import RenderConfig
+from rtmm_tpu.models import procedural, scene as scene_mod
+from rtmm_tpu.parallel import sharding
+from rtmm_tpu.render.renderer import Renderer
+from rtmm_tpu.utils import camera
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # 8 base triangles with max_candidates=8: the candidate search is
+    # exhaustive on both the single-device and the scene-sharded paths, so
+    # the comparison below is exact rather than top-K-approximate.
+    mesh = procedural.make_plane(grid=(2, 2), level=1, amplitude=0.15)
+    ds = scene_mod.build_device_scene(mesh)
+    cfg = RenderConfig(width=32, height=32, ray_chunk=256, max_candidates=8)
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(-30), np.radians(20), 0], 3.0)
+    ivp = camera.inv_view_proj(tb, cfg.width, cfg.height)
+    ref = np.asarray(Renderer(ds, cfg).render(ivp))
+    return ds, cfg, ivp, ref
+
+
+def test_rays_only_sharding_matches_single(setup):
+    ds, cfg, ivp, ref = setup
+    mesh = sharding.make_mesh(n_rays=8, n_scene=1)
+    out = np.asarray(sharding.ShardedRenderer(
+        scene=ds, cfg=cfg, mesh=mesh).render(ivp))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_rays_x_scene_sharding_matches_single(setup):
+    ds, cfg, ivp, ref = setup
+    mesh = sharding.make_mesh(n_rays=4, n_scene=2)
+    out = np.asarray(sharding.ShardedRenderer(
+        scene=ds, cfg=cfg, mesh=mesh).render(ivp))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    img = jax.jit(fn)(*args)
+    assert img.shape == (128, 128, 3)
+    assert bool(jax.numpy.isfinite(img).all())
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

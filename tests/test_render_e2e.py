@@ -1,0 +1,92 @@
+"""End-to-end renderer tests.
+
+The primary oracle is the reference's own implicit one (SURVEY.md §4): the
+direct micro-mesh traversal render must equal the tessellated (-T) render of
+the same asset — same camera, same shading — within RMSE 1e-3.
+"""
+import numpy as np
+import pytest
+
+from rtmm_tpu.config import RenderConfig
+from rtmm_tpu.models import procedural, scene as scene_mod
+from rtmm_tpu.render.renderer import Renderer
+from rtmm_tpu.utils import camera
+
+CFG = RenderConfig(width=48, height=48, ray_chunk=768, max_candidates=4)
+
+
+def _ivp(pitch=-35.0, yaw=25.0, dist=3.0):
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(pitch), np.radians(yaw), 0.0], dist)
+    return camera.inv_view_proj(tb, CFG.width, CFG.height)
+
+
+def _render_pair(mesh, cfg=CFG, ivp=None):
+    ivp = _ivp() if ivp is None else ivp
+    img_mm = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh), cfg).render(ivp))
+    img_ts = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh, tessellated=True), cfg).render(ivp))
+    return img_mm, img_ts
+
+
+def _coverage(img, cfg=CFG):
+    bg = np.asarray(cfg.background)
+    return (np.abs(img - bg).max(-1) > 1e-5).mean()
+
+
+def test_plane_micromesh_equals_tessellated():
+    mesh = procedural.make_plane(grid=(2, 2), level=2, amplitude=0.25)
+    img_mm, img_ts = _render_pair(mesh)
+    assert _coverage(img_mm) > 0.05, "scene not visible"
+    rmse = np.sqrt(((img_mm - img_ts) ** 2).mean())
+    assert rmse <= 1e-3, rmse
+
+
+def test_plane_mixed_levels():
+    """Non-uniform subdivision with presence-driven stitching."""
+    mesh = procedural.make_plane(grid=(2, 2), level=2, amplitude=0.25,
+                                 mixed_levels=True)
+    assert not mesh.has_uniform_subdivision_level()
+    img_mm, img_ts = _render_pair(mesh)
+    assert _coverage(img_mm) > 0.05
+    rmse = np.sqrt(((img_mm - img_ts) ** 2).mean())
+    assert rmse <= 1e-3, rmse
+
+
+def test_sphere_micromesh_equals_tessellated():
+    mesh = procedural.make_icosphere(subdivisions=0, level=2, amplitude=0.1)
+    img_mm, img_ts = _render_pair(mesh)
+    # unit sphere, dist 3, fov 80: expected area fraction ~ pi/(2*3*tan40)^2
+    assert _coverage(img_mm) > 0.08, "sphere should cover a chunk of frame"
+    rmse = np.sqrt(((img_mm - img_ts) ** 2).mean())
+    assert rmse <= 1e-3, rmse
+
+
+def test_level0_mesh_renders():
+    """Subdivision level 0: no hierarchy at all (plain triangles)."""
+    mesh = procedural.make_plane(grid=(2, 2), level=0, amplitude=0.0)
+    img_mm, img_ts = _render_pair(mesh)
+    assert _coverage(img_mm) > 0.05
+    np.testing.assert_allclose(img_mm, img_ts, atol=1e-4)
+
+
+def test_background_only_when_looking_away():
+    mesh = procedural.make_plane(grid=(2, 2), level=1, amplitude=0.1)
+    tb = camera.Trackball()
+    # yaw 180deg: camera at z=-4 looking towards -z, plane (z=0) behind it
+    tb.set_camera([0, 0, -5.0], [0.0, np.pi, 0.0], 1.0)
+    ivp = camera.inv_view_proj(tb, CFG.width, CFG.height)
+    img = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh), CFG).render(ivp))
+    np.testing.assert_allclose(img, np.broadcast_to(
+        np.asarray(CFG.background, np.float32), img.shape), atol=1e-6)
+
+
+def test_deterministic_render():
+    mesh = procedural.make_plane(grid=(2, 2), level=1, amplitude=0.2)
+    ds = scene_mod.build_device_scene(mesh)
+    r = Renderer(ds, CFG)
+    a = np.asarray(r.render(_ivp()))
+    b = np.asarray(r.render(_ivp()))
+    np.testing.assert_array_equal(a, b)
