@@ -40,8 +40,11 @@ class RenderConfig:
 
     # Wavefront pipeline tuning (no reference analog — the reference relies on
     # hardware TLAS traversal; we gather per-ray candidate base triangles).
-    max_candidates: int = 8       # top-K base-triangle candidates per ray
-    ray_chunk: int = 16384        # rays traced per jitted chunk
+    pipeline: str = "auto"        # "ray" | "tile" | "pallas" | "auto"
+    max_candidates: int = 8       # "ray" path: top-K candidates per ray
+    ray_chunk: int = 16384        # "ray" path: rays per jitted chunk
+    max_tile_candidates: int = 64  # tiled paths: per-tile unit list capacity
+    tile_chunk: int = 256         # "tile" path: tiles per lax.map step
     compute_dtype: str = "float32"
 
 

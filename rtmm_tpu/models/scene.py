@@ -29,7 +29,10 @@ BIG = np.float32(1e30)
     jax.tree_util.register_dataclass,
     data_fields=["aabb_min", "aabb_max", "plane_t", "plane_b", "plane_n",
                  "plane_o", "node_verts", "node_minmax", "node_pass",
-                 "leaf_verts", "leaf_mask", "tri_valid"],
+                 "leaf_verts", "leaf_mask", "tri_valid",
+                 "unit_aabb_min", "unit_aabb_max", "unit_valid",
+                 "unit_q", "unit_n", "unit_e2w2", "unit_nrm",
+                 "unit_nrm_pad"],
     meta_fields=["max_level"])
 @dataclasses.dataclass(frozen=True)
 class DeviceScene:
@@ -54,6 +57,26 @@ class DeviceScene:
     leaf_verts: jax.Array  # (T, NF, 3, 3)
     leaf_mask: jax.Array   # (T, NF) bool
     tri_valid: jax.Array   # (T,) bool
+    # Traversal units for the tiled/Pallas path: unit u = contiguous block of
+    # LPU = NF // (NF // min(NF, 64)) leaf slots of triangle u // units_per_tri
+    # (for max_level > 3 these are exactly the level-(L-3) subtree nodes).
+    unit_aabb_min: jax.Array  # (U, 3)
+    unit_aabb_max: jax.Array  # (U, 3)
+    unit_valid: jax.Array     # (U,) bool
+    # MXU-form Möller-Trumbore tables: with a shared ray apex `a`, the MT
+    # quantities become bilinear in (ray, leaf):
+    #   det   = [d, a x d] . [-n, 0]
+    #   u_num = [d, a x d] . [-w1, e2]     (w1 = e2 x v0, n = e1 x e2)
+    #   v_num = [d, a x d] . [-w2, -e1]    (w2 = v0 x e1)
+    #   t_num = a.n - e2.w2                (ray-independent)
+    # so one (rays, 6) @ (6, 3*LPU) matmul per (tile, candidate) computes
+    # every ray x leaf test on the MXU. Absent leaves are zero rows
+    # (det == 0 -> rejected by the reference's own epsilon).
+    unit_q: jax.Array         # (U, 8, 4*LPU) [det|u|v|t_num] column blocks
+    unit_n: jax.Array         # (U, LPU, 3) unnormalized e1 x e2
+    unit_e2w2: jax.Array      # (U, LPU)
+    unit_nrm: jax.Array       # (U, LPU, 3) normalized shading normals
+    unit_nrm_pad: jax.Array   # (U, 8, >=128) DMA-aligned normal table
     max_level: int         # static
 
     @property
@@ -63,6 +86,21 @@ class DeviceScene:
     @property
     def num_leaf_slots(self) -> int:
         return self.leaf_verts.shape[1]
+
+    @property
+    def leaves_per_unit(self) -> int:
+        return min(self.num_leaf_slots, 64)
+
+    @property
+    def num_units(self) -> int:
+        return self.unit_aabb_min.shape[0]
+
+    def unit_leaf_verts(self) -> jax.Array:
+        """(U, LPU, 3, 3) view of the leaf table."""
+        return self.leaf_verts.reshape(-1, self.leaves_per_unit, 3, 3)
+
+    def unit_leaf_mask(self) -> jax.Array:
+        return self.leaf_mask.reshape(-1, self.leaves_per_unit)
 
 
 def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
@@ -82,6 +120,8 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
     else:
         ni = max(subdivision.num_internal_nodes(max_level), 1)
         nf = 4**max_level
+    # Traversal units always carry 64 leaf slots (TPU tile alignment); pad.
+    nf = max(_round_up(nf, 64), 64)
 
     aabb_min = np.full((t_pad, 3), BIG, np.float32)
     aabb_max = np.full((t_pad, 3), -BIG, np.float32)
@@ -121,6 +161,45 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
         leaf_verts[i, flat] = tb.leaf_verts
         leaf_mask[i, flat] = True
 
+    # Traversal-unit AABBs (min/max over each unit's valid leaf vertices).
+    lpu = min(nf, 64)
+    units_per_tri = nf // lpu
+    u_total = t_pad * units_per_tri
+    ulv = leaf_verts.reshape(u_total, lpu, 9).reshape(u_total, lpu * 3, 3)
+    ulm = np.repeat(leaf_mask.reshape(u_total, lpu), 3, axis=1)
+    unit_valid = ulm.any(axis=1)
+    big3 = np.broadcast_to(np.float32(BIG), ulv.shape)
+    unit_aabb_min = np.where(ulm[..., None], ulv, big3).min(axis=1)
+    unit_aabb_max = np.where(ulm[..., None], ulv, -big3).max(axis=1)
+
+    # MXU-form MT tables (see DeviceScene docstring).
+    lvu = leaf_verts.reshape(u_total, lpu, 3, 3)
+    lmu = leaf_mask.reshape(u_total, lpu)[..., None].astype(np.float32)
+    v0, v1, v2 = lvu[:, :, 0], lvu[:, :, 1], lvu[:, :, 2]
+    e1 = (v1 - v0) * lmu
+    e2 = (v2 - v0) * lmu
+    nvec = np.cross(e1, e2)
+    w1 = np.cross(e2, v0 * lmu)
+    w2 = np.cross(v0 * lmu, e1)
+    # unit_q layout: (U, 8, 4*LPU) — 8 rows matching the kernel ray matrix
+    # [dx,dy,dz, mx,my,mz, s, 1]; column blocks [det | u_num | v_num | t_num].
+    # Rows 6-7 are zero except the t_num block's row 7, filled per frame
+    # (t_num depends on the camera apex) so the constant-1 ray row
+    # broadcasts it through the same matmul.
+    unit_q = np.zeros((u_total, 8, 4 * lpu), np.float32)
+    unit_q[:, 0:3, 0 * lpu:1 * lpu] = -nvec.transpose(0, 2, 1)
+    unit_q[:, 0:3, 1 * lpu:2 * lpu] = -w1.transpose(0, 2, 1)
+    unit_q[:, 3:6, 1 * lpu:2 * lpu] = e2.transpose(0, 2, 1)
+    unit_q[:, 0:3, 2 * lpu:3 * lpu] = -w2.transpose(0, 2, 1)
+    unit_q[:, 3:6, 2 * lpu:3 * lpu] = -e1.transpose(0, 2, 1)
+    unit_e2w2 = (e2 * w2).sum(-1).astype(np.float32)
+    norm = np.maximum(np.linalg.norm(nvec, axis=-1, keepdims=True), 1e-20)
+    unit_nrm = (nvec / norm).astype(np.float32)
+    # DMA-aligned padded normal table for the Pallas kernel: rows 0..2 hold
+    # the normal components over the first LPU lanes of a 128-lane block.
+    unit_nrm_pad = np.zeros((u_total, 8, max(128, lpu)), np.float32)
+    unit_nrm_pad[:, 0:3, 0:lpu] = unit_nrm.transpose(0, 2, 1)
+
     dev = lambda x: jax.device_put(x)
     return DeviceScene(
         aabb_min=dev(aabb_min), aabb_max=dev(aabb_max),
@@ -129,6 +208,11 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
         node_verts=dev(node_verts), node_minmax=dev(node_minmax),
         node_pass=dev(node_pass), leaf_verts=dev(leaf_verts),
         leaf_mask=dev(leaf_mask), tri_valid=dev(tri_valid),
+        unit_aabb_min=dev(unit_aabb_min), unit_aabb_max=dev(unit_aabb_max),
+        unit_valid=dev(unit_valid),
+        unit_q=dev(unit_q), unit_n=dev(nvec.astype(np.float32)),
+        unit_e2w2=dev(unit_e2w2), unit_nrm=dev(unit_nrm),
+        unit_nrm_pad=dev(unit_nrm_pad),
         max_level=0 if tessellated else max_level)
 
 

@@ -1,0 +1,128 @@
+"""Tile-frustum candidate culling — the TPU-shaped acceleration stage.
+
+The reference leans on hardware TLAS traversal per ray
+(src/application.cpp:214). A TPU has no RT cores and per-ray gathers are
+slow, so candidates are found per *ray tile* instead: the frame is split
+into 8x128-pixel tiles (the native f32 VPU register shape); each tile's
+primary rays share an origin and form a 4-plane frustum cone; every
+traversal unit's AABB is tested against every tile frustum (tiles x units
+is tiny — thousands x thousands) and each tile gets a compacted candidate
+list. The per-tile trace kernel then loops over real candidates only.
+
+Conservative everywhere: a unit is culled only if its AABB lies fully
+outside one frustum plane (p-vertex test). The mirror cone behind the
+camera is automatically rejected because all plane dots flip sign.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+TILE_H = 8
+TILE_W = 128
+
+
+def tile_frustums(inv_view_proj: jax.Array, width: int, height: int,
+                  render_width: int | None = None,
+                  render_height: int | None = None):
+    """Build per-tile frustum planes from the corner pixel rays.
+
+    render_width/height (multiples of TILE_W/TILE_H) define the padded tile
+    grid; width/height define the NDC mapping (as in raygen.generate_rays).
+    Returns (apex (3,), normals (tiles, 4, 3)): points p inside a tile's
+    cone satisfy dot(n_i, p - apex) >= 0 for all 4 planes.
+    """
+    m = inv_view_proj.astype(jnp.float32)
+    rw = render_width or width
+    rh = render_height or height
+    tx = rw // TILE_W
+    ty = rh // TILE_H
+
+    # Tile corner NDC coordinates (pixel-grid corners, hence conservative).
+    cx = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 1) * TILE_W
+    cy = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 0) * TILE_H
+
+    def unproject(px, py, z):
+        u = px / width
+        v = py / height
+        ndc_x = u * 2.0 - 1.0
+        ndc_y = -(v * 2.0 - 1.0)
+        p = [m[i, 0] * ndc_x + m[i, 1] * ndc_y + (m[i, 2] * z + m[i, 3])
+             for i in range(4)]
+        return jnp.stack([p[0] / p[3], p[1] / p[3], p[2] / p[3]], axis=-1)
+
+    # All primary rays pass through the camera position (the cone apex).
+    # Unprojecting it directly is ill-posed (w -> 0), so recover it as the
+    # closest-approach point of two corner pixel rays.
+    n00 = unproject(jnp.float32(0.0), jnp.float32(0.0), 0.0)
+    f00 = unproject(jnp.float32(0.0), jnp.float32(0.0), 1.0)
+    n11 = unproject(jnp.float32(rw), jnp.float32(rh), 0.0)
+    f11 = unproject(jnp.float32(rw), jnp.float32(rh), 1.0)
+    apex = _ray_closest_point(n00, f00 - n00, n11, f11 - n11)
+
+    # Corner directions of each tile (4 corners).
+    def corner_dir(px, py):
+        near = unproject(px, py, 0.0)
+        far = unproject(px, py, 1.0)
+        d = far - near
+        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    d00 = corner_dir(cx, cy)                       # top-left
+    d01 = corner_dir(cx + TILE_W, cy)              # top-right
+    d10 = corner_dir(cx, cy + TILE_H)              # bottom-left
+    d11 = corner_dir(cx + TILE_W, cy + TILE_H)     # bottom-right
+
+    # Plane normals from adjacent corner dirs; orient inward via center dir.
+    dc = corner_dir(cx + TILE_W / 2, cy + TILE_H / 2)
+    planes = []
+    for a, b in ((d00, d01), (d01, d11), (d11, d10), (d10, d00)):
+        n = jnp.cross(a, b)
+        sign = jnp.sign((n * dc).sum(-1, keepdims=True))
+        sign = jnp.where(sign == 0.0, 1.0, sign)
+        planes.append(n * sign)
+    normals = jnp.stack(planes, axis=2).reshape(ty * tx, 4, 3)
+    return apex, normals
+
+
+def _ray_closest_point(o1, d1, o2, d2):
+    """Closest point of two rays (the shared camera apex for primaries)."""
+    a = (d1 * d1).sum(-1)
+    b = (d1 * d2).sum(-1)
+    c = (d2 * d2).sum(-1)
+    w = o1 - o2
+    d = (d1 * w).sum(-1)
+    e = (d2 * w).sum(-1)
+    den = a * c - b * b
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    s = (b * e - c * d) / den
+    t = (a * e - b * d) / den
+    return 0.5 * ((o1 + s[..., None] * d1) + (o2 + t[..., None] * d2))
+
+
+def cull_units(apex: jax.Array, normals: jax.Array, aabb_min: jax.Array,
+               aabb_max: jax.Array, valid: jax.Array) -> jax.Array:
+    """(tiles, U) bool: unit AABB intersects tile frustum (conservative)."""
+    # p-vertex per plane: the AABB corner furthest along the plane normal.
+    n = normals[:, :, None, :]                     # (tiles, 4, 1, 3)
+    pmin = (aabb_min - apex)[None, None]           # (1, 1, U, 3)
+    pmax = (aabb_max - apex)[None, None]
+    pvert = jnp.where(n >= 0.0, pmax, pmin)
+    outside = (n * pvert).sum(-1) < 0.0            # (tiles, 4, U)
+    return (~outside.any(axis=1)) & valid[None, :]
+
+
+def candidate_lists(hit: jax.Array, max_candidates: int):
+    """Compact per-tile candidate lists.
+
+    hit: (tiles, U) bool. Returns (idx (tiles, C) int32, count (tiles,)):
+    the first C unit indices with hit=True per tile (ascending unit order)
+    and the true per-tile hit count (callers detect overflow via count > C).
+    """
+    u = hit.shape[1]
+    c = min(max_candidates, u)
+    # rank units: hits keep their index order, misses sink to the bottom
+    key = jnp.where(hit, u - jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1),
+                    0)
+    val, idx = jax.lax.top_k(key, c)
+    count = hit.sum(axis=1).astype(jnp.int32)
+    return idx.astype(jnp.int32), count

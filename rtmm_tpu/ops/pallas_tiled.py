@@ -1,0 +1,182 @@
+"""Pallas TPU kernel for the tiled wavefront trace.
+
+Same algorithm as tiled.py (MXU-form Möller-Trumbore over per-tile candidate
+lists) with the two things XLA cannot express:
+
+  * a *dynamic* per-tile candidate loop — tiles run exactly `count[i]`
+    candidates instead of the padded maximum, so empty sky tiles cost ~zero;
+  * explicit double-buffered DMA of each candidate's tables (HBM -> VMEM)
+    overlapped with the previous candidate's compute.
+
+Data layout per (tile, candidate) step, chosen for native TPU tiling:
+  raymat   (8, TILE)    rows [dx,dy,dz, mx,my,mz, s, 1]  (TILE = 1024 lanes)
+  q        (8, 4*LPU)   [det | u_num | v_num | t_num] column blocks
+                        (DeviceScene.unit_q with the per-frame t_num row)
+  matmul   q^T . raymat ->  (4*LPU, TILE) on the MXU — one matmul computes
+                        every MT quantity for all rays x leaves at once
+  epilogue VPU compare/select, min over the leaf sublanes
+  normals  nrm_pad(8, NP) @ onehot(NP, TILE) -> (8, TILE) on the MXU
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..models.scene import DeviceScene
+from . import culling, shading, tiled
+from .intersect import MT_DET_EPS, MT_UV_EPS
+
+BIG = jnp.float32(1e30)
+TILE = culling.TILE_H * culling.TILE_W
+
+
+def _kernel(cand_ref, count_ref, raymat_ref,      # blocked inputs
+            q_hbm, nrm_hbm,                       # full tables (ANY/HBM)
+            t_out, n_out,                         # outputs
+            q_buf, nrm_buf, sem,                  # scratch
+            *, lpu: int, npad: int, t_min: float, t_max: float):
+    rm = raymat_ref[0]                            # (8, TILE)
+    cnt = count_ref[0, 0, 0]
+
+    def dmas(slot, c):
+        unit = cand_ref[0, 0, c]
+        return (
+            pltpu.make_async_copy(q_hbm.at[unit], q_buf.at[slot],
+                                  sem.at[slot, 0]),
+            pltpu.make_async_copy(nrm_hbm.at[unit], nrm_buf.at[slot],
+                                  sem.at[slot, 1]),
+        )
+
+    @pl.when(cnt > 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    s_row = rm[6:7]                               # (1, TILE)
+
+    def body(c, carry):
+        best_t, best_n = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < cnt)
+        def _():
+            for d in dmas(jax.lax.rem(c + 1, 2), c + 1):
+                d.start()
+
+        for d in dmas(slot, c):
+            d.wait()
+
+        q = q_buf[slot]                           # (8, 4*LPU)
+        out = jax.lax.dot_general(
+            q, rm, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (4*LPU, TILE)
+        det = out[0 * lpu:1 * lpu]
+        u_num = out[1 * lpu:2 * lpu]
+        v_num = out[2 * lpu:3 * lpu]
+        tn_b = out[3 * lpu:4 * lpu]
+        ok = jnp.abs(det) >= MT_DET_EPS
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        u = u_num * inv
+        v = v_num * inv
+        t = tn_b * inv - s_row                    # (LPU, TILE)
+        ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
+               & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
+               & (t >= t_min) & (t <= t_max))
+        t = jnp.where(ok, t, 1e30)
+        tb = t.min(axis=0, keepdims=True)         # (1, TILE)
+        onehot = ((t <= tb) & ok).astype(jnp.float32)
+        oh = jnp.concatenate(
+            [onehot, jnp.zeros((npad - lpu, TILE), jnp.float32)], axis=0)
+        nsel = jax.lax.dot_general(
+            nrm_buf[slot], oh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (8, TILE); rows 0..2 used
+        take = tb < best_t
+        return (jnp.where(take, tb, best_t),
+                jnp.where(take, nsel, best_n))
+
+    init = (jnp.full((1, TILE), 1e30, jnp.float32),
+            jnp.zeros((8, TILE), jnp.float32))
+    best_t, best_n = jax.lax.fori_loop(0, cnt, body, init)
+    t_out[0] = best_t
+    n_out[0] = best_n
+
+
+def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, q_frame: jax.Array,
+                 cand: jax.Array, count: jax.Array, cfg: RenderConfig,
+                 interpret: bool = False):
+    """raymat_t: (tiles, 8, TILE); q_frame: (U, 8, 4*LPU).
+    Returns (t (tiles, 1, TILE), normal (tiles, 8, TILE), rows 0..2 used)."""
+    n_tiles = raymat_t.shape[0]
+    lpu = scene.leaves_per_unit
+    npad = scene.unit_nrm_pad.shape[2]
+    c_max = cand.shape[1]
+
+    kernel = functools.partial(_kernel, lpu=lpu, npad=npad,
+                               t_min=cfg.t_min, t_max=cfg.t_max)
+    out_shape = (
+        jax.ShapeDtypeStruct((n_tiles, 1, TILE), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 8, TILE), jnp.float32),
+    )
+    in_specs = [
+        pl.BlockSpec((1, 1, c_max), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 8, TILE), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    out_specs = (
+        pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, TILE), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, 4 * lpu), jnp.float32),
+            pltpu.VMEM((2, 8, npad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(cand[:, None], count[:, None, None], raymat_t, q_frame,
+      scene.unit_nrm_pad)
+
+
+def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
+                  cfg: RenderConfig, interpret: bool | None = None) -> jax.Array:
+    """Render one frame with the Pallas backend. Returns (H, W, 3)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    width, height = cfg.width, cfg.height
+    pw, ph = tiled.padded_size(width, height)
+    tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
+
+    raymat, q_frame, cand, count, dirs = tiled.build_frame_inputs(
+        scene, inv_view_proj, cfg)
+    raymat_t = raymat.transpose(0, 2, 1)            # (tiles, 8, TILE)
+
+    t, nrm = trace_pallas(scene, raymat_t, q_frame, cand, count, cfg,
+                          interpret=interpret)
+    best_t = t[:, 0, :]                             # (tiles, TILE)
+    best_n = nrm[:, 0:3].transpose(0, 2, 1)         # (tiles, TILE, 3)
+    hit_mask = best_t < BIG
+    n_unit = best_n / jnp.maximum(
+        jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
+    colors = shading.shade_or_miss(hit_mask, n_unit, -dirs, cfg)
+
+    img = (colors.reshape(ty, tx, culling.TILE_H, culling.TILE_W, 3)
+           .transpose(0, 2, 1, 3, 4).reshape(ph, pw, 3))
+    return img[:height, :width]

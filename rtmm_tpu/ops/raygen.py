@@ -12,10 +12,19 @@ import jax
 import jax.numpy as jnp
 
 
-def generate_rays(inv_view_proj: jax.Array, width: int, height: int):
-    """Returns (origins (H*W, 3), directions (H*W, 3)) in row-major pixel order."""
-    px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
-    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+def generate_rays(inv_view_proj: jax.Array, width: int, height: int,
+                  render_width: int | None = None,
+                  render_height: int | None = None):
+    """Returns (origins (H*W, 3), directions (H*W, 3)) in row-major pixel order.
+
+    render_width/height generate a larger (padded) pixel grid while keeping
+    the NDC mapping of the logical width/height — padding pixels fall
+    outside NDC [-1, 1] and are cropped by the caller.
+    """
+    rw = render_width or width
+    rh = render_height or height
+    px = jax.lax.broadcasted_iota(jnp.float32, (rh, rw), 1)
+    py = jax.lax.broadcasted_iota(jnp.float32, (rh, rw), 0)
     u = (px + 0.5) / width
     v = (py + 0.5) / height
     ndc_x = u * 2.0 - 1.0

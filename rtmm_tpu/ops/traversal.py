@@ -91,6 +91,11 @@ def _trace_one_candidate(scene: DeviceScene, origins, directions, tri, cfg):
         active = parent & ok
     leaf_active = (jnp.repeat(active, 4, axis=1) if level > 0
                    else jnp.ones((n, scene.num_leaf_slots), bool))
+    # Leaf slots are padded to a multiple of 64 (traversal-unit alignment);
+    # padding slots beyond 4^L are never valid.
+    pad = scene.num_leaf_slots - leaf_active.shape[1]
+    if pad > 0:
+        leaf_active = jnp.pad(leaf_active, ((0, 0), (0, pad)))
 
     # Masked Möller-Trumbore over leaf blocks with a running min.
     nf = scene.num_leaf_slots

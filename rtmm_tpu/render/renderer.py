@@ -23,7 +23,20 @@ from ..ops import raygen, shading, traversal
 
 def render_image(scene: DeviceScene, inv_view_proj: jax.Array,
                  cfg: RenderConfig) -> jax.Array:
-    """Render one frame. Returns (H, W, 3) float32 in [0, 1]."""
+    """Render one frame. Returns (H, W, 3) float32 in [0, 1].
+
+    Pipeline selection: "ray" is the per-ray wavefront reference
+    implementation; "tile"/"pallas" are the tiled production paths (see
+    ops/tiled.py); "auto" picks pallas on TPU when the scene fits VMEM,
+    else the tiled XLA path.
+    """
+    pipeline = _resolve_pipeline(cfg, scene)
+    if pipeline == "tile":
+        from ..ops.tiled import render_tiled
+        return render_tiled(scene, inv_view_proj, cfg)
+    if pipeline == "pallas":
+        from ..ops.pallas_tiled import render_pallas
+        return render_pallas(scene, inv_view_proj, cfg)
     height, width = cfg.height, cfg.width
     origins, directions = raygen.generate_rays(inv_view_proj, width, height)
 
@@ -44,6 +57,19 @@ def render_image(scene: DeviceScene, inv_view_proj: jax.Array,
                          (origins.reshape(-1, chunk, 3),
                           directions.reshape(-1, chunk, 3)))
     return colors.reshape(-1, 3)[:total].reshape(height, width, 3)
+
+
+def _resolve_pipeline(cfg: RenderConfig, scene: DeviceScene) -> str:
+    if cfg.pipeline != "auto":
+        return cfg.pipeline
+    # The Pallas kernel streams candidate tables from HBM (no scene-size
+    # constraint); on CPU it would run interpreted (slow), so the XLA tiled
+    # path is the CPU default.
+    try:
+        on_tpu = jax.devices()[0].platform != "cpu"
+    except Exception:
+        on_tpu = False
+    return "pallas" if on_tpu else "tile"
 
 
 def _pick_chunk(cfg: RenderConfig, scene: DeviceScene) -> int:

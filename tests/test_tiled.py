@@ -1,0 +1,103 @@
+"""Tiled + Pallas pipeline tests: all three backends must agree.
+
+The per-ray pipeline (traversal.py) is the semantics reference; the tiled
+XLA path and the Pallas kernel (interpret mode on CPU) must reproduce it.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtmm_tpu.config import RenderConfig
+from rtmm_tpu.models import procedural, scene as scene_mod
+from rtmm_tpu.ops import culling
+from rtmm_tpu.ops.pallas_tiled import render_pallas
+from rtmm_tpu.render.renderer import Renderer
+from rtmm_tpu.utils import camera
+
+
+def _ivp(w, h, pitch=-35.0, yaw=25.0, dist=3.0):
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(pitch), np.radians(yaw), 0.0], dist)
+    return camera.inv_view_proj(tb, w, h)
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    mesh = procedural.make_icosphere(subdivisions=0, level=2, amplitude=0.1)
+    return scene_mod.build_device_scene(mesh)
+
+
+@pytest.fixture(scope="module")
+def mixed_scene():
+    mesh = procedural.make_plane(grid=(2, 2), level=2, amplitude=0.25,
+                                 mixed_levels=True)
+    return scene_mod.build_device_scene(mesh)
+
+
+def _compare(ds, w, h, rtol=1e-3):
+    ivp = _ivp(w, h)
+    ray = np.asarray(Renderer(ds, RenderConfig(
+        width=w, height=h, pipeline="ray", max_candidates=8,
+        ray_chunk=4096)).render(ivp))
+    tile = np.asarray(Renderer(ds, RenderConfig(
+        width=w, height=h, pipeline="tile")).render(ivp))
+    npix = (np.abs(ray - tile).max(-1) > rtol).sum()
+    assert npix == 0, f"tile differs on {npix} pixels"
+    return ivp, tile
+
+
+def test_tile_matches_ray_sphere(sphere_scene):
+    _compare(sphere_scene, 256, 144)
+
+
+def test_tile_matches_ray_odd_size(sphere_scene):
+    _compare(sphere_scene, 130, 52)
+
+
+def test_tile_matches_ray_mixed_levels(mixed_scene):
+    _compare(mixed_scene, 128, 64)
+
+
+def test_pallas_interpret_matches_tile(sphere_scene):
+    cfg = RenderConfig(width=128, height=64)
+    ivp = _ivp(128, 64)
+    tile = np.asarray(Renderer(sphere_scene, RenderConfig(
+        width=128, height=64, pipeline="tile")).render(ivp))
+    pal = np.asarray(render_pallas(sphere_scene, jnp.asarray(ivp), cfg,
+                                   interpret=True))
+    npix = (np.abs(tile - pal).max(-1) > 1e-3).sum()
+    assert npix == 0, f"pallas differs on {npix} pixels"
+
+
+def test_frustum_cull_is_conservative(sphere_scene):
+    """Every unit hit by some ray of a tile must appear in that tile's
+    candidate mask (validated against the per-ray slab test)."""
+    ds = sphere_scene
+    cfg = RenderConfig(width=256, height=144)
+    pw, ph = 256, 144
+    ivp = jnp.asarray(_ivp(256, 144))
+    apex, normals = culling.tile_frustums(ivp, 256, 144, pw, ph)
+    hit = np.asarray(culling.cull_units(
+        apex, normals, ds.unit_aabb_min, ds.unit_aabb_max, ds.unit_valid))
+
+    from rtmm_tpu.ops import intersect, raygen
+    o, d = raygen.generate_rays(ivp, 256, 144)
+    inv_dir = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    ray_hit, _ = intersect.ray_aabb(
+        o[:, None], inv_dir[:, None],
+        ds.unit_aabb_min[None], ds.unit_aabb_max[None])
+    ray_hit = np.asarray(ray_hit & ds.unit_valid[None])
+    ty, tx = ph // 8, pw // 128
+    per_tile = (ray_hit.reshape(ty, 8, tx, 128, -1)
+                .transpose(0, 2, 1, 3, 4).reshape(ty * tx, 8 * 128, -1)
+                .any(axis=1))
+    missed = per_tile & ~hit
+    assert not missed.any(), f"{missed.sum()} unit-tile pairs wrongly culled"
+
+
+def test_candidate_lists_compact():
+    hit = jnp.asarray(np.array([[True, False, True, True],
+                                [False, False, False, False]]))
+    idx, count = culling.candidate_lists(hit, 3)
+    assert count.tolist() == [3, 0]
+    assert idx[0].tolist() == [0, 2, 3]
