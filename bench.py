@@ -36,14 +36,14 @@ def main() -> None:
     ivp = camera.inv_view_proj(tb, width, height)
 
     renderer = Renderer(scene, cfg)
-    # Warmup / compile.
-    img = renderer.render(ivp)
-    jax.block_until_ready(img)
+    # Warmup / compile (u8 path: on-device quantization like the reference's
+    # R8G8B8A8_UNORM output).
+    renderer.render_u8(ivp)
 
     times = []
-    for _ in range(5):
+    for _ in range(8):
         t0 = time.perf_counter()
-        jax.block_until_ready(renderer.render(ivp))
+        renderer.render_u8(ivp)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     mrays = width * height / dt / 1e6

@@ -65,24 +65,61 @@ def main(argv=None) -> int:
     parser.add_argument("--pitch", type=float, default=-30.0)
     parser.add_argument("--yaw", type=float, default=20.0)
     parser.add_argument("--out", default="frames")
+    parser.add_argument("--pipeline", default="auto",
+                        choices=["auto", "ray", "tile", "pallas"],
+                        help="trace backend (auto: pallas on TPU, tiled XLA "
+                             "on CPU)")
+    parser.add_argument("--stats", action="store_true",
+                        help="print per-frame traversal statistics")
+    parser.add_argument("--cache", action="store_true",
+                        help="cache scene precompute keyed by asset hash")
+    parser.add_argument("--instances", type=int, default=1,
+                        help="replicate the asset in a ring of N instances "
+                             "(TLAS analog demo)")
+    parser.add_argument("--pathtrace", type=int, default=0, metavar="BOUNCES",
+                        help="path-traced multi-bounce rendering")
+    parser.add_argument("--spp", type=int, default=4,
+                        help="path-tracer samples per pixel")
     args = parser.parse_args(argv)
 
     if not args.asset.startswith("proc:") and not os.path.exists(args.asset):
         print("Micro-mesh file does not exist.", file=sys.stderr)
         return 1
 
-    mesh = load_asset(args.asset)
-    print(f"loaded: {mesh.num_triangles} base triangles, "
-          f"max subdivision level {mesh.max_level}, "
-          f"uniform={mesh.has_uniform_subdivision_level()}")
-
-    cfg = RenderConfig(width=args.width, height=args.height)
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       pipeline=args.pipeline)
     t0 = time.perf_counter()
-    ds = scene_mod.build_device_scene(mesh, tessellated=args.tessellated)
+    if args.cache and not args.asset.startswith("proc:"):
+        from .utils.cache import build_device_scene_cached
+        ds = build_device_scene_cached(args.asset,
+                                       tessellated=args.tessellated)
+    else:
+        mesh = load_asset(args.asset)
+        print(f"loaded: {mesh.num_triangles} base triangles, "
+              f"max subdivision level {mesh.max_level}, "
+              f"uniform={mesh.has_uniform_subdivision_level()}")
+        ds = scene_mod.build_device_scene(mesh, tessellated=args.tessellated)
     print(f"scene build: {time.perf_counter() - t0:.2f}s "
           f"(mode={'tessellated' if args.tessellated else 'micromesh'})")
 
-    renderer = Renderer(ds, cfg)
+    if args.instances > 1:
+        from .render import instances as inst_mod
+        n = args.instances
+        ring = []
+        for i in range(n):
+            a = 2.0 * np.pi * i / n
+            ring.append(inst_mod.Instance.from_euler(
+                [2.2 * np.cos(a), 2.2 * np.sin(a), 0.0],
+                (0.0, a, 0.0), 0.8))
+        ds = inst_mod.bake_instances(ds, ring)
+        print(f"instanced: {n} instances, {ds.num_triangles} triangles total")
+
+    if args.pathtrace > 0:
+        from .render.pathtrace import PathTraceConfig, PathTracer
+        renderer = PathTracer(ds, cfg, PathTraceConfig(
+            bounces=args.pathtrace, samples_per_pixel=args.spp))
+    else:
+        renderer = Renderer(ds, cfg)
     tb = camera.Trackball(distance=args.distance)
     tb.set_camera([0.0, 0.0, 0.0],
                   [np.radians(args.pitch), np.radians(args.yaw), 0.0],
@@ -93,12 +130,23 @@ def main(argv=None) -> int:
         ivp = camera.inv_view_proj(tb, cfg.width, cfg.height,
                                    cfg.fov_y_degrees, cfg.near, cfg.far)
         t0 = time.perf_counter()
-        img = renderer.render_u8(ivp)
+        if args.pathtrace > 0:
+            img, pt_stats = renderer.render(ivp)
+            img = (np.clip(np.asarray(img), 0.0, 1.0) * 255.0 + 0.5
+                   ).astype(np.uint8)
+        else:
+            img = renderer.render_u8(ivp)
         dt = time.perf_counter() - t0
         path = os.path.join(args.out, f"frame_{frame:04d}.png")
         image_io.write_png(path, img)
         mrays = cfg.width * cfg.height / dt / 1e6
         print(f"frame {frame}: {dt * 1e3:.1f} ms ({mrays:.1f} Mrays/s) -> {path}")
+        if args.stats and args.pathtrace == 0:
+            from .utils.stats import collect_frame_stats
+            print("  stats:", collect_frame_stats(ds, ivp, cfg).as_dict())
+        elif args.stats:
+            print("  live rays/bounce:",
+                  np.asarray(pt_stats["live_rays_per_bounce"]).tolist())
         tb.rotation_euler[1] -= np.radians(args.orbit)
     return 0
 

@@ -111,18 +111,36 @@ def cull_units(apex: jax.Array, normals: jax.Array, aabb_min: jax.Array,
     return (~outside.any(axis=1)) & valid[None, :]
 
 
-def candidate_lists(hit: jax.Array, max_candidates: int):
-    """Compact per-tile candidate lists.
+def candidate_lists(hit: jax.Array, max_candidates: int,
+                    apex: jax.Array | None = None,
+                    aabb_min: jax.Array | None = None,
+                    aabb_max: jax.Array | None = None):
+    """Compact per-tile candidate lists, front-to-back.
 
-    hit: (tiles, U) bool. Returns (idx (tiles, C) int32, count (tiles,)):
-    the first C unit indices with hit=True per tile (ascending unit order)
+    hit: (tiles, U) bool. Returns (idx (tiles, C) int32, count (tiles,),
+    entry (tiles, C) f32): the first C unit indices with hit=True per tile
     and the true per-tile hit count (callers detect overflow via count > C).
+
+    When apex + AABBs are given, candidates are ordered by a conservative
+    apex->AABB distance lower bound and `entry` carries that bound — the
+    trace kernel stops a tile's candidate loop once every ray's closest hit
+    is nearer than the next candidate's bound (the analog of the reference's
+    nearest-first stack ordering + first-hit early-out,
+    intersection.hlsl:228-242,472).
     """
     u = hit.shape[1]
     c = min(max_candidates, u)
-    # rank units: hits keep their index order, misses sink to the bottom
-    key = jnp.where(hit, u - jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1),
-                    0)
-    val, idx = jax.lax.top_k(key, c)
+    if apex is not None:
+        dist = jnp.linalg.norm(
+            jnp.maximum(jnp.maximum(aabb_min - apex, apex - aabb_max), 0.0),
+            axis=1)                                    # (U,)
+        key = jnp.where(hit, -dist[None, :], -jnp.inf)
+        val, idx = jax.lax.top_k(key, c)               # ascending distance
+        entry = -val
+    else:
+        key = jnp.where(
+            hit, u - jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1), 0)
+        _, idx = jax.lax.top_k(key, c)
+        entry = jnp.zeros(idx.shape, jnp.float32)
     count = hit.sum(axis=1).astype(jnp.int32)
-    return idx.astype(jnp.int32), count
+    return idx.astype(jnp.int32), count, jnp.asarray(entry, jnp.float32)

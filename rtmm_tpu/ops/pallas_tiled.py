@@ -35,16 +35,28 @@ BIG = jnp.float32(1e30)
 TILE = culling.TILE_H * culling.TILE_W
 
 
-def _kernel(cand_ref, count_ref, raymat_ref,      # blocked inputs
+def _kernel(cand_ref, count_ref, entry_ref, raymat_ref,  # blocked inputs
             q_hbm, nrm_hbm,                       # full tables (ANY/HBM)
             t_out, n_out,                         # outputs
             q_buf, nrm_buf, sem,                  # scratch
-            *, lpu: int, npad: int, t_min: float, t_max: float):
-    rm = raymat_ref[0]                            # (8, TILE)
-    cnt = count_ref[0, 0, 0]
+            *, lpu: int, npad: int, t_min: float, t_max: float,
+            tiles_per_block: int):
+    # Several tiles per grid step amortize the per-program overhead (the
+    # frame is mostly empty tiles whose only cost is grid machinery).
+    for b in range(tiles_per_block):
+        _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
+                    q_hbm, nrm_hbm, t_out, n_out, q_buf, nrm_buf, sem,
+                    lpu=lpu, npad=npad, t_min=t_min, t_max=t_max)
+
+
+def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
+                q_hbm, nrm_hbm, t_out, n_out, q_buf, nrm_buf, sem,
+                *, lpu, npad, t_min, t_max):
+    rm = raymat_ref[0, b]                         # (8, TILE)
+    cnt = count_ref[0, b, 0]
 
     def dmas(slot, c):
-        unit = cand_ref[0, 0, c]
+        unit = cand_ref[0, b, c]
         return (
             pltpu.make_async_copy(q_hbm.at[unit], q_buf.at[slot],
                                   sem.at[slot, 0]),
@@ -59,8 +71,8 @@ def _kernel(cand_ref, count_ref, raymat_ref,      # blocked inputs
 
     s_row = rm[6:7]                               # (1, TILE)
 
-    def body(c, carry):
-        best_t, best_n = carry
+    def body(carry):
+        c, best_t, best_n, _worst = carry
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < cnt)
@@ -97,51 +109,77 @@ def _kernel(cand_ref, count_ref, raymat_ref,      # blocked inputs
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)   # (8, TILE); rows 0..2 used
         take = tb < best_t
-        return (jnp.where(take, tb, best_t),
-                jnp.where(take, nsel, best_n))
+        best_t = jnp.where(take, tb, best_t)
+        best_n = jnp.where(take, nsel, best_n)
+        # Early-exit bound: candidates are front-to-back by apex distance;
+        # once every ray's best apex-relative hit is nearer than the next
+        # candidate's entry bound, the rest cannot contribute (the analog of
+        # the reference's nearest-first stack + first-hit return,
+        # intersection.hlsl:462-476).
+        worst = jnp.max(jnp.where(best_t < 1e30, best_t + s_row, 1e30))
+        return c + 1, best_t, best_n, worst
 
-    init = (jnp.full((1, TILE), 1e30, jnp.float32),
-            jnp.zeros((8, TILE), jnp.float32))
-    best_t, best_n = jax.lax.fori_loop(0, cnt, body, init)
-    t_out[0] = best_t
-    n_out[0] = best_n
+    def cond(carry):
+        c, _best_t, _best_n, worst = carry
+        cidx = jnp.minimum(c, entry_ref.shape[2] - 1)  # guard c == c_max
+        return (c < cnt) & (worst >= entry_ref[0, b, cidx])
+
+    init = (jnp.int32(0),
+            jnp.full((1, TILE), 1e30, jnp.float32),
+            jnp.zeros((8, TILE), jnp.float32),
+            jnp.float32(1e30))
+    _, best_t, best_n, _ = jax.lax.while_loop(cond, body, init)
+    t_out[0, b] = best_t[0]
+    n_out[0, b] = best_n
 
 
 def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, q_frame: jax.Array,
-                 cand: jax.Array, count: jax.Array, cfg: RenderConfig,
-                 interpret: bool = False):
+                 cand: jax.Array, count: jax.Array, entry: jax.Array,
+                 cfg: RenderConfig, interpret: bool = False,
+                 tiles_per_block: int = 8):
     """raymat_t: (tiles, 8, TILE); q_frame: (U, 8, 4*LPU).
-    Returns (t (tiles, 1, TILE), normal (tiles, 8, TILE), rows 0..2 used)."""
+    Returns (t (tiles, TILE), normal (tiles, 8, TILE), rows 0..2 used)."""
     n_tiles = raymat_t.shape[0]
     lpu = scene.leaves_per_unit
     npad = scene.unit_nrm_pad.shape[2]
     c_max = cand.shape[1]
+    tb = tiles_per_block
+    pad = (-n_tiles) % tb
+    if pad:
+        raymat_t = jnp.pad(raymat_t, ((0, pad), (0, 0), (0, 0)))
+        cand = jnp.pad(cand, ((0, pad), (0, 0)))
+        count = jnp.pad(count, ((0, pad),))
+        entry = jnp.pad(entry, ((0, pad), (0, 0)))
+    nb = (n_tiles + pad) // tb
 
     kernel = functools.partial(_kernel, lpu=lpu, npad=npad,
-                               t_min=cfg.t_min, t_max=cfg.t_max)
+                               t_min=cfg.t_min, t_max=cfg.t_max,
+                               tiles_per_block=tb)
     out_shape = (
-        jax.ShapeDtypeStruct((n_tiles, 1, TILE), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, 8, TILE), jnp.float32),
+        jax.ShapeDtypeStruct((nb, tb, TILE), jnp.float32),
+        jax.ShapeDtypeStruct((nb, tb, 8, TILE), jnp.float32),
     )
     in_specs = [
-        pl.BlockSpec((1, 1, c_max), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, tb, c_max), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, tb, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 8, TILE), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, tb, c_max), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, tb, 8, TILE), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     out_specs = (
-        pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, tb, TILE), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, TILE), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, tb, 8, TILE), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    t, nrm = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -151,8 +189,11 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, q_frame: jax.Array,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(cand[:, None], count[:, None, None], raymat_t, q_frame,
-      scene.unit_nrm_pad)
+    )(cand.reshape(nb, tb, c_max), count.reshape(nb, tb, 1),
+      entry.reshape(nb, tb, c_max), raymat_t.reshape(nb, tb, 8, TILE),
+      q_frame, scene.unit_nrm_pad)
+    return (t.reshape(-1, TILE)[:n_tiles],
+            nrm.reshape(-1, 8, TILE)[:n_tiles])
 
 
 def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
@@ -164,13 +205,13 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
     pw, ph = tiled.padded_size(width, height)
     tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
 
-    raymat, q_frame, cand, count, dirs = tiled.build_frame_inputs(
+    raymat, q_frame, cand, count, entry, dirs = tiled.build_frame_inputs(
         scene, inv_view_proj, cfg)
     raymat_t = raymat.transpose(0, 2, 1)            # (tiles, 8, TILE)
 
-    t, nrm = trace_pallas(scene, raymat_t, q_frame, cand, count, cfg,
+    t, nrm = trace_pallas(scene, raymat_t, q_frame, cand, count, entry, cfg,
                           interpret=interpret)
-    best_t = t[:, 0, :]                             # (tiles, TILE)
+    best_t = t                                      # (tiles, TILE)
     best_n = nrm[:, 0:3].transpose(0, 2, 1)         # (tiles, TILE, 3)
     hit_mask = best_t < BIG
     n_unit = best_n / jnp.maximum(

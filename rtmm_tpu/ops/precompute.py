@@ -113,7 +113,18 @@ def build_triangle_tables(tri: mesh_mod.MicroTriangle,
     node_delta = np.zeros((ni,), dtype=np.float32)
     node_verts = np.zeros((ni, 3, 2), dtype=np.float32)
 
-    if lvl > 0:
+    if lvl > 0 and _use_native():
+        from . import native
+        coords_all = subdivision.grid_coords(lvl)
+        face_coords = coords_all[tri.u_faces]
+        tables = subdivision.node_corner_table(lvl)
+        corner_flat = np.concatenate(tables[:lvl])         # (NI, 3, 2) coords
+        corner2d = pts2d[subdivision.grid_index(corner_flat)]
+        paths = native.face_node_paths(face_coords, lvl)
+        node_minmax = native.node_minmax(paths, heights[tri.u_faces], lvl)
+        node_delta, node_verts = native.node_deltas(
+            paths, pts2d[tri.u_faces], lvl, corner2d)
+    elif lvl > 0:
         coords_all = subdivision.grid_coords(lvl)          # (M, 2)
         face_coords = coords_all[tri.u_faces]              # (F, 3, 2)
         paths = subdivision.face_node_paths(face_coords, lvl)  # (F, lvl+1)
@@ -252,6 +263,18 @@ def _leaf_verts_3d(leaf_corners: np.ndarray, lvl: int, v0, v1, v2,
     dirs = (bc[..., 0:1] * d0 + bc[..., 1:2] * d1 + bc[..., 2:3] * d2)
     s = scales[subdivision.grid_index(leaf_corners)]        # (NL, 3)
     return (base + s[..., None] * dirs).astype(np.float32)
+
+
+def _use_native() -> bool:
+    """Native C++ precompute kernels (native/rtmm_native.cpp), unless
+    disabled via RTMM_NO_NATIVE=1."""
+    import os
+
+    if os.environ.get("RTMM_NO_NATIVE"):
+        return False
+    from . import native
+
+    return native.available()
 
 
 def _normalize(v: np.ndarray) -> np.ndarray:

@@ -44,7 +44,8 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
     """Per-frame, per-tile inputs shared by the XLA and Pallas backends.
 
     Returns (raymat (tiles, TILE, 8), q_frame (U, 8, 4*LPU), cand
-    (tiles, C), count (tiles,), dirs (tiles, TILE, 3)). raymat columns are
+    (tiles, C), count (tiles,), entry (tiles, C), dirs (tiles, TILE, 3)) —
+    candidates front-to-back with conservative entry bounds. raymat columns are
     [d, apex x d, s, 1] with s = dot(origin - apex, d); q_frame is the
     static unit_q table with the apex-dependent t_num block filled in
     (row 7, broadcast through the constant-1 ray column).
@@ -58,7 +59,9 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
                                           pw, ph)
     hit = culling.cull_units(apex, normals, scene.unit_aabb_min,
                              scene.unit_aabb_max, scene.unit_valid)
-    cand, count = culling.candidate_lists(hit, cfg.max_tile_candidates)
+    cand, count, entry = culling.candidate_lists(
+        hit, cfg.max_tile_candidates, apex,
+        scene.unit_aabb_min, scene.unit_aabb_max)
 
     origins, dirs = raygen.generate_rays(inv_view_proj, width, height, pw, ph)
 
@@ -77,7 +80,7 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
     t_num = (scene.unit_n * apex).sum(-1) - scene.unit_e2w2    # (U, LPU)
     lpu = scene.leaves_per_unit
     q_frame = scene.unit_q.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
-    return raymat, q_frame, cand, count, dirs
+    return raymat, q_frame, cand, count, entry, dirs
 
 
 def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg):
@@ -130,7 +133,7 @@ def render_tiled(scene: DeviceScene, inv_view_proj: jax.Array,
     tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
     n_tiles = tx * ty
 
-    raymat, q_frame, cand, count, dirs = build_frame_inputs(
+    raymat, q_frame, cand, count, _entry, dirs = build_frame_inputs(
         scene, inv_view_proj, cfg)
     c_max = cand.shape[1]
 

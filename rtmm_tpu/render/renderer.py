@@ -91,6 +91,9 @@ class Renderer:
         self.cfg = cfg or RenderConfig()
         self._fn = jax.jit(
             functools.partial(render_image, cfg=self.cfg))
+        self._fn_u8 = jax.jit(
+            lambda s, m: (jnp.clip(render_image(s, m, self.cfg), 0.0, 1.0)
+                          * 255.0 + 0.5).astype(jnp.uint8))
 
     def render(self, inv_view_proj: np.ndarray) -> jax.Array:
         """Returns the (H, W, 3) float32 framebuffer (device array)."""
@@ -98,6 +101,6 @@ class Renderer:
 
     def render_u8(self, inv_view_proj: np.ndarray) -> np.ndarray:
         """Quantized frame, as the reference's R8G8B8A8_UNORM output texture
-        (src/application.cpp:82-89)."""
-        img = np.asarray(self.render(inv_view_proj))
-        return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        (src/application.cpp:82-89). Quantization runs on-device."""
+        return np.asarray(self._fn_u8(
+            self.scene, jnp.asarray(inv_view_proj, jnp.float32)))

@@ -1,0 +1,105 @@
+"""Interactive viewer — the Window/Trackball analog (SURVEY L5).
+
+The reference opens a Win32 window with mouse-driven trackball input
+(framework/src/window.cpp, trackball.cpp). Headless TPU hosts have no
+display server, so this viewer uses matplotlib's event loop when a display
+is available (same control scheme: LMB-drag rotate, RMB-drag translate,
+scroll zoom) and otherwise falls back to rendering an orbit sequence of
+PNG frames.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .config import RenderConfig
+from .io import image as image_io
+from .render.renderer import Renderer
+from .utils import camera
+
+
+class Viewer:
+    def __init__(self, renderer: Renderer, trackball=None):
+        self.renderer = renderer
+        self.trackball = trackball or camera.Trackball()
+        self._drag_button = None
+        self._prev = (0.0, 0.0)
+
+    def _frame(self) -> np.ndarray:
+        cfg = self.renderer.cfg
+        ivp = camera.inv_view_proj(self.trackball, cfg.width, cfg.height,
+                                   cfg.fov_y_degrees, cfg.near, cfg.far)
+        return self.renderer.render_u8(ivp)
+
+    def run(self, frames_if_headless: int = 12,
+            out_dir: str = "frames") -> None:
+        if os.environ.get("DISPLAY") or os.environ.get("MPLBACKEND"):
+            try:
+                self._run_matplotlib()
+                return
+            except Exception as exc:   # pragma: no cover - env dependent
+                print(f"interactive viewer unavailable ({exc}); "
+                      "falling back to orbit frames")
+        self._run_orbit(frames_if_headless, out_dir)
+
+    def _run_orbit(self, frames: int, out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(frames):
+            img = self._frame()
+            image_io.write_png(os.path.join(out_dir, f"view_{i:04d}.png"),
+                               img)
+            self.trackball.rotation_euler[1] -= np.radians(360.0 / frames)
+        print(f"wrote {frames} orbit frames to {out_dir}/")
+
+    def _run_matplotlib(self) -> None:   # pragma: no cover - needs display
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        im = ax.imshow(self._frame())
+        ax.set_axis_off()
+
+        def redraw():
+            im.set_data(self._frame())
+            fig.canvas.draw_idle()
+
+        def on_press(event):
+            self._drag_button = event.button
+            self._prev = (event.x, event.y)
+
+        def on_release(_event):
+            self._drag_button = None
+
+        def on_move(event):
+            if self._drag_button is None or event.x is None:
+                return
+            dx = event.x - self._prev[0]
+            dy = event.y - self._prev[1]
+            self._prev = (event.x, event.y)
+            if self._drag_button == 1:
+                self.trackball.rotate(dx, dy)      # trackball.cpp:145-148
+            elif self._drag_button == 3:
+                self.trackball.translate(dx, dy)   # trackball.cpp:150-154
+            redraw()
+
+        def on_scroll(event):
+            self.trackball.zoom(event.step)        # trackball.cpp:159-163
+            redraw()
+
+        fig.canvas.mpl_connect("button_press_event", on_press)
+        fig.canvas.mpl_connect("button_release_event", on_release)
+        fig.canvas.mpl_connect("motion_notify_event", on_move)
+        fig.canvas.mpl_connect("scroll_event", on_scroll)
+        plt.show()
+
+
+def view(asset: str, width: int = 512, height: int = 512,
+         tessellated: bool = False) -> None:
+    """Convenience entry: load an asset and open the viewer."""
+    from .app import load_asset
+    from .models import scene as scene_mod
+
+    mesh = load_asset(asset)
+    scene = scene_mod.build_device_scene(mesh, tessellated=tessellated)
+    cfg = RenderConfig(width=width, height=height)
+    Viewer(Renderer(scene, cfg)).run()

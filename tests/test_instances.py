@@ -1,0 +1,89 @@
+"""Multi-instance (TLAS analog) tests."""
+import numpy as np
+import pytest
+
+from rtmm_tpu.config import RenderConfig
+from rtmm_tpu.models import procedural, scene as scene_mod
+from rtmm_tpu.render import instances as inst_mod
+from rtmm_tpu.render.renderer import Renderer
+from rtmm_tpu.utils import camera
+
+CFG = RenderConfig(width=96, height=64, pipeline="tile")
+
+
+def _ivp(pitch=-30.0, yaw=20.0, dist=5.0):
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(pitch), np.radians(yaw), 0.0], dist)
+    return camera.inv_view_proj(tb, CFG.width, CFG.height)
+
+
+@pytest.fixture(scope="module")
+def base_scene():
+    mesh = procedural.make_icosphere(subdivisions=0, level=2, amplitude=0.1)
+    return scene_mod.build_device_scene(mesh)
+
+
+def test_identity_instance_matches_base(base_scene):
+    ivp = _ivp()
+    ref = np.asarray(Renderer(base_scene, CFG).render(ivp))
+    baked = inst_mod.bake_instances(base_scene, [inst_mod.Instance.identity()])
+    out = np.asarray(Renderer(baked, CFG).render(ivp))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_transformed_instance_matches_transformed_mesh(base_scene):
+    """Baking a transform == building the mesh pre-transformed."""
+    euler = (0.3, -0.5, 0.2)
+    t = np.array([0.4, -0.2, 0.6], np.float32)
+    s = 1.4
+    inst = inst_mod.Instance.from_euler(t, euler, s)
+
+    mesh = procedural.make_icosphere(subdivisions=0, level=2, amplitude=0.1)
+    # pre-transform the host mesh the same way
+    r = inst.rotation
+    mesh2 = procedural.make_icosphere(subdivisions=0, level=2, amplitude=0.1)
+    for tri, tri2 in zip(mesh.triangles, mesh2.triangles):
+        tri2.u_positions = (tri.u_positions @ r.T * s + t).astype(np.float32)
+        tri2.u_displacements = (tri.u_displacements @ r.T * s).astype(
+            np.float32)
+    mesh2.positions = (mesh.positions @ r.T * s + t).astype(np.float32)
+    mesh2.normals = (mesh.normals @ r.T).astype(np.float32)
+    mesh2.directions = (mesh.directions @ r.T * s).astype(np.float32)
+    ref_scene = scene_mod.build_device_scene(mesh2)
+
+    ivp = _ivp()
+    ref = np.asarray(Renderer(ref_scene, CFG).render(ivp))
+    baked = inst_mod.bake_instances(
+        scene_mod.build_device_scene(mesh), [inst])
+    out = np.asarray(Renderer(baked, CFG).render(ivp))
+    npix = (np.abs(ref - out).max(-1) > 2e-2).sum()
+    assert npix <= 4, f"{npix} pixels differ"   # fp-order differences only
+
+
+def test_two_instances_cover_more(base_scene):
+    ivp = _ivp()
+    one = np.asarray(Renderer(base_scene, CFG).render(ivp))
+    baked = inst_mod.bake_instances(base_scene, [
+        inst_mod.Instance.from_euler([-1.3, 0.0, 0.0], scale=0.8),
+        inst_mod.Instance.from_euler([1.3, 0.0, 0.0], (0.0, 1.0, 0.0), 0.8),
+    ])
+    two = np.asarray(Renderer(baked, CFG).render(ivp))
+    bg = np.asarray(CFG.background, np.float32)
+    cov1 = (np.abs(one - bg).max(-1) > 1e-5).mean()
+    cov2 = (np.abs(two - bg).max(-1) > 1e-5).mean()
+    assert cov2 > cov1 * 0.8 and cov2 > 0.02
+    assert baked.num_triangles == 2 * base_scene.num_triangles
+
+
+def test_instances_work_with_ray_pipeline(base_scene):
+    """The per-ray reference pipeline renders baked instances too (the 2D
+    hierarchy tables transform correctly under rigid+scale)."""
+    ivp = _ivp()
+    baked = inst_mod.bake_instances(base_scene, [
+        inst_mod.Instance.from_euler([0.8, 0.0, 0.0], (0.2, 0.1, 0.0), 1.1)])
+    cfg_ray = RenderConfig(width=CFG.width, height=CFG.height, pipeline="ray",
+                           max_candidates=8, ray_chunk=2048)
+    a = np.asarray(Renderer(baked, cfg_ray).render(ivp))
+    b = np.asarray(Renderer(baked, CFG).render(ivp))
+    npix = (np.abs(a - b).max(-1) > 1e-3).sum()
+    assert npix == 0, f"{npix} pixels differ between pipelines"

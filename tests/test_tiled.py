@@ -98,6 +98,64 @@ def test_frustum_cull_is_conservative(sphere_scene):
 def test_candidate_lists_compact():
     hit = jnp.asarray(np.array([[True, False, True, True],
                                 [False, False, False, False]]))
-    idx, count = culling.candidate_lists(hit, 3)
+    idx, count, _entry = culling.candidate_lists(hit, 3)
     assert count.tolist() == [3, 0]
     assert idx[0].tolist() == [0, 2, 3]
+
+
+def test_candidate_lists_front_to_back():
+    import jax.numpy as jnp2
+    hit = jnp.asarray(np.array([[True, True, True]]))
+    apex = jnp2.zeros(3)
+    aabb_min = jnp.asarray(np.array(
+        [[5.0, 0, 0], [1.0, 0, 0], [3.0, 0, 0]], np.float32))
+    aabb_max = aabb_min + 0.5
+    idx, count, entry = culling.candidate_lists(hit, 3, apex, aabb_min,
+                                                aabb_max)
+    assert idx[0].tolist() == [1, 2, 0]          # sorted by apex distance
+    assert np.all(np.diff(np.asarray(entry[0])) >= 0)
+    assert np.asarray(entry[0, 0]) == pytest.approx(1.0)
+
+
+def test_deep_hierarchy_level4_units():
+    """max_level > 3: traversal units are level-(L-3) subtree nodes; the
+    tiled path must still match both the per-ray path and the tessellated
+    ground truth."""
+    mesh = procedural.make_plane(grid=(1, 1), level=4, amplitude=0.2)
+    ds = scene_mod.build_device_scene(mesh)
+    assert ds.num_units == ds.num_triangles * 4      # 4 units per level-4 tri
+    assert ds.leaves_per_unit == 64
+    w, h = 96, 48
+    cfg_t = RenderConfig(width=w, height=h, pipeline="tile")
+    tile = np.asarray(Renderer(ds, cfg_t).render(_ivp_wh(w, h)))
+    tess = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh, tessellated=True),
+        cfg_t).render(_ivp_wh(w, h)))
+    npix = (np.abs(tile - tess).max(-1) > 1e-3).sum()
+    assert npix == 0, f"{npix} pixels differ vs tessellated at level 4"
+
+
+def _ivp_wh(w, h, pitch=-35.0, yaw=25.0, dist=2.5):
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(pitch), np.radians(yaw), 0.0], dist)
+    return camera.inv_view_proj(tb, w, h)
+
+
+def test_deep_hierarchy_level5_pallas_interpret():
+    """Subdivision level 5 (the reference's maximum, intersection.hlsl:79):
+    16 units/triangle; Pallas interpret == tiled XLA."""
+    mesh = procedural.make_plane(grid=(1, 1), level=5, amplitude=0.15)
+    ds = scene_mod.build_device_scene(mesh)
+    assert ds.num_units == ds.num_triangles * 16
+    w, h = 64, 32
+    cfg = RenderConfig(width=w, height=h)
+    ivp = _ivp_wh(w, h)
+    tile = np.asarray(Renderer(ds, RenderConfig(
+        width=w, height=h, pipeline="tile")).render(ivp))
+    pal = np.asarray(render_pallas(ds, jnp.asarray(ivp), cfg,
+                                   interpret=True))
+    npix = (np.abs(tile - pal).max(-1) > 1e-3).sum()
+    assert npix == 0, f"{npix} pixels differ at level 5"
+    # and it draws something
+    bg = np.asarray(cfg.background, np.float32)
+    assert (np.abs(tile - bg).max(-1) > 1e-5).mean() > 0.05

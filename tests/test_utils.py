@@ -1,0 +1,53 @@
+"""Stats + scene-cache tests."""
+import numpy as np
+
+from rtmm_tpu.config import RenderConfig
+from rtmm_tpu.io import loader
+from rtmm_tpu.models import procedural, scene as scene_mod
+from rtmm_tpu.utils import cache, camera, stats
+
+
+def test_frame_stats():
+    mesh = procedural.make_plane(grid=(2, 2), level=1, amplitude=0.2)
+    ds = scene_mod.build_device_scene(mesh)
+    cfg = RenderConfig(width=64, height=32, pipeline="tile")
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(-30), np.radians(20), 0], 3.0)
+    fs = stats.collect_frame_stats(
+        ds, camera.inv_view_proj(tb, 64, 32), cfg)
+    assert fs.mrays_per_s > 0
+    assert 0.0 < fs.hit_fraction < 1.0
+    assert fs.candidates_max >= 1
+    d = fs.as_dict()
+    assert "frame_ms" in d
+
+
+def test_scene_cache_roundtrip(tmp_path):
+    mesh = procedural.make_plane(grid=(2, 2), level=2, amplitude=0.2,
+                                 mixed_levels=True)
+    asset = str(tmp_path / "a.gltf")
+    loader.save_gltf_bary(mesh, asset)
+
+    ds1 = cache.build_device_scene_cached(asset, cache_dir=str(tmp_path))
+    ds2 = cache.build_device_scene_cached(asset, cache_dir=str(tmp_path))
+    assert ds1.max_level == ds2.max_level
+    np.testing.assert_array_equal(np.asarray(ds1.leaf_verts),
+                                  np.asarray(ds2.leaf_verts))
+    np.testing.assert_array_equal(np.asarray(ds1.unit_q),
+                                  np.asarray(ds2.unit_q))
+    # exactly one cache file was produced and reused
+    files = [f for f in tmp_path.iterdir() if f.suffix == ".npz"]
+    assert len(files) == 1
+
+
+def test_cache_key_changes_with_content(tmp_path):
+    mesh = procedural.make_plane(grid=(2, 2), level=1, amplitude=0.2)
+    a1 = str(tmp_path / "a1.gltf")
+    loader.save_gltf_bary(mesh, a1)
+    mesh2 = procedural.make_plane(grid=(2, 2), level=1, amplitude=0.3)
+    a2 = str(tmp_path / "a2.gltf")
+    loader.save_gltf_bary(mesh2, a2)
+    k1 = cache.asset_cache_key(a1, False)
+    k2 = cache.asset_cache_key(a2, False)
+    k3 = cache.asset_cache_key(a1, True)
+    assert k1 != k2 and k1 != k3
