@@ -80,6 +80,10 @@ def main(argv=None) -> int:
                         help="path-traced multi-bounce rendering")
     parser.add_argument("--spp", type=int, default=4,
                         help="path-tracer samples per pixel")
+    parser.add_argument("--compare-t", action="store_true",
+                        help="render both micro-mesh and tessellated modes "
+                             "and report the image RMSE (the reference's "
+                             "implicit correctness oracle)")
     args = parser.parse_args(argv)
 
     if not args.asset.startswith("proc:") and not os.path.exists(args.asset):
@@ -119,7 +123,25 @@ def main(argv=None) -> int:
         renderer = PathTracer(ds, cfg, PathTraceConfig(
             bounces=args.pathtrace, samples_per_pixel=args.spp))
     else:
-        renderer = Renderer(ds, cfg)
+        if args.compare_t:
+        mesh = mesh if not args.cache else load_asset(args.asset)
+        ds_t = scene_mod.build_device_scene(mesh, tessellated=True)
+        tb = camera.Trackball(distance=args.distance)
+        tb.set_camera([0.0, 0.0, 0.0],
+                      [np.radians(args.pitch), np.radians(args.yaw), 0.0],
+                      args.distance)
+        ivp = camera.inv_view_proj(tb, cfg.width, cfg.height,
+                                   cfg.fov_y_degrees, cfg.near, cfg.far)
+        img_mm = np.asarray(Renderer(ds, cfg).render(ivp))
+        img_ts = np.asarray(Renderer(ds_t, cfg).render(ivp))
+        rmse = float(np.sqrt(((img_mm - img_ts) ** 2).mean()))
+        npix = int((np.abs(img_mm - img_ts).max(-1) > 1e-3).sum())
+        print(f"micromesh vs tessellated: RMSE={rmse:.3e}, "
+              f"pixels>1e-3: {npix} of {cfg.width * cfg.height} "
+              f"({'PASS' if rmse <= 1e-3 else 'FAIL'} at 1e-3)")
+        return 0 if rmse <= 1e-3 else 2
+
+    renderer = Renderer(ds, cfg)
     tb = camera.Trackball(distance=args.distance)
     tb.set_camera([0.0, 0.0, 0.0],
                   [np.radians(args.pitch), np.radians(args.yaw), 0.0],
