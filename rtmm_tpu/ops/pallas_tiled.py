@@ -53,7 +53,10 @@ def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
                 q_hbm, nrm_hbm, t_out, n_out, q_buf, nrm_buf, sem,
                 *, lpu, npad, t_min, t_max):
     rm = raymat_ref[0, b]                         # (8, TILE)
-    cnt = count_ref[0, b, 0]
+    # count can exceed the candidate-list capacity (overflowing tiles keep
+    # their true count for observability); clamp — reading cand_ref past
+    # c_max would index garbage and launch an out-of-bounds table DMA.
+    cnt = jnp.minimum(count_ref[0, b, 0], cand_ref.shape[2])
 
     def dmas(slot, c):
         unit = cand_ref[0, b, c]
@@ -128,7 +131,17 @@ def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
             jnp.full((1, TILE), 1e30, jnp.float32),
             jnp.zeros((8, TILE), jnp.float32),
             jnp.float32(1e30))
-    _, best_t, best_n, _ = jax.lax.while_loop(cond, body, init)
+    c_final, best_t, best_n, _ = jax.lax.while_loop(cond, body, init)
+
+    # Drain: if the early-exit bound stopped the loop at c_final < cnt, the
+    # previous iteration already started the DMA for candidate c_final —
+    # leaving it un-awaited leaks its semaphore and corrupts later programs
+    # on the device. (At a full run c_final == cnt and nothing is pending.)
+    @pl.when((c_final > 0) & (c_final < cnt))
+    def _():
+        for d in dmas(jax.lax.rem(c_final, 2), c_final):
+            d.wait()
+
     t_out[0, b] = best_t[0]
     n_out[0, b] = best_n
 
