@@ -15,6 +15,19 @@ from ..config import RenderConfig
 
 PI = 3.14159265359
 
+
+def _vec3(t) -> jax.Array:
+    """3-vector from Python floats as stacked scalar literals.
+
+    jnp.asarray((a, b, c)) captures an ndarray constant in the jaxpr;
+    hoisted constants have triggered executable/dispatch buffer-count
+    mismatches in JAX's cpp fastpath ("supplied N buffers but compiled
+    program expected M"), so constants are built from scalar literals,
+    which inline into the HLO.
+    """
+    return jnp.stack([jnp.float32(t[0]), jnp.float32(t[1]),
+                      jnp.float32(t[2])])
+
 LIGHT_DIRS = (
     (0.0, 0.0, 1.0),
     (0.0, 1.0, 0.0),
@@ -43,8 +56,8 @@ def _fresnel_schlick(cos_theta, f0):
 def shade(normal: jax.Array, view: jax.Array,
           cfg: RenderConfig) -> jax.Array:
     """Shade hits. normal/view: (..., 3) -> color (..., 3)."""
-    albedo = jnp.asarray(cfg.mesh_color, jnp.float32)
-    f0 = jnp.asarray([0.04, 0.04, 0.04], jnp.float32)
+    albedo = _vec3(cfg.mesh_color)
+    f0 = _vec3((0.04, 0.04, 0.04))
     f0 = f0 + (albedo - f0) * cfg.metallic          # lerp(F0, albedo, metallic)
 
     n = normal
@@ -54,11 +67,10 @@ def shade(normal: jax.Array, view: jax.Array,
 
     lo = jnp.zeros(n.shape[:-1] + (3,), jnp.float32)
     for ldir, lscale in zip(LIGHT_DIRS, LIGHT_SCALE):
-        l = jnp.asarray(ldir, jnp.float32)
+        l = _vec3(ldir)
         h = v + l
         h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
-        radiance = (jnp.asarray(cfg.light_color, jnp.float32)
-                    * (cfg.light_intensity * lscale))
+        radiance = _vec3(cfg.light_color) * (cfg.light_intensity * lscale)
         n_dot_l = jnp.maximum((n * l).sum(-1), 0.0)
         ndf = _distribution_ggx(jnp.maximum((n * h).sum(-1), 0.0),
                                 cfg.roughness)
@@ -79,6 +91,6 @@ def shade(normal: jax.Array, view: jax.Array,
 
 def shade_or_miss(hit: jax.Array, normal: jax.Array, view: jax.Array,
                   cfg: RenderConfig) -> jax.Array:
-    bg = jnp.asarray(cfg.background, jnp.float32)
+    bg = _vec3(cfg.background)
     color = shade(normal, view, cfg)
     return jnp.where(hit[..., None], color, bg)

@@ -48,7 +48,7 @@ def _direct_light(normal: jax.Array, albedo: jax.Array,
     (closesthit.hlsl:70-81), Lambertian only."""
     lo = jnp.zeros(normal.shape[:-1] + (3,), jnp.float32)
     for ldir, lscale in zip(shading.LIGHT_DIRS, shading.LIGHT_SCALE):
-        l = jnp.asarray(ldir, jnp.float32)
+        l = shading._vec3(ldir)
         n_dot_l = jnp.maximum((normal * l).sum(-1), 0.0)
         radiance = cfg.light_intensity * lscale
         lo = lo + albedo * (radiance / np.pi) * n_dot_l[..., None]
@@ -66,8 +66,8 @@ def _cosine_sample(key: jax.Array, normal: jax.Array) -> jax.Array:
     z = jnp.sqrt(jnp.maximum(1.0 - u[..., 0], 0.0))
     # Build an orthonormal basis around the normal.
     up = jnp.where(jnp.abs(normal[..., 2:3]) < 0.9,
-                   jnp.asarray([0.0, 0.0, 1.0]),
-                   jnp.asarray([1.0, 0.0, 0.0]))
+                   shading._vec3((0.0, 0.0, 1.0)),
+                   shading._vec3((1.0, 0.0, 0.0)))
     t = jnp.cross(up, normal)
     t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-20)
     b = jnp.cross(normal, t)
@@ -96,8 +96,8 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
     o0, d0 = raygen.generate_rays(
         jnp.asarray(inv_view_proj, jnp.float32), width, height)
     n = o0.shape[0]
-    albedo = jnp.asarray(cfg.mesh_color, jnp.float32)
-    bg = jnp.asarray(cfg.background, jnp.float32)
+    albedo = shading._vec3(cfg.mesh_color)
+    bg = shading._vec3(cfg.background)
     key0 = jax.random.key(pt.seed)
 
     def one_sample(key):

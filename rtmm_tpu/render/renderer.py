@@ -18,7 +18,12 @@ import numpy as np
 
 from ..config import RenderConfig
 from ..models.scene import DeviceScene
-from ..ops import raygen, shading, traversal
+# NOTE: pipeline modules must be imported at module scope. A lazy import
+# inside the traced render function executes the target module's top-level
+# jnp statements *under the trace*, leaking a tracer into module globals;
+# later traces then capture it as a stale constant and the compiled
+# executable's buffer count mismatches at dispatch.
+from ..ops import pallas_tiled, raygen, shading, tiled, traversal
 
 
 def render_image(scene: DeviceScene, inv_view_proj: jax.Array,
@@ -32,11 +37,9 @@ def render_image(scene: DeviceScene, inv_view_proj: jax.Array,
     """
     pipeline = _resolve_pipeline(cfg, scene)
     if pipeline == "tile":
-        from ..ops.tiled import render_tiled
-        return render_tiled(scene, inv_view_proj, cfg)
+        return tiled.render_tiled(scene, inv_view_proj, cfg)
     if pipeline == "pallas":
-        from ..ops.pallas_tiled import render_pallas
-        return render_pallas(scene, inv_view_proj, cfg)
+        return pallas_tiled.render_pallas(scene, inv_view_proj, cfg)
     height, width = cfg.height, cfg.width
     origins, directions = raygen.generate_rays(inv_view_proj, width, height)
 
@@ -89,11 +92,16 @@ class Renderer:
     def __init__(self, scene: DeviceScene, cfg: RenderConfig | None = None):
         self.scene = scene
         self.cfg = cfg or RenderConfig()
+        # keep_unused: pipelines use different subsets of the scene arrays;
+        # argument pruning has shown executable-cache inconsistencies
+        # ("supplied N buffers but compiled program expected M") when scenes
+        # that differ only in unused tables share an HLO fingerprint.
         self._fn = jax.jit(
-            functools.partial(render_image, cfg=self.cfg))
+            functools.partial(render_image, cfg=self.cfg), keep_unused=True)
         self._fn_u8 = jax.jit(
             lambda s, m: (jnp.clip(render_image(s, m, self.cfg), 0.0, 1.0)
-                          * 255.0 + 0.5).astype(jnp.uint8))
+                          * 255.0 + 0.5).astype(jnp.uint8),
+            keep_unused=True)
 
     def render(self, inv_view_proj: np.ndarray) -> jax.Array:
         """Returns the (H, W, 3) float32 framebuffer (device array)."""
@@ -104,3 +112,34 @@ class Renderer:
         (src/application.cpp:82-89). Quantization runs on-device."""
         return np.asarray(self._fn_u8(
             self.scene, jnp.asarray(inv_view_proj, jnp.float32)))
+
+
+class FramePipeline:
+    """Two frames in flight — the GPUState swapchain-pacing analog
+    (src/dx_util/GPUState.cpp:115-148 keeps 2 frames in flight and blocks
+    on the fence of frame n-2).
+
+    XLA dispatch is asynchronous, so submitting frame n+1 before reading
+    frame n overlaps the host-side readback/IO of one frame with the device
+    render of the next.
+    """
+
+    def __init__(self, renderer: Renderer, depth: int = 2):
+        self.renderer = renderer
+        self.depth = depth
+        self._queue: list = []
+
+    def submit(self, inv_view_proj: np.ndarray):
+        """Enqueue a frame; returns the oldest finished frame (as uint8
+        ndarray) once the pipeline is full, else None."""
+        self._queue.append(self.renderer._fn_u8(
+            self.renderer.scene,
+            jnp.asarray(inv_view_proj, jnp.float32)))
+        if len(self._queue) >= self.depth:
+            return np.asarray(self._queue.pop(0))
+        return None
+
+    def drain(self):
+        """Yield all remaining frames."""
+        while self._queue:
+            yield np.asarray(self._queue.pop(0))

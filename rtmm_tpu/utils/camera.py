@@ -75,6 +75,19 @@ class Trackball:
     def zoom(self, scroll_y: float) -> None:
         self.distance += -float(scroll_y) * ZOOM_SPEED_FACTOR
 
+    def generate_ray(self, pixel_ndc) -> tuple[np.ndarray, np.ndarray]:
+        """Ray through a pixel in NDC [-1, 1] (trackball.cpp:101-110).
+
+        Returns (origin, direction). Uses the trackball's own fovy — note
+        the reference app instead unprojects with its projection matrix in
+        the raygen shader; this method exists for API parity.
+        """
+        half_h = np.tan(self.fovy / 2.0)
+        px, py = float(pixel_ndc[0]), float(pixel_ndc[1])
+        cam_dir = np.array([-px * half_h, py * half_h, 1.0])
+        cam_dir /= np.linalg.norm(cam_dir)
+        return self.position(), glmmath.quat_rotate(self._quat(), cam_dir)
+
 
 def inv_view_proj(trackball: Trackball, width: int, height: int,
                   fov_y_degrees: float = 80.0, near: float = 0.1,

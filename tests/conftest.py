@@ -20,3 +20,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """Work around a JAX executable-cache consistency bug observed when
+    distinct jitted wrappers over equal callables trace scenes that differ
+    only in unused arrays: the cached executable's buffer count mismatches
+    ("Execution supplied N buffers but compiled program expected M").
+    Clearing caches between tests keeps every test hermetic."""
+    yield
+    import jax
+
+    jax.clear_caches()

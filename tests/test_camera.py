@@ -62,3 +62,14 @@ def test_inv_view_proj_roundtrip():
     proj = glmmath.perspective(np.radians(80.0), 640 / 480, 0.1, 1000.0)
     vp = proj @ tb.view_matrix()
     np.testing.assert_allclose(ivp @ vp, np.eye(4), atol=1e-4)
+
+
+def test_generate_ray_matches_reference_convention():
+    tb = camera.Trackball()
+    o, d = tb.generate_ray((0.0, 0.0))
+    np.testing.assert_allclose(o, [0, 0, -4.0], atol=1e-12)
+    np.testing.assert_allclose(d, [0, 0, 1.0], atol=1e-12)   # center: forward
+    # +x pixel: reference flips x (cameraSpaceDirection.x = -pixel.x * ...)
+    _, d2 = tb.generate_ray((1.0, 0.0))
+    assert d2[0] < 0
+    assert np.linalg.norm(d2) == pytest.approx(1.0)

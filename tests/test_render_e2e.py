@@ -90,3 +90,22 @@ def test_deterministic_render():
     a = np.asarray(r.render(_ivp()))
     b = np.asarray(r.render(_ivp()))
     np.testing.assert_array_equal(a, b)
+
+
+def test_frame_pipeline_two_in_flight():
+    from rtmm_tpu.render.renderer import FramePipeline
+    mesh = procedural.make_plane(grid=(2, 2), level=1, amplitude=0.2)
+    ds = scene_mod.build_device_scene(mesh)
+    r = Renderer(ds, CFG)
+    pipe = FramePipeline(r, depth=2)
+    frames = []
+    for i in range(3):
+        out = pipe.submit(_ivp(yaw=20.0 + i))
+        if out is not None:
+            frames.append(out)
+    frames.extend(pipe.drain())
+    assert len(frames) == 3
+    for f in frames:
+        assert f.shape == (CFG.height, CFG.width, 3) and f.dtype == np.uint8
+    # frames differ (camera moved)
+    assert not np.array_equal(frames[0], frames[2])
