@@ -51,3 +51,15 @@ def test_cache_key_changes_with_content(tmp_path):
     k2 = cache.asset_cache_key(a2, False)
     k3 = cache.asset_cache_key(a1, True)
     assert k1 != k2 and k1 != k3
+
+
+def test_debug_render_clean_scene_passes():
+    from rtmm_tpu.utils.debug import debug_render
+
+    mesh = procedural.make_plane(grid=(2, 2), level=1, amplitude=0.2)
+    ds = scene_mod.build_device_scene(mesh)
+    cfg = RenderConfig(width=64, height=32)
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(-30), np.radians(20), 0], 3.0)
+    img = debug_render(ds, camera.inv_view_proj(tb, 64, 32), cfg)
+    assert np.isfinite(np.asarray(img)).all()
