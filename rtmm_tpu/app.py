@@ -118,13 +118,9 @@ def main(argv=None) -> int:
         ds = inst_mod.bake_instances(ds, ring)
         print(f"instanced: {n} instances, {ds.num_triangles} triangles total")
 
-    if args.pathtrace > 0:
-        from .render.pathtrace import PathTraceConfig, PathTracer
-        renderer = PathTracer(ds, cfg, PathTraceConfig(
-            bounces=args.pathtrace, samples_per_pixel=args.spp))
-    else:
-        if args.compare_t:
-        mesh = mesh if not args.cache else load_asset(args.asset)
+    if args.compare_t:
+        if args.cache:
+            mesh = load_asset(args.asset)
         ds_t = scene_mod.build_device_scene(mesh, tessellated=True)
         tb = camera.Trackball(distance=args.distance)
         tb.set_camera([0.0, 0.0, 0.0],
@@ -141,7 +137,12 @@ def main(argv=None) -> int:
               f"({'PASS' if rmse <= 1e-3 else 'FAIL'} at 1e-3)")
         return 0 if rmse <= 1e-3 else 2
 
-    renderer = Renderer(ds, cfg)
+    if args.pathtrace > 0:
+        from .render.pathtrace import PathTraceConfig, PathTracer
+        renderer = PathTracer(ds, cfg, PathTraceConfig(
+            bounces=args.pathtrace, samples_per_pixel=args.spp))
+    else:
+        renderer = Renderer(ds, cfg)
     tb = camera.Trackball(distance=args.distance)
     tb.set_camera([0.0, 0.0, 0.0],
                   [np.radians(args.pitch), np.radians(args.yaw), 0.0],

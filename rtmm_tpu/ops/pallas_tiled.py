@@ -87,9 +87,13 @@ def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
             d.wait()
 
         q = q_buf[slot]                           # (8, 4*LPU)
+        # precision=HIGHEST: without it Mosaic may run the f32 matmul as a
+        # single bf16 MXU pass, which speckles the image (epsilon tests on
+        # det/u/v flip near edges).
         out = jax.lax.dot_general(
             q, rm, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)   # (4*LPU, TILE)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (4*LPU, TILE)
         det = out[0 * lpu:1 * lpu]
         u_num = out[1 * lpu:2 * lpu]
         v_num = out[2 * lpu:3 * lpu]
@@ -110,7 +114,8 @@ def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
         nsel = jax.lax.dot_general(
             nrm_buf[slot], oh,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)   # (8, TILE); rows 0..2 used
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (8, TILE)
         take = tb < best_t
         best_t = jnp.where(take, tb, best_t)
         best_n = jnp.where(take, nsel, best_n)

@@ -94,6 +94,58 @@ def render_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
     return step(scene, jnp.asarray(inv_view_proj, jnp.float32))
 
 
+def render_tiled_gspmd(scene: DeviceScene, inv_view_proj: jax.Array,
+                       cfg: RenderConfig, mesh: Mesh) -> jax.Array:
+    """Data-parallel tiled rendering via GSPMD sharding annotations.
+
+    The idiomatic single-axis scaling path: the per-tile trace is a dense
+    computation over the tile dimension, so sharding the per-tile inputs
+    over the 'rays' mesh axis and letting XLA partition is sufficient — no
+    collectives in the render at all (the scene tables are replicated).
+    Used when the mesh has no 'scene' axis; the shard_map path above
+    handles scene-sharded tracing with its closest-hit combine.
+    """
+    from ..ops import culling, tiled
+    from ..ops.tiled import TILE
+
+    width, height = cfg.width, cfg.height
+    pw, ph = tiled.padded_size(width, height)
+    tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
+    n_tiles = tx * ty
+    n_dev = mesh.shape["rays"]
+    if n_tiles % n_dev:
+        raise ValueError("tile count must divide over the 'rays' axis")
+
+    raymat, q_frame, cand, count, _entry, dirs = tiled.build_frame_inputs(
+        scene, inv_view_proj, cfg)
+    shard = jax.NamedSharding(mesh, P("rays"))
+    raymat = jax.lax.with_sharding_constraint(raymat, shard)
+    cand = jax.lax.with_sharding_constraint(cand, shard)
+    count = jax.lax.with_sharding_constraint(count, shard)
+    dirs = jax.lax.with_sharding_constraint(dirs, shard)
+
+    c_max = cand.shape[1]
+
+    def body(c, carry):
+        best_t, best_n = carry
+        tb, nb = tiled.trace_candidate(scene, raymat, q_frame, cand[:, c],
+                                       c < count, cfg)
+        take = tb < best_t
+        return (jnp.where(take, tb, best_t),
+                jnp.where(take[..., None], nb, best_n))
+
+    init = (jnp.full((n_tiles, TILE), BIG, jnp.float32),
+            jnp.zeros((n_tiles, TILE, 3), jnp.float32))
+    best_t, best_n = jax.lax.fori_loop(0, c_max, body, init)
+    hit = best_t < BIG
+    nrm = best_n / jnp.maximum(
+        jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
+    colors = shading.shade_or_miss(hit, nrm, -dirs, cfg)
+    img = (colors.reshape(ty, tx, culling.TILE_H, culling.TILE_W, 3)
+           .transpose(0, 2, 1, 3, 4).reshape(ph, pw, 3))
+    return img[:height, :width]
+
+
 @dataclasses.dataclass
 class ShardedRenderer:
     """jit-compiled multi-chip frame renderer."""
@@ -102,9 +154,21 @@ class ShardedRenderer:
     cfg: RenderConfig
     mesh: Mesh
 
+    pipeline: str = "auto"   # "ray" (shard_map) | "tile" (GSPMD) | "auto"
+
     def __post_init__(self):
+        from ..ops import culling, tiled
+
+        pw, ph = tiled.padded_size(self.cfg.width, self.cfg.height)
+        n_tiles = (pw // culling.TILE_W) * (ph // culling.TILE_H)
+        divisible = n_tiles % self.mesh.shape["rays"] == 0
+        use_tile = (self.pipeline == "tile"
+                    or (self.pipeline == "auto"
+                        and self.mesh.shape["scene"] == 1
+                        and divisible))
+        fn = render_tiled_gspmd if use_tile else render_sharded
         self._fn = jax.jit(functools.partial(
-            render_sharded, cfg=self.cfg, mesh=self.mesh))
+            fn, cfg=self.cfg, mesh=self.mesh), keep_unused=True)
 
     def render(self, inv_view_proj: np.ndarray) -> jax.Array:
         return self._fn(self.scene, jnp.asarray(inv_view_proj, jnp.float32))

@@ -54,3 +54,21 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_gspmd_tiled_sharding_matches_single(setup):
+    """The GSPMD tiled path (shard tiles over 'rays', no collectives) must
+    match the single-device tiled render."""
+    ds, cfg, ivp, _ = setup
+    import dataclasses
+    cfg_big = RenderConfig(width=256, height=256, max_candidates=8)
+    tb2 = camera.Trackball()
+    tb2.set_camera([0, 0, 0], [np.radians(-30), np.radians(20), 0], 3.0)
+    ivp2 = camera.inv_view_proj(tb2, 256, 256)
+    ref = np.asarray(Renderer(ds, dataclasses.replace(
+        cfg_big, pipeline="tile")).render(ivp2))
+    mesh = sharding.make_mesh(n_rays=8, n_scene=1)
+    sr = sharding.ShardedRenderer(scene=ds, cfg=cfg_big, mesh=mesh,
+                                  pipeline="tile")
+    out = np.asarray(sr.render(ivp2))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
