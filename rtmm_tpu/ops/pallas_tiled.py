@@ -73,6 +73,11 @@ def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
             d.start()
 
     s_row = rm[6:7]                               # (1, TILE)
+    # hi/lo bf16 split of the ray matrix (once per tile): emulates 3-pass
+    # f32 matmuls (Mosaic supports only DEFAULT/HIGHEST; HIGHEST is 6
+    # passes and the matmul dominates the kernel).
+    rm_hi = rm.astype(jnp.bfloat16)
+    rm_lo = (rm - rm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def body(carry):
         c, best_t, best_n, _worst = carry
@@ -87,13 +92,20 @@ def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
             d.wait()
 
         q = q_buf[slot]                           # (8, 4*LPU)
-        # precision=HIGHEST: without it Mosaic may run the f32 matmul as a
-        # single bf16 MXU pass, which speckles the image (epsilon tests on
-        # det/u/v flip near edges).
-        out = jax.lax.dot_general(
-            q, rm, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (4*LPU, TILE)
+        # Single-pass bf16 speckles the image (the det/u/v epsilon tests
+        # flip near edges), and HIGHEST costs 6 passes. Three bf16 products
+        # with the hi/lo splits give ~21-bit mantissas — ample for the
+        # reference's 1e-3 u/v epsilons.
+        q_hi = q.astype(jnp.bfloat16)
+        q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dims = (((0,), (0,)), ((), ()))
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=dims,
+                preferred_element_type=jnp.float32)
+
+        out = mm(q_hi, rm_hi) + (mm(q_hi, rm_lo) + mm(q_lo, rm_hi))
         det = out[0 * lpu:1 * lpu]
         u_num = out[1 * lpu:2 * lpu]
         v_num = out[2 * lpu:3 * lpu]
@@ -111,11 +123,16 @@ def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
         onehot = ((t <= tb) & ok).astype(jnp.float32)
         oh = jnp.concatenate(
             [onehot, jnp.zeros((npad - lpu, TILE), jnp.float32)], axis=0)
-        nsel = jax.lax.dot_general(
-            nrm_buf[slot], oh,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (8, TILE)
+        # one-hot is exact in bf16; split only the normals (2 passes).
+        nrm_v = nrm_buf[slot]
+        n_hi = nrm_v.astype(jnp.bfloat16)
+        n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        oh_b = oh.astype(jnp.bfloat16)
+        ndims = (((1,), (0,)), ((), ()))
+        nsel = (jax.lax.dot_general(n_hi, oh_b, dimension_numbers=ndims,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(n_lo, oh_b, dimension_numbers=ndims,
+                                      preferred_element_type=jnp.float32))
         take = tb < best_t
         best_t = jnp.where(take, tb, best_t)
         best_n = jnp.where(take, nsel, best_n)

