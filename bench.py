@@ -1,11 +1,17 @@
-"""Benchmark driver: primary-ray throughput on the flagship config.
+"""Benchmark driver (BASELINE.json configs).
 
-Config 3 of BASELINE.json: full micro-mesh asset at 1080p, micro-mesh
-(direct traversal) mode, closest-hit shading + miss. Renders an 8-frame
-orbit sequence per device invocation (the realistic animation workload;
-this also amortizes the remote-relay per-call latency of the benching
-harness, which is ~23 ms of pure infrastructure on top of ~11 ms of device
-time per frame). Prints ONE JSON line:
+Default: config 3 — full micro-mesh asset at 1080p, direct traversal,
+closest-hit shading + miss. `--config N` selects the other BASELINE
+configs:
+  1  tessellated (-T) low-poly asset, 256x256 primary rays
+  2  direct micro-mesh traversal, same asset as 1
+  3  full asset @1080p (flagship, the driver's default)
+  4  multi-instance two-level traversal with per-instance transforms
+  5  path-traced multi-bounce, subdivision-level-5 micro-mesh, compaction
+
+Renders an 8-frame orbit per device invocation (the realistic animation
+workload; also amortizes the ~23 ms per-call latency of this host's
+remote-execution relay). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
 vs_baseline is measured against the 100 Mrays/s/chip north-star target
 (BASELINE.md — the reference publishes no numbers of its own).
@@ -13,6 +19,7 @@ vs_baseline is measured against the 100 Mrays/s/chip north-star target
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -20,22 +27,61 @@ import numpy as np
 FRAMES_PER_CALL = 8
 
 
-def main() -> None:
+def _build_config(n: int):
+    """Returns (metric_name, scene, render_cfg, rays_per_frame_factor)."""
+    from rtmm_tpu.config import RenderConfig
+    from rtmm_tpu.models import procedural, scene as scene_mod
+
+    if n == 1:
+        mesh = procedural.make_icosphere(subdivisions=0, level=2,
+                                         amplitude=0.1)
+        scene = scene_mod.build_device_scene(mesh, tessellated=True)
+        return ("tessellated_256_lowpoly", scene,
+                RenderConfig(width=256, height=256), 1)
+    if n == 2:
+        mesh = procedural.make_icosphere(subdivisions=0, level=2,
+                                         amplitude=0.1)
+        scene = scene_mod.build_device_scene(mesh)
+        return ("micromesh_256_lowpoly", scene,
+                RenderConfig(width=256, height=256), 1)
+    if n == 3:
+        # Subdiv-3 closed surface: 320 base x 64 micro = 20480 micro-tris.
+        mesh = procedural.make_icosphere(subdivisions=2, level=3,
+                                         amplitude=0.12)
+        scene = scene_mod.build_device_scene(mesh)
+        return ("primary_rays_1080p_subdiv3_micromesh", scene,
+                RenderConfig(width=1920, height=1080), 1)
+    if n == 4:
+        from rtmm_tpu.render import instances as inst_mod
+        mesh = procedural.make_icosphere(subdivisions=1, level=3,
+                                         amplitude=0.12)
+        base = scene_mod.build_device_scene(mesh)
+        ring = []
+        for i in range(6):
+            a = 2.0 * np.pi * i / 6
+            ring.append(inst_mod.Instance.from_euler(
+                [2.4 * np.cos(a), 2.4 * np.sin(a), 0.0], (0.0, a, 0.3 * i),
+                0.8))
+        scene = inst_mod.bake_instances(base, ring)
+        return ("multi_instance_6x_1080p", scene,
+                RenderConfig(width=1920, height=1080), 1)
+    if n == 5:
+        mesh = procedural.make_icosphere(subdivisions=0, level=5,
+                                         amplitude=0.1)
+        scene = scene_mod.build_device_scene(mesh)
+        return ("pathtrace_subdiv5_3bounce", scene,
+                RenderConfig(width=512, height=512), None)  # special-cased
+    raise SystemExit(f"unknown config {n}")
+
+
+def _bench_render(scene, cfg, metric, dist: float = 3.0):
     import jax
     import jax.numpy as jnp
 
-    from rtmm_tpu.config import RenderConfig
-    from rtmm_tpu.models import procedural, scene as scene_mod
     from rtmm_tpu.render.renderer import render_image
     from rtmm_tpu.utils import camera
 
-    width, height = 1920, 1080
-    cfg = RenderConfig(width=width, height=height)
-
-    # Subdivision-level-3 closed surface (the north-star workload class):
-    # 320 base triangles x 64 micro-triangles = 20480 micro-triangles.
-    mesh = procedural.make_icosphere(subdivisions=2, level=3, amplitude=0.12)
-    scene = scene_mod.build_device_scene(mesh)
+    width, height = cfg.width, cfg.height
 
     def make_ivps(offset: float):
         out = []
@@ -43,7 +89,7 @@ def main() -> None:
             tb = camera.Trackball()
             tb.set_camera(
                 [0.0, 0.0, 0.0],
-                [np.radians(-30.0), np.radians(offset + 4.0 * k), 0.0], 3.0)
+                [np.radians(-30.0), np.radians(offset + 4.0 * k), 0.0], dist)
             out.append(camera.inv_view_proj(tb, width, height))
         return jnp.asarray(np.stack(out))
 
@@ -62,10 +108,8 @@ def main() -> None:
 
     # Fresh camera batch per iteration (identical reused inputs can be
     # result-deduplicated by remote-execution relays and fake a ~0 ms
-    # frame). Completion fence = block_until_ready + a single-pixel host
-    # readback (full-frame readback through this host's relay runs at
-    # ~7 MB/s, which would measure the tunnel, not the renderer). Retry on
-    # transient backend aborts.
+    # frame); tiny-checksum readback is the fence (bulk readback through
+    # this host's relay runs at ~7 MB/s and would measure the tunnel).
     times = []
     attempts = 0
     while len(times) < 4 and attempts < 10:
@@ -78,17 +122,68 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
             assert checksum > 0
         except jax.errors.JaxRuntimeError as exc:
-            import sys
             print(f"bench attempt {attempts} failed: "
                   f"{type(exc).__name__}: {str(exc)[:160]}", file=sys.stderr)
             time.sleep(2.0)
     if not times:
         raise SystemExit(3)   # backend soured; parent retries a fresh process
     dt = float(np.median(times)) / FRAMES_PER_CALL
-    mrays = width * height / dt / 1e6
+    return width * height / dt / 1e6
 
+
+def _bench_pathtrace(scene, cfg, metric):
+    """Config 5: total rays traced per second across bounces + samples."""
+    import jax
+
+    from rtmm_tpu.render.pathtrace import PathTraceConfig, PathTracer
+    from rtmm_tpu.utils import camera
+
+    pt = PathTraceConfig(bounces=3, samples_per_pixel=2, ray_chunk=16384)
+    tracer = PathTracer(scene, cfg, pt)
+
+    def ivp_at(yaw):
+        tb = camera.Trackball()
+        tb.set_camera([0, 0, 0],
+                      [np.radians(-30.0), np.radians(yaw), 0.0], 3.0)
+        return camera.inv_view_proj(tb, cfg.width, cfg.height)
+
+    img, stats = tracer.render(ivp_at(25.0))            # warmup
+    rays_per_frame = int(np.asarray(
+        stats["live_rays_per_bounce"]).sum() + cfg.width * cfg.height
+    ) * pt.samples_per_pixel
+
+    times = []
+    attempts = 0
+    while len(times) < 3 and attempts < 8:
+        attempts += 1
+        try:
+            t0 = time.perf_counter()
+            img, stats = tracer.render(ivp_at(25.0 + attempts))
+            live = np.asarray(stats["live_rays_per_bounce"])
+            times.append(time.perf_counter() - t0)
+            assert np.isfinite(live).all()
+        except Exception as exc:
+            print(f"bench attempt {attempts} failed: {str(exc)[:160]}",
+                  file=sys.stderr)
+            time.sleep(2.0)
+    if not times:
+        raise SystemExit(3)
+    dt = float(np.median(times))
+    return rays_per_frame / dt / 1e6
+
+
+def main() -> None:
+    n = 3
+    if "--config" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--config") + 1])
+    metric, scene, cfg, _ = _build_config(n)
+    if n == 5:
+        mrays = _bench_pathtrace(scene, cfg, metric)
+    else:
+        mrays = _bench_render(scene, cfg, metric,
+                              dist=4.5 if n == 4 else 3.0)
     print(json.dumps({
-        "metric": "primary_rays_1080p_subdiv3_micromesh",
+        "metric": metric,
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 3),
@@ -102,11 +197,10 @@ def _run_with_process_retries() -> int:
     processes and forward the JSON line."""
     import os
     import subprocess
-    import sys
 
     for _ in range(3):
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
             env={**os.environ, "RTMM_BENCH_CHILD": "1"},
             capture_output=True, text=True)
         line = next((l for l in reversed(r.stdout.strip().splitlines())
@@ -124,9 +218,8 @@ def _run_with_process_retries() -> int:
 
 if __name__ == "__main__":
     import os as _os
-    import sys as _sys
 
     if _os.environ.get("RTMM_BENCH_CHILD"):
         main()
     else:
-        _sys.exit(_run_with_process_retries())
+        sys.exit(_run_with_process_retries())
