@@ -32,7 +32,7 @@ BIG = np.float32(1e30)
                  "leaf_verts", "leaf_mask", "tri_valid",
                  "unit_aabb_min", "unit_aabb_max", "unit_valid",
                  "unit_q", "unit_n", "unit_e2w2", "unit_nrm",
-                 "unit_nrm_pad"],
+                 "unit_nrm_pad", "unit_q16"],
     meta_fields=["max_level"])
 @dataclasses.dataclass(frozen=True)
 class DeviceScene:
@@ -77,6 +77,7 @@ class DeviceScene:
     unit_e2w2: jax.Array      # (U, LPU)
     unit_nrm: jax.Array       # (U, LPU, 3) normalized shading normals
     unit_nrm_pad: jax.Array   # (U, 8, >=128) DMA-aligned normal table
+    unit_q16: jax.Array       # (U, 16, 4*LPU) arbitrary-origin MT table
     max_level: int         # static
 
     @property
@@ -200,6 +201,16 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
     unit_nrm_pad = np.zeros((u_total, 8, max(128, lpu)), np.float32)
     unit_nrm_pad[:, 0:3, 0:lpu] = unit_nrm.transpose(0, 2, 1)
 
+    # Generalized MT table for arbitrary-origin rays (secondary bounces):
+    # ray vector rows [d(3), o x d(3), o(3), 1, pad(6)] — the same bilinear
+    # identities with per-ray origin o in place of the shared apex:
+    #   u_num = [d, oxd] . [-w1, e2];  v_num = [d, oxd] . [-w2, -e1]
+    #   t_num = o.n - e2.w2  (now per-ray through the o rows + const row)
+    unit_q16 = np.zeros((u_total, 16, 4 * lpu), np.float32)
+    unit_q16[:, 0:6, 0:3 * lpu] = unit_q[:, 0:6, 0:3 * lpu]
+    unit_q16[:, 6:9, 3 * lpu:4 * lpu] = nvec.transpose(0, 2, 1)
+    unit_q16[:, 9, 3 * lpu:4 * lpu] = -unit_e2w2
+
     dev = lambda x: jax.device_put(x)
     return DeviceScene(
         aabb_min=dev(aabb_min), aabb_max=dev(aabb_max),
@@ -212,7 +223,7 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
         unit_valid=dev(unit_valid),
         unit_q=dev(unit_q), unit_n=dev(nvec.astype(np.float32)),
         unit_e2w2=dev(unit_e2w2), unit_nrm=dev(unit_nrm),
-        unit_nrm_pad=dev(unit_nrm_pad),
+        unit_nrm_pad=dev(unit_nrm_pad), unit_q16=dev(unit_q16),
         max_level=0 if tessellated else max_level)
 
 

@@ -1,0 +1,159 @@
+"""Grouped trace for arbitrary (incoherent) rays — the path tracer engine.
+
+Secondary bounces have no shared apex and no screen-tile coherence, so the
+primary renderer's tile-frustum machinery does not apply. Instead
+(BASELINE config 5's "ray compaction/sorting"):
+
+  1. sort rays by direction octant so each contiguous group of GROUP=1024
+     rays points into a narrow cone (dead rays sink to the end);
+  2. per group, build a conservative *reach box* — the AABB of
+     {o + t*d : o in origin-box, d in direction-box, t in [0, t_max]} —
+     and cull traversal units against it;
+  3. per (group, candidate) run the generalized bilinear Möller-Trumbore:
+     ray vector [d, o x d, o, 1] (per-ray origin rows replace the apex
+     trick), one (1024, 16) @ (16, 4*LPU) matmul on the MXU;
+  4. exact closest hit by min-reduce; one-hot matmul normal select.
+
+The group candidate list is capped (config: max_group_candidates); groups
+whose reach box overlaps more units process them in capped front-to-back
+order by origin-box distance, so truncation (reported in stats) drops only
+the farthest candidates.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..models.scene import DeviceScene
+from .intersect import MT_DET_EPS, MT_UV_EPS
+
+BIG = jnp.float32(1e30)
+GROUP = 1024
+
+
+def _octant(d: jax.Array) -> jax.Array:
+    """Direction octant id (0..7)."""
+    return ((d[:, 0] > 0).astype(jnp.int32)
+            + 2 * (d[:, 1] > 0).astype(jnp.int32)
+            + 4 * (d[:, 2] > 0).astype(jnp.int32))
+
+
+def trace_grouped(scene: DeviceScene, origins: jax.Array,
+                  directions: jax.Array, alive: jax.Array,
+                  cfg: RenderConfig, max_group_candidates: int = 96):
+    """Trace N arbitrary rays (N padded to GROUP internally).
+
+    Returns (t (N,), normal (N, 3), hit (N,), overflow_groups (scalar)).
+    Dead rays (alive=False) return misses.
+    """
+    n = origins.shape[0]
+    pad = (-n) % GROUP
+    if pad:
+        origins = jnp.pad(origins, ((0, pad), (0, 0)))
+        directions = jnp.pad(directions, ((0, pad), (0, 0)),
+                             constant_values=1.0)
+        alive = jnp.pad(alive, ((0, pad),))
+    total = origins.shape[0]
+    g = total // GROUP
+
+    # --- compaction/sorting: dead rays last, live rays octant-clustered ---
+    key = jnp.where(alive, _octant(directions), 8)
+    perm = jnp.argsort(key, stable=True)
+    inv_perm = jnp.argsort(perm)
+    o = origins[perm].reshape(g, GROUP, 3)
+    d = directions[perm].reshape(g, GROUP, 3)
+    live = alive[perm].reshape(g, GROUP)
+
+    # --- conservative per-group reach boxes -> candidate lists ---
+    omin = jnp.where(live[..., None], o, BIG).min(axis=1)     # (g, 3)
+    omax = jnp.where(live[..., None], o, -BIG).max(axis=1)
+    dmin = jnp.where(live[..., None], d, BIG).min(axis=1)
+    dmax = jnp.where(live[..., None], d, -BIG).max(axis=1)
+    t_max = jnp.float32(cfg.t_max)
+    reach_min = omin + t_max * jnp.minimum(dmin, 0.0)
+    reach_max = omax + t_max * jnp.maximum(dmax, 0.0)
+    any_live = live.any(axis=1)
+    overlap = ((reach_min[:, None, :] <= scene.unit_aabb_max[None])
+               & (reach_max[:, None, :] >= scene.unit_aabb_min[None])
+               ).all(-1)                                       # (g, U)
+    overlap &= scene.unit_valid[None] & any_live[:, None]
+
+    # Front-to-back by distance from the origin box (conservative bound).
+    gap = jnp.maximum(
+        jnp.maximum(scene.unit_aabb_min[None] - omax[:, None, :],
+                    omin[:, None, :] - scene.unit_aabb_max[None]), 0.0)
+    dist = jnp.linalg.norm(gap, axis=-1)                       # (g, U)
+    c = min(max_group_candidates, scene.num_units)
+    val, cand = jax.lax.top_k(jnp.where(overlap, -dist, -jnp.inf), c)
+    cvalid = val > -jnp.inf                                    # (g, C)
+    count = overlap.sum(axis=1)
+    overflow = (count > c).sum()
+
+    # --- generalized MT: ray matrix (g, GROUP, 16) ---
+    m = jnp.cross(o, d)
+    rv = jnp.concatenate(
+        [d, m, o, jnp.ones((g, GROUP, 1), jnp.float32),
+         jnp.zeros((g, GROUP, 6), jnp.float32)], axis=-1)
+    lpu = scene.leaves_per_unit
+    t_min = jnp.float32(cfg.t_min)
+
+    def trace_group_chunk(args):
+        rv_c, cand_c, cvalid_c, live_c = args
+        gc = rv_c.shape[0]
+
+        def body(ci, carry):
+            best_t, best_n = carry
+            unit = cand_c[:, ci]                               # (gc,)
+            q = scene.unit_q16[unit]                           # (gc, 16, 4LPU)
+            nrm = scene.unit_nrm[unit]                         # (gc, LPU, 3)
+            out = jax.lax.dot_general(
+                rv_c, q, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)           # (gc,GROUP,4LPU)
+            det = out[..., 0 * lpu:1 * lpu]
+            u_num = out[..., 1 * lpu:2 * lpu]
+            v_num = out[..., 2 * lpu:3 * lpu]
+            tn = out[..., 3 * lpu:4 * lpu]
+            ok = jnp.abs(det) >= MT_DET_EPS
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            u = u_num * inv
+            v = v_num * inv
+            t = tn * inv
+            ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
+                   & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
+                   & (t >= t_min) & (t <= t_max)
+                   & cvalid_c[:, ci][:, None, None] & live_c[..., None])
+            t = jnp.where(ok, t, BIG)
+            tb = t.min(axis=2)                                 # (gc, GROUP)
+            onehot = ((t <= tb[..., None]) & ok).astype(jnp.float32)
+            nb = jax.lax.dot_general(
+                onehot, nrm, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)           # (gc, GROUP, 3)
+            take = tb < best_t
+            return (jnp.where(take, tb, best_t),
+                    jnp.where(take[..., None], nb, best_n))
+
+        init = (jnp.full((gc, GROUP), BIG, jnp.float32),
+                jnp.zeros((gc, GROUP, 3), jnp.float32))
+        return jax.lax.fori_loop(0, c, body, init)
+
+    # Chunk groups so the (gc, GROUP, 4*LPU) matmul output stays small.
+    chunk = 16
+    if g % chunk:
+        chunk = next(x for x in range(min(chunk, g), 0, -1) if g % x == 0)
+    best_t, best_n = jax.lax.map(
+        trace_group_chunk,
+        (rv.reshape(-1, chunk, GROUP, 16), cand.reshape(-1, chunk, c),
+         cvalid.reshape(-1, chunk, c), live.reshape(-1, chunk, GROUP)))
+    best_t = best_t.reshape(g, GROUP)
+    best_n = best_n.reshape(g, GROUP, 3)
+
+    # un-sort back to caller order
+    bt = best_t.reshape(-1)[inv_perm][:n]
+    bn = best_n.reshape(-1, 3)[inv_perm][:n]
+    hit = bt < BIG
+    nrm = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True),
+                           1e-20)
+    return jnp.where(hit, bt, cfg.t_max), nrm, hit, overflow

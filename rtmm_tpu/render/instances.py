@@ -139,6 +139,11 @@ def _bake(scene: DeviceScene, rot: jax.Array, trn: jax.Array,
     unit_nrm_pad = jnp.zeros((u_total, 8, npad), jnp.float32)
     unit_nrm_pad = unit_nrm_pad.at[:, 0:3, 0:lpu].set(
         unit_nrm.transpose(0, 2, 1))
+    unit_q16 = jnp.zeros((u_total, 16, 4 * lpu), jnp.float32)
+    unit_q16 = unit_q16.at[:, 0:6, 0:3 * lpu].set(unit_q[:, 0:6, 0:3 * lpu])
+    unit_q16 = unit_q16.at[:, 6:9, 3 * lpu:4 * lpu].set(
+        nvec.transpose(0, 2, 1))
+    unit_q16 = unit_q16.at[:, 9, 3 * lpu:4 * lpu].set(-unit_e2w2)
 
     return dataclasses.replace(
         scene,
@@ -152,4 +157,4 @@ def _bake(scene: DeviceScene, rot: jax.Array, trn: jax.Array,
         unit_aabb_min=unit_aabb_min, unit_aabb_max=unit_aabb_max,
         unit_valid=unit_valid,
         unit_q=unit_q, unit_n=nvec, unit_e2w2=unit_e2w2,
-        unit_nrm=unit_nrm, unit_nrm_pad=unit_nrm_pad)
+        unit_nrm=unit_nrm, unit_nrm_pad=unit_nrm_pad, unit_q16=unit_q16)

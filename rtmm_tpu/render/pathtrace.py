@@ -14,8 +14,11 @@ traversal to a Monte-Carlo path tracer the TPU way:
     keeps the trace's candidate search memory-coherent; per-bounce live
     counts are reported as stats.
 
-Any-origin rays use the per-ray traversal pipeline (ops/traversal.py);
-secondary bounces are incoherent so the tile-frustum path does not apply.
+Secondary bounces are incoherent, so the primary renderer's tile-frustum
+path does not apply; the default engine (ops/grouped.py) octant-sorts rays
+into groups and runs the generalized arbitrary-origin MXU Möller-Trumbore
+per group. The per-ray pipeline (ops/traversal.py) remains available as
+the reference engine.
 """
 from __future__ import annotations
 
@@ -28,7 +31,7 @@ import numpy as np
 
 from ..config import RenderConfig
 from ..models.scene import DeviceScene
-from ..ops import raygen, shading, traversal
+from ..ops import grouped, raygen, shading, traversal
 
 BIG = jnp.float32(1e30)
 
@@ -40,6 +43,9 @@ class PathTraceConfig:
     seed: int = 0
     ray_chunk: int = 8192
     compaction: bool = True
+    # "grouped": octant-sorted ray groups + generalized MXU Möller-Trumbore
+    # (ops/grouped.py, fast); "perray": the per-ray reference pipeline.
+    engine: str = "grouped"
 
 
 def _direct_light(normal: jax.Array, albedo: jax.Array,
@@ -108,8 +114,12 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
         alive = jnp.ones((n,), bool)
         live_counts = []
         for bounce in range(pt.bounces + 1):
-            t, nrm, hit = _trace_chunked(scene, origins, dirs, cfg,
-                                         pt.ray_chunk)
+            if pt.engine == "grouped":
+                t, nrm, hit, _overflow = grouped.trace_grouped(
+                    scene, origins, dirs, alive, cfg)
+            else:
+                t, nrm, hit = _trace_chunked(scene, origins, dirs, cfg,
+                                             pt.ray_chunk)
             hit &= alive
             # Flip the (unflipped, reference-style) geometric normal toward
             # the incoming ray for bounce bookkeeping.

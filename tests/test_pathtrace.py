@@ -72,3 +72,22 @@ def test_pathtrace_miss_collects_background():
         np.broadcast_to(np.asarray(CFG.background, np.float32),
                         (32, 48, 3)), atol=1e-6)
     assert int(np.asarray(stats["live_rays_per_bounce"])[0]) == 0
+
+
+def test_grouped_engine_matches_perray(scene):
+    import dataclasses
+    base = PathTraceConfig(bounces=2, samples_per_pixel=1, ray_chunk=1536,
+                           compaction=False)
+    a, sa = PathTracer(scene, CFG, dataclasses.replace(
+        base, engine="grouped")).render(_ivp())
+    b, sb = PathTracer(scene, CFG, dataclasses.replace(
+        base, engine="perray")).render(_ivp())
+    # Identical RNG; the engines compute u/v/t via different (equivalent)
+    # fp expressions, so a few epsilon-boundary pixels may take different
+    # paths — everything else must match exactly.
+    diff = np.abs(np.asarray(a) - np.asarray(b)).max(-1)
+    npix = int((diff > 1e-4).sum())
+    assert npix <= 5, f"{npix} pixels diverge between engines"
+    la = np.asarray(sa["live_rays_per_bounce"])
+    lb = np.asarray(sb["live_rays_per_bounce"])
+    np.testing.assert_allclose(la, lb, atol=4)
