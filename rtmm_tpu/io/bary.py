@@ -2,78 +2,203 @@
 
 The reference delegates all .bary reading to the external `umeshtools_core`
 library (framework/third_party/CMakeLists.txt:22-23, GPUMesh.cpp:143-152),
-which yields per-face micro-vertex positions/displacements. We implement the
-semantic content directly:
+which yields per-face micro-vertex positions/displacements. We read the
+container directly. Semantic content:
 
-  * groups:    (triangle range, value range, bias+scale)
-  * triangles: (value offset, subdivision level)
-  * values:    displacement scalars, float32 or unorm11, u-major vertex order
+  * groups:    (triangle range, value range, float4 bias+scale, level range)
+  * triangles: (value offset, subdivision level, block format)
+  * values:    displacement scalars (several formats), u-major vertex order
+  * optional:  per-triangle (min,max) displacement, per-triangle edge flags
 
 Two containers are supported:
-  1. The NVIDIA bary container (magic 0xAB 'B' 'A' 'R' 'Y' 0xBB 0x0D 0x0A
-     0x1A 0x0A + version + property table). Only *uncompressed* value
-     formats; the property identifiers below are a best-effort transcription
-     of the public bary spec — files using other revisions fail with a clear
-     error rather than mis-parsing.
+
+  1. The NVIDIA bary 1.0 container (Displacement-MicroMap-BaRy `bary_core`):
+     a 16-byte version identifier, a table of properties identified by
+     16-byte standardized UUIDs, and property payloads laid out as the
+     spec's packed little-endian structs (`bary_Group` 56 B, `bary_Triangle`
+     8 B, `bary_ValuesInfo` 24 B + data, `bary_TriangleMinMaxsInfo` 16 B +
+     data). Value formats implemented: eR8_unorm, eR16_unorm, eR32_sfloat,
+     eR11_unorm_pack16 and eR11_unorm_packed_align32 (11-bit LSB-first bit
+     packing, per-triangle runs 4-byte aligned, offsets in bytes).
+
+     PROVENANCE: this environment has no network egress and the spec
+     headers are not mounted (the reference fetches micromesh-tools at
+     build time), so the struct layouts are a reconstruction of the public
+     `bary_types.h` and the standard-property UUIDs cannot be transcribed
+     verbatim. The reader therefore (a) matches UUIDs against the table
+     below, which can be corrected at runtime with
+     `register_property_uuid(name, hex)`, and (b) if the version
+     identifier matches but no property UUID is recognized, falls back to
+     structural identification (payload sizes + info-header plausibility)
+     with a warning — so a genuine micromesh-tools file still loads.
+
   2. `RTMB`, this framework's own minimal container (same semantic model,
-     deterministic layout) used for generated assets and round-trip tests.
+     deterministic layout) used for caches and legacy round-trip tests.
 
 Micro-vertex order: uncompressed displacement values are stored u-major on
 the barycentric grid — index(u, v) sums full rows of decreasing length,
 u along edge w0->w1, v along w0->w2. `umajor_to_grid_order` converts to this
 framework's grid-storage order x*(x+1)/2 + y (intersection.hlsl:105-110) with
-(u, v) = (x - y, y).
+(u, v) = (x - y, y). The spec's alternative eTriangleBirdCurve vertex layout
+is detected and rejected with a clear error (not produced by the
+micromesh-tools displacement bakers this framework targets).
 """
 from __future__ import annotations
 
 import dataclasses
+import enum
 import struct
+import uuid
+import warnings
 
 import numpy as np
 
 from ..ops import subdivision
 
-NV_BARY_MAGIC = bytes([0xAB, 0x42, 0x41, 0x52, 0x59, 0xBB,
-                       0x0D, 0x0A, 0x1A, 0x0A])
+# 16-byte bary_VersionIdentifier (KTX-style guard bytes around "BARY 00100").
+VERSION_IDENTIFIER = bytes([0xAB]) + b"BARY 00100" + bytes([0xBB]) + b"\r\n\x1a\n"
 RTMB_MAGIC = b"RTMB\x01\x00"
 
-# Value formats (subset).
-FORMAT_FLOAT32 = 1
-FORMAT_UNORM11 = 2
+_HEADER_FMT = "<16sQII"            # version, totalByteSize, preambleByteSize,
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)     # propertyInfoCount
+_PROPINFO_FMT = "<16sQQIIQQ"       # identifier, range(off,len), scheme,
+_PROPINFO_SIZE = struct.calcsize(_PROPINFO_FMT)  # reserved, global range
+_GROUP_FMT = "<6I4f4f"             # bary_Group: ranges + float4 bias/scale
+_GROUP_SIZE = struct.calcsize(_GROUP_FMT)        # = 56
+_TRIANGLE_FMT = "<IHH"             # bary_Triangle: valuesOffset, level, block
+_TRIANGLE_SIZE = struct.calcsize(_TRIANGLE_FMT)  # = 8
+_VALUESINFO_FMT = "<6I"            # bary_ValuesInfo
+_VALUESINFO_SIZE = struct.calcsize(_VALUESINFO_FMT)  # = 24
+_MINMAXINFO_FMT = "<4I"            # bary_TriangleMinMaxsInfo
+_MINMAXINFO_SIZE = struct.calcsize(_MINMAXINFO_FMT)  # = 16
+
+
+class Format(enum.IntEnum):
+    """bary_Format (uncompressed subset; DC1 block compression unsupported)."""
+
+    UNDEFINED = 0
+    R8_UNORM = 1
+    R8_SNORM = 2
+    R8_UINT = 3
+    R8_SINT = 4
+    R16_UNORM = 5
+    R16_SNORM = 6
+    R16_UINT = 7
+    R16_SINT = 8
+    R32_UINT = 9
+    R32_SINT = 10
+    R32_SFLOAT = 11
+    R64_UINT = 12
+    R64_SINT = 13
+    R64_SFLOAT = 14
+    R11_UNORM_PACK16 = 15
+    R11_UNORM_PACKED_ALIGN32 = 16
+
+
+class ValueLayout(enum.IntEnum):
+    UNDEFINED = 0
+    TRIANGLE_UMAJOR = 1
+    TRIANGLE_BIRD_CURVE = 2
+
+
+class ValueFrequency(enum.IntEnum):
+    UNDEFINED = 0
+    PER_VERTEX = 1
+    PER_TRIANGLE = 2
+
+
+# Standard property identifiers. The spec keys properties by fixed 16-byte
+# UUIDs; without the headers mounted we derive stable stand-ins (uuid5 in a
+# fixed namespace) and accept corrections via register_property_uuid().
+_UUID_NAMESPACE = uuid.uuid5(uuid.NAMESPACE_URL,
+                             "https://github.com/NVIDIAGameWorks/"
+                             "Displacement-MicroMap-BaRy")
+STANDARD_PROPERTIES = (
+    "values", "groups", "triangles", "triangle_min_maxs",
+    "triangle_uncompressed_mips", "uncompressed_mips", "group_uncompressed_mips",
+    "histogram_entries", "group_histogram_ranges",
+    "mesh_groups", "mesh_histogram_entries", "mesh_group_histogram_ranges",
+    "mesh_displacement_directions", "mesh_displacement_direction_bounds",
+    "mesh_positions", "mesh_triangle_indices", "mesh_triangle_mappings",
+    "mesh_triangle_flags",
+)
+PROPERTY_UUIDS: dict[str, bytes] = {
+    name: uuid.uuid5(_UUID_NAMESPACE, name).bytes
+    for name in STANDARD_PROPERTIES
+}
+
+
+def register_property_uuid(name: str, hex_or_bytes: str | bytes) -> None:
+    """Override a standard property UUID (e.g. transcribed from bary_core)."""
+    raw = bytes.fromhex(hex_or_bytes) if isinstance(hex_or_bytes, str) \
+        else bytes(hex_or_bytes)
+    if len(raw) != 16:
+        raise ValueError("property identifiers are 16 bytes")
+    PROPERTY_UUIDS[name] = raw
 
 
 @dataclasses.dataclass
 class BaryGroup:
+    """bary_Group: a contiguous triangle+value range sharing bias/scale."""
+
     triangle_first: int
     triangle_count: int
-    value_first: int
+    value_first: int          # element offset (bytes for packed formats)
     value_count: int
-    bias: float = 0.0
+    bias: float = 0.0         # float4 in the container; displacement uses .r
     scale: float = 1.0
+    min_subdiv_level: int = 0
+    max_subdiv_level: int = 5
 
 
 @dataclasses.dataclass
 class BaryContent:
-    """Semantic content of a displacement micromap."""
+    """Decoded, format-normalized content of a displacement micromap.
+
+    `values` holds float32 scalars: unorm formats are normalized to [0, 1],
+    float formats kept raw; the group's bias/scale is NOT applied (use
+    `triangle_scalars`). `tri_value_offset` is normalized to absolute element
+    offsets into `values` regardless of the container's packing.
+    """
 
     groups: list[BaryGroup]
-    tri_value_offset: np.ndarray    # (T,) int64, offset into values
+    tri_value_offset: np.ndarray    # (T,) int64, absolute element offset
     tri_subdiv_level: np.ndarray    # (T,) int32
-    values: np.ndarray              # (N,) float32 displacement scalars
+    values: np.ndarray              # (N,) float32 normalized scalars
     # Per-triangle edge decimation flags (bit e set = the neighbor across
     # edge e has one lower subdivision level, so the finest odd micro-verts
     # on that edge are absent). Edge order: 0 = v0v1, 1 = v1v2, 2 = v2v0.
     tri_edge_flags: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, np.uint8))
+    tri_block_format: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.uint16))
+    value_layout: int = int(ValueLayout.TRIANGLE_UMAJOR)
+    value_frequency: int = int(ValueFrequency.PER_VERTEX)
+    tri_min_max: np.ndarray | None = None    # (T, 2) float32, normalized
+
+    def group_of_triangle(self, tri: int) -> BaryGroup:
+        for g in self.groups:
+            if g.triangle_first <= tri < g.triangle_first + g.triangle_count:
+                return g
+        raise IndexError(f"triangle {tri} not covered by any bary group")
 
     def triangle_values_grid_order(self, tri: int) -> np.ndarray:
-        """Per-micro-vertex displacement scalars of one triangle in this
-        framework's grid order."""
+        """Raw per-micro-vertex scalars of one triangle in grid order
+        (no bias/scale)."""
+        if self.value_layout != int(ValueLayout.TRIANGLE_UMAJOR):
+            raise ValueError("only eTriangleUmajor value layout is supported")
         level = int(self.tri_subdiv_level[tri])
         count = subdivision.verts_for_level(level)
         off = int(self.tri_value_offset[tri])
         vals = self.values[off:off + count]
         return vals[umajor_to_grid_order(level)]
+
+    def triangle_scalars(self, tri: int) -> np.ndarray:
+        """Displacement scalars in grid order with the owning group's
+        bias/scale applied: scalar = value * scale + bias."""
+        g = self.group_of_triangle(tri)
+        return (self.triangle_values_grid_order(tri) * np.float32(g.scale)
+                + np.float32(g.bias)).astype(np.float32)
 
 
 def umajor_index(u: np.ndarray, v: np.ndarray, segments: int) -> np.ndarray:
@@ -98,7 +223,42 @@ def grid_to_umajor_order(level: int) -> np.ndarray:
     return inv
 
 
-# --- RTMB container ---------------------------------------------------------
+# --- 11-bit packing helpers --------------------------------------------------
+
+def pack_r11(values_u11: np.ndarray) -> bytes:
+    """Pack uint values (< 2048) as consecutive 11-bit fields, LSB-first."""
+    v = np.asarray(values_u11, np.uint16)
+    bits = np.zeros((v.shape[0], 11), np.uint8)
+    for b in range(11):
+        bits[:, b] = (v >> b) & 1
+    flat = bits.reshape(-1)
+    pad = (-flat.shape[0]) % 8
+    flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+    return np.packbits(flat, bitorder="little").tobytes()
+
+
+def unpack_r11(data: bytes, count: int, bit_offset: int = 0) -> np.ndarray:
+    """Unpack `count` consecutive 11-bit LSB-first values."""
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    need = bit_offset + count * 11
+    if bits.shape[0] < need:
+        raise ValueError("r11 value run exceeds property payload")
+    sel = bits[bit_offset:need].reshape(count, 11).astype(np.uint16)
+    out = np.zeros(count, np.uint16)
+    for b in range(11):
+        out |= sel[:, b] << b
+    return out
+
+
+_ELEMENT_DTYPES = {
+    Format.R8_UNORM: (np.uint8, 255.0),
+    Format.R16_UNORM: (np.uint16, 65535.0),
+    Format.R32_SFLOAT: (np.float32, None),
+    Format.R11_UNORM_PACK16: (np.uint16, 2047.0),
+}
+
+
+# --- RTMB container ----------------------------------------------------------
 
 def write_rtmb(path: str, content: BaryContent) -> None:
     t = len(content.tri_value_offset)
@@ -138,69 +298,334 @@ def read_rtmb(path: str) -> BaryContent:
                        vals.astype(np.float32), flags.astype(np.uint8))
 
 
-# --- NVIDIA bary container (uncompressed subset, best-effort) ---------------
+# --- NVIDIA bary 1.0 container ----------------------------------------------
 
-# Property type identifiers (first 4 bytes of the 16-byte UUID are a
-# FourCC-like tag in the public spec revisions we target).
-_PROP_GROUPS = b"GRPS"
-_PROP_TRIANGLES = b"TRIS"
-_PROP_VALUES = b"VALS"
-_PROP_INFO = b"INFO"
+def write_bary(path: str, content: BaryContent,
+               value_format: Format = Format.R32_SFLOAT) -> None:
+    """Write a spec-layout NVIDIA bary container.
+
+    `content.values` must be normalized scalars ([0,1] for unorm targets);
+    group bias/scale is stored, not applied. `tri_value_offset` is in
+    elements; the writer converts to the container's packing (bytes,
+    4-aligned runs, for R11_UNORM_PACKED_ALIGN32).
+    """
+    n_tris = len(content.tri_value_offset)
+    levels = np.asarray(content.tri_subdiv_level, np.int64)
+    counts = np.array([subdivision.verts_for_level(int(l)) for l in levels],
+                      np.int64)
+    elem_offsets = np.asarray(content.tri_value_offset, np.int64)
+
+    if value_format == Format.R11_UNORM_PACKED_ALIGN32:
+        # Per-triangle 11-bit runs, each starting at a 4-byte aligned offset.
+        blobs, tri_offsets = [], np.zeros(n_tris, np.int64)
+        tri_end = np.zeros(n_tris, np.int64)
+        pos = 0
+        for t in range(n_tris):
+            vals = content.values[elem_offsets[t]:elem_offsets[t] + counts[t]]
+            q = np.clip(np.round(vals * 2047.0), 0, 2047).astype(np.uint16)
+            blob = pack_r11(q)
+            blob += b"\x00" * ((-len(blob)) % 4)
+            tri_offsets[t] = pos
+            blobs.append(blob)
+            pos += len(blob)
+            tri_end[t] = pos
+        value_payload = b"".join(blobs)
+        values_info = struct.pack(
+            _VALUESINFO_FMT, int(value_format),
+            content.value_layout, content.value_frequency,
+            len(value_payload), 1, 4)   # count in bytes, byteSize 1, align 4
+    else:
+        dtype, denom = _ELEMENT_DTYPES[value_format]
+        if denom is None:
+            arr = np.asarray(content.values, "<f4")
+        else:
+            arr = np.clip(np.round(np.asarray(content.values) * denom),
+                          0, denom).astype(dtype)
+        value_payload = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+        itemsize = np.dtype(dtype).itemsize
+        values_info = struct.pack(
+            _VALUESINFO_FMT, int(value_format),
+            content.value_layout, content.value_frequency,
+            len(content.values), itemsize, itemsize)
+        tri_offsets = elem_offsets
+        value_first_per_group = "elements"
+
+    flags = content.tri_edge_flags
+    if flags.shape[0] != n_tris:
+        flags = np.zeros(n_tris, np.uint8)
+
+    props: list[tuple[str, bytes]] = []
+    group_records = []
+    for g in content.groups:
+        if value_format == Format.R11_UNORM_PACKED_ALIGN32:
+            # value range in bytes: first triangle's byte offset .. last end
+            last = g.triangle_first + g.triangle_count - 1
+            vf = int(tri_offsets[g.triangle_first]) if g.triangle_count else 0
+            vc = int(tri_end[last]) - vf if g.triangle_count else 0
+        else:
+            vf, vc = g.value_first, g.value_count
+        group_records.append(struct.pack(
+            _GROUP_FMT, g.triangle_first, g.triangle_count, vf, vc,
+            g.min_subdiv_level, g.max_subdiv_level,
+            g.bias, 0.0, 0.0, 0.0, g.scale, 1.0, 1.0, 1.0))
+    props.append(("groups", b"".join(group_records)))
+
+    tri_records = []
+    for t in range(n_tris):
+        # Offsets are group-relative in the container.
+        g = content.group_of_triangle(t)
+        if value_format == Format.R11_UNORM_PACKED_ALIGN32:
+            base = int(tri_offsets[g.triangle_first])
+        else:
+            base = g.value_first
+        block = int(content.tri_block_format[t]) \
+            if content.tri_block_format.shape[0] == n_tris else 0
+        tri_records.append(struct.pack(
+            _TRIANGLE_FMT, int(tri_offsets[t]) - base, int(levels[t]), block))
+    props.append(("triangles", b"".join(tri_records)))
+
+    props.append(("values", values_info
+                  + b"\x00" * ((-_VALUESINFO_SIZE) % 16) + value_payload))
+
+    if content.tri_min_max is not None:
+        mm = np.asarray(content.tri_min_max, "<f4").reshape(n_tris, 2)
+        mm_info = struct.pack(_MINMAXINFO_FMT, int(Format.R32_SFLOAT),
+                              2 * n_tris, 4, 4)
+        props.append(("triangle_min_maxs", mm_info + mm.tobytes()))
+
+    if flags.any():
+        props.append(("mesh_triangle_flags", flags.tobytes()))
+
+    preamble = _HEADER_SIZE + len(props) * _PROPINFO_SIZE
+    offset = preamble
+    infos, payloads = [], []
+    for name, payload in props:
+        offset += (-offset) % 16
+        infos.append(struct.pack(_PROPINFO_FMT, PROPERTY_UUIDS[name],
+                                 offset, len(payload), 0, 0, 0, 0))
+        payloads.append((offset, payload))
+        offset += len(payload)
+    total = offset
+    header = struct.pack(_HEADER_FMT, VERSION_IDENTIFIER, total, preamble,
+                         len(props))
+    out = bytearray(total)
+    out[:_HEADER_SIZE] = header
+    pos = _HEADER_SIZE
+    for info in infos:
+        out[pos:pos + _PROPINFO_SIZE] = info
+        pos += _PROPINFO_SIZE
+    for off, payload in payloads:
+        out[off:off + len(payload)] = payload
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+_UUID_TO_NAME = None
+
+
+def _identify_properties(raw_props: list[tuple[bytes, bytes]]
+                         ) -> dict[str, bytes]:
+    """Map raw (identifier, payload) pairs to property names."""
+    global _UUID_TO_NAME
+    _UUID_TO_NAME = {u: n for n, u in PROPERTY_UUIDS.items()}
+    named = {}
+    unknown = []
+    for ident, payload in raw_props:
+        name = _UUID_TO_NAME.get(bytes(ident))
+        if name is not None:
+            named[name] = payload
+        else:
+            unknown.append((ident, payload))
+    if named or not unknown:
+        return named
+    # Structural fallback: a real micromesh-tools file whose UUIDs differ
+    # from our reconstruction. Identify by payload shape.
+    warnings.warn(
+        "bary property UUIDs unrecognized (%s); falling back to structural "
+        "identification — register the true UUIDs with "
+        "rtmm_tpu.io.bary.register_property_uuid for strict matching"
+        % ", ".join(i.hex() for i, _ in unknown), stacklevel=3)
+    leftovers = []
+    for ident, payload in unknown:
+        if _looks_like_values(payload):
+            named.setdefault("values", payload)
+        elif len(payload) % _GROUP_SIZE == 0 and _looks_like_groups(payload):
+            named.setdefault("groups", payload)
+        elif len(payload) % _TRIANGLE_SIZE == 0 \
+                and _looks_like_triangles(payload):
+            named.setdefault("triangles", payload)
+        else:
+            leftovers.append((ident, payload))
+    return named
+
+
+def _looks_like_values(payload: bytes) -> bool:
+    if len(payload) < _VALUESINFO_SIZE:
+        return False
+    fmt, layout, freq, count, bsize, align = struct.unpack_from(
+        _VALUESINFO_FMT, payload, 0)
+    try:
+        Format(fmt)
+    except ValueError:
+        return False
+    return (fmt != 0 and layout in (1, 2) and freq in (1, 2)
+            and 0 < bsize <= 8 and count * bsize <= len(payload))
+
+
+def _looks_like_groups(payload: bytes) -> bool:
+    if not payload:
+        return False
+    ok = True
+    for g in range(len(payload) // _GROUP_SIZE):
+        rec = struct.unpack_from(_GROUP_FMT, payload, g * _GROUP_SIZE)
+        ok &= rec[4] <= rec[5] <= 16      # plausible subdiv level range
+    return ok
+
+
+def _looks_like_triangles(payload: bytes) -> bool:
+    if not payload:
+        return False
+    n = len(payload) // _TRIANGLE_SIZE
+    arr = np.frombuffer(payload[:n * _TRIANGLE_SIZE], "<u4").reshape(n, 2)
+    levels = arr[:, 1] & 0xFFFF
+    return bool((levels <= 16).all())
 
 
 def read_nvidia_bary(path: str) -> BaryContent:
     with open(path, "rb") as f:
         data = f.read()
-    if data[:10] != NV_BARY_MAGIC:
+    if data[:5] != VERSION_IDENTIFIER[:5]:
         raise ValueError(
-            "not an NVIDIA bary container (or unsupported revision); "
+            "not an NVIDIA bary container (bad version identifier); "
             "convert with micromesh-tools or use RTMB")
-    (prop_count,) = struct.unpack_from("<I", data, 16)
-    props = {}
-    pos = 20
+    if data[:16] != VERSION_IDENTIFIER:
+        warnings.warn("bary version identifier differs from 1.0 "
+                      "(%s); attempting to parse anyway" % data[:16].hex(),
+                      stacklevel=2)
+    _version, total, _preamble, prop_count = struct.unpack_from(
+        _HEADER_FMT, data, 0)
+    if total != len(data):
+        warnings.warn("bary totalByteSize %d != file size %d"
+                      % (total, len(data)), stacklevel=2)
+    raw_props = []
+    pos = _HEADER_SIZE
     for _ in range(prop_count):
-        ident = data[pos:pos + 16]
-        byte_offset, byte_length = struct.unpack_from("<QQ", data, pos + 16)
-        props[bytes(ident[:4])] = data[byte_offset:byte_offset + byte_length]
-        pos += 32
-    if _PROP_TRIANGLES not in props or _PROP_VALUES not in props:
-        raise ValueError("bary file missing triangle/value properties")
+        ident, off, length, scheme, _res, _goff, _glen = struct.unpack_from(
+            _PROPINFO_FMT, data, pos)
+        if scheme != 0:
+            raise ValueError("supercompressed bary properties unsupported")
+        raw_props.append((ident, data[off:off + length]))
+        pos += _PROPINFO_SIZE
+    props = _identify_properties(raw_props)
+    if "triangles" not in props or "values" not in props:
+        raise ValueError(
+            "bary file missing triangle/value properties (found: %s)"
+            % (sorted(props) or "none"))
 
-    tri_raw = props[_PROP_TRIANGLES]
-    n_tris = len(tri_raw) // 12
-    tri = np.frombuffer(tri_raw, "<u4").reshape(n_tris, 3)
-    tri_value_offset = tri[:, 0].astype(np.int64)
-    tri_subdiv = tri[:, 1].astype(np.int32)
-    tri_flags = (tri[:, 2] & 0x7).astype(np.uint8)
+    tri_raw = props["triangles"]
+    n_tris = len(tri_raw) // _TRIANGLE_SIZE
+    tri_u32 = np.frombuffer(tri_raw[:n_tris * _TRIANGLE_SIZE], "<u4"
+                            ).reshape(n_tris, 2)
+    tri_rel_offset = tri_u32[:, 0].astype(np.int64)
+    tri_subdiv = (tri_u32[:, 1] & 0xFFFF).astype(np.int32)
+    tri_block = (tri_u32[:, 1] >> 16).astype(np.uint16)
 
-    fmt = FORMAT_FLOAT32
-    bias, scale = 0.0, 1.0
-    if _PROP_INFO in props:
-        fmt, = struct.unpack_from("<I", props[_PROP_INFO], 0)
-    if fmt == FORMAT_FLOAT32:
-        values = np.frombuffer(props[_PROP_VALUES], "<f4").astype(np.float32)
-    elif fmt == FORMAT_UNORM11:
-        packed = np.frombuffer(props[_PROP_VALUES], "<u2")
-        values = (packed.astype(np.float32) / 2047.0) * scale + bias
-    else:
-        raise ValueError(f"unsupported bary value format {fmt} "
-                         "(only uncompressed float32/unorm11)")
+    vfmt, layout, freq, vcount, vbsize, _valign = struct.unpack_from(
+        _VALUESINFO_FMT, props["values"], 0)
+    payload = props["values"][_VALUESINFO_SIZE + ((-_VALUESINFO_SIZE) % 16):]
+    fmt = Format(vfmt)
+    if layout == int(ValueLayout.TRIANGLE_BIRD_CURVE):
+        raise ValueError("eTriangleBirdCurve value layout unsupported "
+                         "(re-bake with uMajor layout)")
 
     groups = []
-    if _PROP_GROUPS in props:
-        graw = props[_PROP_GROUPS]
-        for g in range(len(graw) // 24):
-            a, b, c, d, bias_, scale_ = struct.unpack_from("<IIIIff", graw,
-                                                           g * 24)
-            groups.append(BaryGroup(a, b, c, d, bias_, scale_))
+    if "groups" in props:
+        graw = props["groups"]
+        for g in range(len(graw) // _GROUP_SIZE):
+            rec = struct.unpack_from(_GROUP_FMT, graw, g * _GROUP_SIZE)
+            groups.append(BaryGroup(
+                triangle_first=rec[0], triangle_count=rec[1],
+                value_first=rec[2], value_count=rec[3],
+                min_subdiv_level=rec[4], max_subdiv_level=rec[5],
+                bias=rec[6], scale=rec[10]))
     else:
-        groups.append(BaryGroup(0, n_tris, 0, len(values)))
-    return BaryContent(groups, tri_value_offset, tri_subdiv, values, tri_flags)
+        groups.append(BaryGroup(0, n_tris, 0, vcount))
+
+    counts = np.array([subdivision.verts_for_level(int(l))
+                       for l in tri_subdiv], np.int64)
+
+    if fmt == Format.R11_UNORM_PACKED_ALIGN32:
+        # Offsets are bytes relative to the group's byte range.
+        values_list, abs_offsets = [], np.zeros(n_tris, np.int64)
+        pos = 0
+        for g in groups:
+            for t in range(g.triangle_first,
+                           g.triangle_first + g.triangle_count):
+                byte_off = g.value_first + tri_rel_offset[t]
+                q = unpack_r11(payload[byte_off:], int(counts[t]))
+                values_list.append(q.astype(np.float32) / 2047.0)
+                abs_offsets[t] = pos
+                pos += counts[t]
+        values = (np.concatenate(values_list) if values_list
+                  else np.zeros(0, np.float32))
+        tri_abs = abs_offsets
+        # group value ranges now refer to the decoded element array
+        pos = 0
+        for g in groups:
+            n = int(counts[g.triangle_first:
+                           g.triangle_first + g.triangle_count].sum())
+            g.value_first, g.value_count = pos, n
+            pos += n
+    else:
+        try:
+            dtype, denom = _ELEMENT_DTYPES[fmt]
+        except KeyError:
+            raise ValueError(f"unsupported bary value format {fmt.name}")
+        itemsize = np.dtype(dtype).itemsize
+        if vbsize != itemsize:
+            warnings.warn("bary valueByteSize %d != format size %d"
+                          % (vbsize, itemsize), stacklevel=2)
+        arr = np.frombuffer(payload, np.dtype(dtype).newbyteorder("<"),
+                            vcount)
+        if fmt == Format.R11_UNORM_PACK16:
+            arr = arr & 0x7FF
+        values = arr.astype(np.float32)
+        if denom is not None:
+            values = values / np.float32(denom)
+        tri_abs = np.zeros(n_tris, np.int64)
+        for g in groups:
+            tsel = np.arange(g.triangle_first,
+                             g.triangle_first + g.triangle_count)
+            tri_abs[tsel] = g.value_first + tri_rel_offset[tsel]
+
+    flags = np.zeros(n_tris, np.uint8)
+    if "mesh_triangle_flags" in props:
+        fl = np.frombuffer(props["mesh_triangle_flags"], np.uint8)
+        flags[:min(n_tris, fl.shape[0])] = fl[:n_tris]
+
+    tri_min_max = None
+    if "triangle_min_maxs" in props:
+        mm_raw = props["triangle_min_maxs"]
+        mfmt, mcount, msize, _malign = struct.unpack_from(
+            _MINMAXINFO_FMT, mm_raw, 0)
+        mdata = mm_raw[_MINMAXINFO_SIZE:]
+        if Format(mfmt) == Format.R32_SFLOAT:
+            tri_min_max = np.frombuffer(mdata, "<f4", mcount).reshape(-1, 2)
+        elif Format(mfmt) in _ELEMENT_DTYPES:
+            dt, dn = _ELEMENT_DTYPES[Format(mfmt)]
+            raw = np.frombuffer(mdata, np.dtype(dt).newbyteorder("<"), mcount)
+            tri_min_max = (raw.astype(np.float32) / np.float32(dn)
+                           ).reshape(-1, 2)
+
+    return BaryContent(groups, tri_abs, tri_subdiv,
+                       values.astype(np.float32), flags, tri_block,
+                       value_layout=layout, value_frequency=freq,
+                       tri_min_max=tri_min_max)
 
 
 def read_bary(path: str) -> BaryContent:
     with open(path, "rb") as f:
-        head = f.read(10)
+        head = f.read(16)
     if head[:6] == RTMB_MAGIC:
         return read_rtmb(path)
     return read_nvidia_bary(path)

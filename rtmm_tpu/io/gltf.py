@@ -95,19 +95,70 @@ class Gltf:
         prim = self.primitive(mesh_index, prim_index)
         return self.accessor_data(prim["indices"]).astype(np.uint32)
 
+    def displacement_micromap(self, mesh_index: int = 0,
+                              prim_index: int = 0) -> dict | None:
+        """Parse the NV_displacement_micromap binding of one primitive.
+
+        Spec shape (micromesh-tools / NV_micromaps vendor extension, consumed
+        by the reference via umeshtools read_gltf —
+        framework/src/TinyGLTFLoader.cpp:11-24, src/GPUMesh.cpp:145-148):
+        the root `extensions.NV_micromaps.micromaps` array lists micromap
+        files (uri or bufferView); each primitive's
+        `extensions.NV_displacement_micromap` references one by `micromap`
+        index plus `groupIndex` into the bary groups, with optional
+        accessor-valued `directions` (vec3), `directionBounds` (vec2
+        bias/scale per base vertex), `primitiveFlags` (u8 edge-decimation
+        bits per base triangle), and `mapIndices`/`mapOffset` remapping base
+        triangles to bary triangles.
+
+        Returns None when the primitive carries no displacement micromap;
+        otherwise a dict with resolved `bary_path`, `group_index`,
+        `map_offset` ints and decoded accessor arrays (or None) for
+        `map_indices`, `directions`, `direction_bounds`, `primitive_flags`.
+        """
+        prim = self.primitive(mesh_index, prim_index)
+        dm = prim.get("extensions", {}).get("NV_displacement_micromap")
+        if dm is None:
+            return None
+        root_ext = self.doc.get("extensions", {})
+        maps = None
+        for key in ("NV_micromaps", "NV_micromap_tooling"):
+            maps = root_ext.get(key, {}).get("micromaps") or maps
+        uri = None
+        mi = int(dm.get("micromap", 0))
+        if maps and mi < len(maps):
+            uri = maps[mi].get("uri")
+        if uri is None:
+            uri = dm.get("uri")  # legacy exporters inline the uri
+        out = {
+            "bary_path": (os.path.join(self.base_dir, uri)
+                          if uri is not None else None),
+            "group_index": int(dm.get("groupIndex", 0)),
+            "map_offset": int(dm.get("mapOffset", 0)),
+            "map_indices": None,
+            "directions": None,
+            "direction_bounds": None,
+            "primitive_flags": None,
+        }
+        for key, name in (("mapIndices", "map_indices"),
+                          ("directions", "directions"),
+                          ("directionBounds", "direction_bounds"),
+                          ("primitiveFlags", "primitive_flags")):
+            if key in dm:
+                out[name] = self.accessor_data(dm[key])
+        return out
+
     def micromap_uri(self) -> str | None:
         """Resolve the .bary file referenced by an NV micromap extension, if
-        any (micromesh-tools writes NV_micromaps + NV_displacement_micromap)."""
+        any (legacy helper; prefer displacement_micromap())."""
+        dm = self.displacement_micromap()
+        if dm is not None and dm["bary_path"]:
+            return dm["bary_path"]
         ext = self.doc.get("extensions", {})
         for key in ("NV_micromaps", "NV_micromap_tooling"):
             maps = ext.get(key, {}).get("micromaps")
             if maps:
                 return os.path.join(self.base_dir, maps[0]["uri"])
-        # Some exporters put the uri on the primitive extension directly.
-        prim_ext = self.primitive().get("extensions", {})
-        dm = prim_ext.get("NV_displacement_micromap")
-        if dm and "uri" in dm:
-            return os.path.join(self.base_dir, dm["uri"])
         return None
 
 
@@ -151,8 +202,10 @@ def write_gltf(path: str, positions: np.ndarray, normals: np.ndarray,
         "scenes": [{"nodes": [0]}],
         "scene": 0,
     }
+    used = sorted(set(extra_root_ext or ()) | set(extra_prim_ext or ()))
     if extra_root_ext:
         doc["extensions"] = extra_root_ext
-        doc["extensionsUsed"] = list(extra_root_ext)
+    if used:
+        doc["extensionsUsed"] = used
     with open(path, "w") as f:
         json.dump(doc, f)

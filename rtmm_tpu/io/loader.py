@@ -44,8 +44,9 @@ def load_gltf_bary(path: str, bary_path: str | None = None
     normals = g.attribute("NORMAL").astype(np.float32)
     faces = g.indices().reshape(-1, 3).astype(np.int32)
 
-    if bary_path is None:
-        bary_path = g.micromap_uri()
+    binding = g.displacement_micromap()
+    if bary_path is None and binding is not None:
+        bary_path = binding["bary_path"]
     if bary_path is None:
         # Fall back to a sibling .bary with the same stem.
         candidate = os.path.splitext(path)[0] + ".bary"
@@ -57,29 +58,67 @@ def load_gltf_bary(path: str, bary_path: str | None = None
             "(no NV micromap extension and no sibling .bary)")
     content = bary_mod.read_bary(bary_path)
 
-    # Displacement directions: dedicated attribute if present, else normals
-    # (the NV_displacement_micromap spec default).
-    try:
-        directions = g.attribute("_DISPLACEMENT_DIRECTION").astype(np.float32)
-    except KeyError:
-        directions = normals.copy()
+    # Displacement directions: extension accessor > dedicated attribute >
+    # normals (the NV_displacement_micromap default when absent).
+    if binding is not None and binding["directions"] is not None:
+        directions = np.asarray(binding["directions"], np.float32
+                                ).reshape(-1, 3).copy()
+    else:
+        try:
+            directions = g.attribute("_DISPLACEMENT_DIRECTION"
+                                     ).astype(np.float32)
+        except KeyError:
+            directions = normals.copy()
 
-    if len(content.tri_subdiv_level) != len(faces):
-        raise ValueError("bary triangle count does not match gltf indices")
-    flags = content.tri_edge_flags
-    if flags.shape[0] != len(faces):
+    # directionBounds (bias, scale) per base vertex fold into the base
+    # position and the direction length: pos' = pos + dir*bias,
+    # dir' = dir*scale, so displaced = pos' + value * dir'.
+    if binding is not None and binding["direction_bounds"] is not None:
+        bounds = np.asarray(binding["direction_bounds"], np.float32
+                            ).reshape(-1, 2)
+        positions = (positions + directions * bounds[:, :1]).astype(np.float32)
+        directions = (directions * bounds[:, 1:2]).astype(np.float32)
+
+    # Base triangle i -> bary triangle: group-relative mapIndices (plus
+    # mapOffset) when given, else the identity mapping into the group.
+    group_index = binding["group_index"] if binding is not None else 0
+    if not content.groups:
+        raise ValueError("bary file has no groups")
+    if group_index >= len(content.groups):
+        raise ValueError(f"groupIndex {group_index} out of range "
+                         f"({len(content.groups)} bary groups)")
+    group = content.groups[group_index]
+    map_offset = binding["map_offset"] if binding is not None else 0
+    if binding is not None and binding["map_indices"] is not None:
+        rel = np.asarray(binding["map_indices"], np.int64).reshape(-1)
+    else:
+        if len(faces) != group.triangle_count:
+            raise ValueError(
+                f"gltf primitive has {len(faces)} triangles but bary group "
+                f"{group_index} covers {group.triangle_count}")
+        rel = np.arange(len(faces), dtype=np.int64)
+    tri_map = group.triangle_first + rel + map_offset
+    if tri_map.shape[0] != len(faces):
+        raise ValueError("mapIndices length does not match gltf indices")
+    if (tri_map < 0).any() or (tri_map >= len(content.tri_subdiv_level)).any():
+        raise ValueError("micromap triangle mapping out of range")
+
+    # Edge decimation flags: extension accessor > bary mesh property.
+    if binding is not None and binding["primitive_flags"] is not None:
+        flags = np.asarray(binding["primitive_flags"], np.uint8).reshape(-1)
+    elif content.tri_edge_flags.shape[0] == len(content.tri_subdiv_level):
+        flags = content.tri_edge_flags[tri_map]
+    else:
         flags = np.zeros(len(faces), np.uint8)
 
-    bias_scale = (content.groups[0].bias, content.groups[0].scale) \
-        if content.groups else (0.0, 1.0)
-
     tris = []
-    for t, f in enumerate(faces):
+    for i, f in enumerate(faces):
+        t = int(tri_map[i])
         lvl = int(content.tri_subdiv_level[t])
-        scales = (content.triangle_values_grid_order(t) * bias_scale[1]
-                  + bias_scale[0]).astype(np.float32)
+        # triangle_scalars applies the owning group's bias/scale exactly once
+        scales = content.triangle_scalars(t)
         tris.append(_assemble_triangle(
-            f, lvl, scales, int(flags[t]), positions, directions))
+            f, lvl, scales, int(flags[i]), positions, directions))
 
     out = mesh_mod.MicroMesh(positions=positions, normals=normals,
                              directions=directions, triangles=tris)
@@ -128,13 +167,21 @@ def _assemble_triangle(f, lvl, scales, edge_flags, positions, directions
 
 
 def save_gltf_bary(mesh: mesh_mod.MicroMesh, gltf_path: str,
-                   bary_path: str | None = None) -> None:
-    """Write a MicroMesh as .gltf + RTMB .bary (round-trip capable)."""
+                   bary_path: str | None = None,
+                   container: str = "bary",
+                   value_format: "bary_mod.Format | None" = None) -> None:
+    """Write a MicroMesh as .gltf + .bary (round-trip capable).
+
+    `container`: "bary" writes the spec-layout NVIDIA container (default;
+    value_format eR32_sfloat unless given, eR11_unorm_packed_align32 stores
+    min/range as the group bias/scale); "rtmb" writes the legacy minimal
+    container.
+    """
     from ..ops import precompute
 
     if bary_path is None:
         bary_path = os.path.splitext(gltf_path)[0] + ".bary"
-    levels, flags, values = [], [], []
+    levels, flags, values, minmax = [], [], [], []
     for tri in mesh.triangles:
         lvl = tri.subdivision_level
         scales = precompute.displacement_scales(tri, mesh)
@@ -144,20 +191,49 @@ def save_gltf_bary(mesh: mesh_mod.MicroMesh, gltf_path: str,
         values.append(grid[bary_mod.grid_to_umajor_order(lvl)])
         levels.append(lvl)
         flags.append(_edge_flags_from_presence(tri))
+        minmax.append((float(grid.min()), float(grid.max())))
     offsets = np.cumsum([0] + [len(v) for v in values[:-1]]).astype(np.int64)
     vals = np.concatenate(values).astype(np.float32)
-    content = bary_mod.BaryContent(
-        groups=[bary_mod.BaryGroup(0, len(levels), 0, len(vals))],
-        tri_value_offset=offsets,
-        tri_subdiv_level=np.asarray(levels, np.int32),
-        values=vals,
-        tri_edge_flags=np.asarray(flags, np.uint8))
-    bary_mod.write_rtmb(bary_path, content)
+
+    if container == "rtmb":
+        content = bary_mod.BaryContent(
+            groups=[bary_mod.BaryGroup(0, len(levels), 0, len(vals))],
+            tri_value_offset=offsets,
+            tri_subdiv_level=np.asarray(levels, np.int32),
+            values=vals,
+            tri_edge_flags=np.asarray(flags, np.uint8))
+        bary_mod.write_rtmb(bary_path, content)
+    elif container == "bary":
+        fmt = value_format or bary_mod.Format.R32_SFLOAT
+        bias, scale = 0.0, 1.0
+        if fmt != bary_mod.Format.R32_SFLOAT:
+            # unorm target: normalize into [0,1], recover via group bias/scale
+            lo, hi = float(vals.min()), float(vals.max())
+            bias, scale = lo, max(hi - lo, 1e-20)
+            vals = ((vals - bias) / scale).astype(np.float32)
+            minmax = [((a - bias) / scale, (b - bias) / scale)
+                      for a, b in minmax]
+        content = bary_mod.BaryContent(
+            groups=[bary_mod.BaryGroup(
+                0, len(levels), 0, len(vals), bias=bias, scale=scale,
+                min_subdiv_level=int(min(levels)),
+                max_subdiv_level=int(max(levels)))],
+            tri_value_offset=offsets,
+            tri_subdiv_level=np.asarray(levels, np.int32),
+            values=vals,
+            tri_edge_flags=np.asarray(flags, np.uint8),
+            tri_min_max=np.asarray(minmax, np.float32))
+        bary_mod.write_bary(bary_path, content, value_format=fmt)
+    else:
+        raise ValueError(f"unknown container {container!r}")
+
     gltf_mod.write_gltf(
         gltf_path, mesh.positions, mesh.normals,
         mesh.base_triangle_indices(),
         extra_root_ext={"NV_micromaps": {
-            "micromaps": [{"uri": os.path.basename(bary_path)}]}})
+            "micromaps": [{"uri": os.path.basename(bary_path)}]}},
+        extra_prim_ext={"NV_displacement_micromap": {
+            "micromap": 0, "groupIndex": 0}})
 
 
 def _edge_flags_from_presence(tri: mesh_mod.MicroTriangle) -> int:

@@ -85,3 +85,239 @@ def test_nvidia_bary_magic_rejected(tmp_path):
         f.write(b"NOTBARY123")
     with pytest.raises(ValueError):
         bary.read_bary(path)
+
+
+# --- NVIDIA bary 1.0 container ----------------------------------------------
+
+def _build_spec_bary_bytes(groups, triangles, values_f32,
+                           uuids=None, flags=None):
+    """Byte-level spec-layout bary builder, independent of bary.write_bary.
+
+    groups: list of (triangle_first, triangle_count, value_first,
+    value_count, min_lvl, max_lvl, bias, scale); triangles: list of
+    (group_relative_values_offset, subdiv_level, block_format).
+    """
+    import struct as st
+    uuids = uuids or bary.PROPERTY_UUIDS
+    group_blob = b"".join(
+        st.pack("<6I4f4f", tf, tc, vf, vc, lo, hi,
+                bias, 0, 0, 0, scale, 1, 1, 1)
+        for tf, tc, vf, vc, lo, hi, bias, scale in groups)
+    tri_blob = b"".join(st.pack("<IHH", off, lvl, blk)
+                        for off, lvl, blk in triangles)
+    vals = np.asarray(values_f32, "<f4")
+    values_blob = (st.pack("<6I", int(bary.Format.R32_SFLOAT), 1, 1,
+                           len(vals), 4, 4)
+                   + b"\x00" * 8      # pad ValuesInfo (24 B) to 16-alignment
+                   + vals.tobytes())
+    props = [("groups", group_blob), ("triangles", tri_blob),
+             ("values", values_blob)]
+    if flags is not None:
+        props.append(("mesh_triangle_flags",
+                      np.asarray(flags, np.uint8).tobytes()))
+    preamble = 32 + 56 * len(props)
+    infos, payloads, off = [], [], preamble
+    for name, payload in props:
+        off += (-off) % 16
+        infos.append(st.pack("<16sQQIIQQ", uuids[name], off, len(payload),
+                             0, 0, 0, 0))
+        payloads.append((off, payload))
+        off += len(payload)
+    blob = bytearray(off)
+    blob[:32] = st.pack("<16sQII", bary.VERSION_IDENTIFIER, off, preamble,
+                        len(props))
+    pos = 32
+    for info in infos:
+        blob[pos:pos + 56] = info
+        pos += 56
+    for o, payload in payloads:
+        blob[o:o + len(payload)] = payload
+    return bytes(blob)
+
+
+def test_spec_bary_byte_fixture_multigroup(tmp_path):
+    """A hand-packed spec-layout file: two groups with distinct bias/scale."""
+    values = np.arange(12, dtype=np.float32) / 12.0
+    data = _build_spec_bary_bytes(
+        groups=[(0, 1, 0, 6, 1, 1, 0.5, 2.0),     # 1 level-1 tri, 6 values
+                (1, 2, 6, 6, 0, 0, -1.0, 0.5)],   # 2 level-0 tris, 3 each
+        triangles=[(0, 1, 0), (0, 0, 0), (3, 0, 0)],
+        values_f32=values,
+        flags=[0, 2, 0])
+    path = str(tmp_path / "fix.bary")
+    with open(path, "wb") as f:
+        f.write(data)
+    c = bary.read_bary(path)
+    assert len(c.groups) == 2
+    assert c.groups[1].bias == -1.0 and c.groups[1].scale == 0.5
+    np.testing.assert_array_equal(c.tri_subdiv_level, [1, 0, 0])
+    np.testing.assert_array_equal(c.tri_value_offset, [0, 6, 9])
+    np.testing.assert_array_equal(c.tri_edge_flags, [0, 2, 0])
+    # group 0's bias/scale applied to triangle 0, group 1's to triangles 1-2
+    np.testing.assert_allclose(
+        c.triangle_scalars(0),
+        values[:6][bary.umajor_to_grid_order(1)] * 2.0 + 0.5, rtol=1e-6)
+    np.testing.assert_allclose(
+        c.triangle_scalars(2),
+        values[9:12][bary.umajor_to_grid_order(0)] * 0.5 - 1.0, rtol=1e-6)
+
+
+def test_spec_bary_structural_fallback(tmp_path):
+    """Unknown property UUIDs (a genuine bary_core file) still load via
+    structural identification, with a warning."""
+    import uuid as uuid_mod
+    values = np.linspace(0, 1, 6).astype(np.float32)
+    fake = {name: uuid_mod.uuid4().bytes for name in bary.PROPERTY_UUIDS}
+    data = _build_spec_bary_bytes(
+        groups=[(0, 1, 0, 6, 1, 1, 0.0, 1.0)],
+        triangles=[(0, 1, 0)], values_f32=values, uuids=fake)
+    path = str(tmp_path / "alien.bary")
+    with open(path, "wb") as f:
+        f.write(data)
+    with pytest.warns(UserWarning, match="structural"):
+        c = bary.read_bary(path)
+    np.testing.assert_allclose(
+        c.triangle_scalars(0), values[bary.umajor_to_grid_order(1)])
+
+
+def test_r11_pack_unpack_roundtrip():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 2048, size=45).astype(np.uint16)
+    blob = bary.pack_r11(vals)
+    assert len(blob) == int(np.ceil(45 * 11 / 8))
+    np.testing.assert_array_equal(bary.unpack_r11(blob, 45), vals)
+
+
+def test_r11_hand_packed_fixture():
+    # 3 values: 0x001, 0x7FF, 0x400 -> bits LSB-first:
+    # word = 1 | (0x7FF << 11) | (0x400 << 22)
+    word = 1 | (0x7FF << 11) | (0x400 << 22)
+    blob = int(word).to_bytes(8, "little")
+    np.testing.assert_array_equal(bary.unpack_r11(blob, 3),
+                                  [0x001, 0x7FF, 0x400])
+
+
+@pytest.mark.parametrize("fmt", [bary.Format.R32_SFLOAT,
+                                 bary.Format.R8_UNORM,
+                                 bary.Format.R16_UNORM,
+                                 bary.Format.R11_UNORM_PACKED_ALIGN32])
+def test_nvidia_container_roundtrip(tmp_path, fmt):
+    rng = np.random.default_rng(3)
+    # two triangles: level 2 (15 values) + level 1 (6 values)
+    vals = rng.random(21).astype(np.float32)
+    content = bary.BaryContent(
+        groups=[bary.BaryGroup(0, 2, 0, 21, bias=0.25, scale=1.5,
+                               min_subdiv_level=1, max_subdiv_level=2)],
+        tri_value_offset=np.array([0, 15], np.int64),
+        tri_subdiv_level=np.array([2, 1], np.int32),
+        values=vals,
+        tri_edge_flags=np.array([3, 0], np.uint8),
+        tri_min_max=np.array([[0.0, 1.0], [0.1, 0.9]], np.float32))
+    path = str(tmp_path / "rt.bary")
+    bary.write_bary(path, content, value_format=fmt)
+    back = bary.read_bary(path)
+    tol = {bary.Format.R32_SFLOAT: 1e-7, bary.Format.R16_UNORM: 1e-4,
+           bary.Format.R11_UNORM_PACKED_ALIGN32: 5e-4,
+           bary.Format.R8_UNORM: 3e-3}[fmt]
+    assert back.groups[0].bias == 0.25 and back.groups[0].scale == 1.5
+    np.testing.assert_array_equal(back.tri_subdiv_level, [2, 1])
+    np.testing.assert_array_equal(back.tri_edge_flags, [3, 0])
+    for t in range(2):
+        np.testing.assert_allclose(back.triangle_scalars(t),
+                                   content.triangle_scalars(t), atol=2 * tol)
+
+
+def test_gltf_extension_binding_shape(tmp_path):
+    """save_gltf_bary writes the spec extension pair; the parser resolves
+    micromap index + groupIndex."""
+    import json
+    mesh = procedural.make_plane(grid=(2, 2), level=1, amplitude=0.1)
+    path = str(tmp_path / "ext.gltf")
+    loader.save_gltf_bary(mesh, path)
+    with open(path) as f:
+        doc = json.load(f)
+    assert "NV_micromaps" in doc["extensions"]
+    prim = doc["meshes"][0]["primitives"][0]
+    dm = prim["extensions"]["NV_displacement_micromap"]
+    assert dm == {"micromap": 0, "groupIndex": 0}
+    assert set(doc["extensionsUsed"]) == {"NV_micromaps",
+                                          "NV_displacement_micromap"}
+    from rtmm_tpu.io import gltf as gltf_mod
+    g = gltf_mod.Gltf.load(path)
+    binding = g.displacement_micromap()
+    assert binding["group_index"] == 0
+    assert binding["bary_path"].endswith("ext.bary")
+    # file on disk is a spec-layout container, not RTMB
+    with open(binding["bary_path"], "rb") as f:
+        assert f.read(16) == bary.VERSION_IDENTIFIER
+
+
+def test_gltf_direction_bounds_and_flags(tmp_path):
+    """directionBounds fold into base position/direction; primitiveFlags
+    override the bary edge flags."""
+    import base64, json
+    mesh = procedural.make_plane(grid=(1, 2), level=1, amplitude=0.2)
+    path = str(tmp_path / "db.gltf")
+    loader.save_gltf_bary(mesh, path)
+    with open(path) as f:
+        doc = json.load(f)
+    nv = len(mesh.positions)
+    nt = mesh.num_triangles
+    bounds = np.tile(np.array([[0.05, 2.0]], np.float32), (nv, 1))
+    flags = np.zeros(nt, np.uint8)
+    blob = bounds.tobytes() + flags.tobytes()
+    doc["buffers"].append({
+        "byteLength": len(blob),
+        "uri": "data:application/octet-stream;base64,"
+               + base64.b64encode(blob).decode()})
+    doc["bufferViews"] += [
+        {"buffer": 1, "byteOffset": 0, "byteLength": bounds.nbytes},
+        {"buffer": 1, "byteOffset": bounds.nbytes,
+         "byteLength": flags.nbytes}]
+    acc0 = len(doc["accessors"])
+    doc["accessors"] += [
+        {"bufferView": len(doc["bufferViews"]) - 2, "componentType": 5126,
+         "count": nv, "type": "VEC2"},
+        {"bufferView": len(doc["bufferViews"]) - 1, "componentType": 5121,
+         "count": nt, "type": "SCALAR"}]
+    prim = doc["meshes"][0]["primitives"][0]
+    prim["extensions"]["NV_displacement_micromap"].update(
+        {"directionBounds": acc0, "primitiveFlags": acc0 + 1})
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    back = loader.load_micromesh(path)
+    # pos' = pos + dir*0.05, dir' = dir*2
+    np.testing.assert_allclose(
+        back.positions, mesh.positions + mesh.directions * 0.05, atol=1e-6)
+    np.testing.assert_allclose(back.directions, mesh.directions * 2.0,
+                               atol=1e-6)
+
+
+def test_spec_bary_render_matches_tessellated(tmp_path):
+    """End-to-end oracle through the io path: a spec-layout .gltf+.bary pair
+    loads and the micro-mesh render equals the tessellated render."""
+    from rtmm_tpu.config import RenderConfig
+    from rtmm_tpu.models import scene as scene_mod
+    from rtmm_tpu.render.renderer import Renderer
+    from rtmm_tpu.utils import camera
+
+    mesh = procedural.make_icosphere(subdivisions=0, level=2, amplitude=0.1)
+    path = str(tmp_path / "sphere.gltf")
+    loader.save_gltf_bary(
+        mesh, path, value_format=bary.Format.R11_UNORM_PACKED_ALIGN32)
+    back = loader.load_micromesh(path)
+
+    cfg = RenderConfig(width=48, height=48, ray_chunk=768, max_candidates=4)
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(-35.0), np.radians(25.0), 0.0], 3.0)
+    ivp = camera.inv_view_proj(tb, cfg.width, cfg.height)
+    img_mm = np.asarray(Renderer(
+        scene_mod.build_device_scene(back), cfg).render(ivp))
+    img_ts = np.asarray(Renderer(
+        scene_mod.build_device_scene(back, tessellated=True), cfg).render(ivp))
+    rmse = np.sqrt(((img_mm - img_ts) ** 2).mean())
+    assert rmse <= 1e-3, rmse
+    # and the 11-bit quantized displacement stays close to the original
+    img_orig = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh), cfg).render(ivp))
+    assert np.sqrt(((img_mm - img_orig) ** 2).mean()) <= 2e-2
