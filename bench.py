@@ -148,9 +148,12 @@ def _bench_pathtrace(scene, cfg, metric):
         return camera.inv_view_proj(tb, cfg.width, cfg.height)
 
     img, stats = tracer.render(ivp_at(25.0))            # warmup
-    rays_per_frame = int(np.asarray(
-        stats["live_rays_per_bounce"]).sum() + cfg.width * cfg.height
-    ) * pt.samples_per_pixel
+    # Rays actually traced: the primaries plus, per bounce b >= 1, the rays
+    # still alive after bounce b-1. Rays alive after the FINAL bounce are
+    # never traced again, so live[-1] is excluded.
+    live = np.asarray(stats["live_rays_per_bounce"])
+    rays_per_frame = int(
+        (live[:-1].sum() + cfg.width * cfg.height) * pt.samples_per_pixel)
 
     times = []
     attempts = 0

@@ -32,11 +32,15 @@ class MicroTriangle:
 
     @property
     def subdivision_level(self) -> int:
-        """ceil(log2(#uFaces) / 2) (mesh.cpp:115-117)."""
-        f = self.u_faces.shape[0]
-        if f <= 1:
-            return 0
-        return int(np.ceil(np.log2(f) / 2.0))
+        """Subdivision level of this triangle's micro-vertex grid.
+
+        Derived from the vertex-grid size rather than the reference's
+        ceil(log2(#uFaces)/2) (mesh.cpp:115-117): a level-1 triangle whose
+        three edge midpoints are all absent stitches to a single face, which
+        the face-count formula would misreport as level 0 even though the
+        grid stores 6 vertices.
+        """
+        return subdivision.level_from_vertex_count(self.u_positions.shape[0])
 
     @property
     def n_rows(self) -> int:

@@ -34,12 +34,19 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(os.path.abspath(_NATIVE_DIR), "rtmm_native.cpp")
+    # The .so is never committed (it is built with -march=native, so a blob
+    # from another machine could SIGILL); (re)build when missing or stale.
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         try:
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR), "-B"],
                            check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

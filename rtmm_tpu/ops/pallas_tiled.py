@@ -203,8 +203,8 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, q_frame: jax.Array,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, tb, 8, TILE), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     out_specs = (
         pl.BlockSpec((1, tb, TILE), lambda i: (i, 0, 0),

@@ -113,13 +113,16 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
         radiance = jnp.zeros((n, 3), jnp.float32)
         alive = jnp.ones((n,), bool)
         live_counts = []
+        overflow_counts = []
         for bounce in range(pt.bounces + 1):
             if pt.engine == "grouped":
-                t, nrm, hit, _overflow = grouped.trace_grouped(
+                t, nrm, hit, overflow = grouped.trace_grouped(
                     scene, origins, dirs, alive, cfg)
             else:
                 t, nrm, hit = _trace_chunked(scene, origins, dirs, cfg,
                                              pt.ray_chunk)
+                overflow = jnp.int32(0)
+            overflow_counts.append(overflow)
             hit &= alive
             # Flip the (unflipped, reference-style) geometric normal toward
             # the incoming ray for bounce bookkeeping.
@@ -157,17 +160,26 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
                 order = order[perm]
         # Undo the compaction permutation(s).
         inv = jnp.argsort(order)
-        return radiance[inv], jnp.stack(live_counts)
+        return (radiance[inv], jnp.stack(live_counts),
+                jnp.stack(overflow_counts))
 
     keys = jax.random.split(key0, pt.samples_per_pixel)
     radiance = jnp.zeros((n, 3), jnp.float32)
     counts = jnp.zeros((pt.bounces + 1,), jnp.int32)
+    overflows = jnp.zeros((pt.bounces + 1,), jnp.int32)
     for k in keys:
-        r, c = one_sample(k)
+        r, c, ov = one_sample(k)
         radiance = radiance + r
         counts = counts + c
+        overflows = overflows + ov
     image = (radiance / pt.samples_per_pixel).reshape(height, width, 3)
-    stats = {"live_rays_per_bounce": counts / pt.samples_per_pixel}
+    stats = {
+        "live_rays_per_bounce": counts / pt.samples_per_pixel,
+        # Candidate-list saturation observability: groups whose candidate
+        # count exceeded the list capacity this bounce (summed over samples).
+        # Non-zero means geometry may be culled from some secondary rays.
+        "overflow_groups_per_bounce": overflows,
+    }
     return image, stats
 
 

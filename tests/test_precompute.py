@@ -80,14 +80,20 @@ def test_delta_encloses_descendants(plane_mesh):
                     assert _point_in_triangle(p, verts, eps=1e-4), (l, f)
 
 
+def _cross2(a, b):
+    """z of the 2-D cross product (np.cross on 2-vectors is removed in
+    NumPy 2.x)."""
+    return a[0] * b[1] - a[1] * b[0]
+
+
 def _point_in_triangle(p, verts, eps):
     v0, v1, v2 = verts
     d = []
     for a, b in ((v0, v1), (v1, v2), (v2, v0)):
         e = b - a
-        d.append(np.cross(e, p - a))
+        d.append(_cross2(e, p - a))
     d = np.asarray(d)
-    area = np.cross(v1 - v0, v2 - v0)
+    area = _cross2(v1 - v0, v2 - v0)
     scale = max(abs(area), 1e-12) ** 0.5
     return (d >= -eps * scale).all() if area > 0 else (d <= eps * scale).all()
 
@@ -108,7 +114,7 @@ def test_expand_triangle_distance():
         e = (b - a) / np.linalg.norm(b - a)
         # expanded corners i and j must be at distance delta from line (a, b)
         for q in (out[i], out[j]):
-            dist = abs(np.cross(e, q - a))
+            dist = abs(_cross2(e, q - a))
             assert dist == pytest.approx(delta, abs=1e-5)
 
 

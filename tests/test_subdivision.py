@@ -78,7 +78,8 @@ def test_stitch_area_conservation():
         total = 0.0
         for t in tris:
             a, b, c = (np.asarray(sel[i]) for i in t)
-            total += 0.5 * abs(np.cross(b - a, c - a))
+            ab, ac = b - a, c - a
+            total += 0.5 * abs(ab[0] * ac[1] - ab[1] * ac[0])
         assert total == pytest.approx(2.0), pattern
 
 
