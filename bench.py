@@ -5,9 +5,10 @@ closest-hit shading + miss. `--config N` selects the other BASELINE
 configs:
   1  tessellated (-T) low-poly asset, 256x256 primary rays
   2  direct micro-mesh traversal, same asset as 1
-  3  full asset @1080p (flagship, the driver's default)
+  3  full asset @1080p via the gltf+bary io path (flagship, the default)
   4  multi-instance two-level traversal with per-instance transforms
   5  path-traced multi-bounce, subdivision-level-5 micro-mesh, compaction
+  6  (extra) 51,200-base-triangle scene through the cluster hierarchy
 
 Renders an 8-frame orbit per device invocation (the realistic animation
 workload; also amortizes the ~23 ms per-call latency of this host's
@@ -45,11 +46,21 @@ def _build_config(n: int):
         return ("micromesh_256_lowpoly", scene,
                 RenderConfig(width=256, height=256), 1)
     if n == 3:
-        # Subdiv-3 closed surface: 320 base x 64 micro = 20480 micro-tris.
-        mesh = procedural.make_icosphere(subdivisions=2, level=3,
-                                         amplitude=0.12)
+        # Full asset through the asset-loading path (BASELINE config 3 is
+        # "full micromesh-tools asset at 1080p"): a subdiv-3 closed surface
+        # with 5120 base x 64 micro = 327,680 micro-triangles, written as a
+        # spec-layout .gltf + .bary pair once and loaded via io.loader.
+        mesh = _full_asset_via_io()
         scene = scene_mod.build_device_scene(mesh)
         return ("primary_rays_1080p_subdiv3_micromesh", scene,
+                RenderConfig(width=1920, height=1080), 1)
+    if n == 6:
+        # Real-scale stress: 51,200 base triangles at subdiv 2 (819k
+        # micro-triangles) through the cluster hierarchy at 1080p.
+        mesh = procedural.make_plane(grid=(160, 160), level=2,
+                                     amplitude=0.05)
+        scene = scene_mod.build_device_scene(mesh)
+        return ("large_scene_51k_tris_1080p", scene,
                 RenderConfig(width=1920, height=1080), 1)
     if n == 4:
         from rtmm_tpu.render import instances as inst_mod
@@ -72,6 +83,22 @@ def _build_config(n: int):
         return ("pathtrace_subdiv5_3bounce", scene,
                 RenderConfig(width=512, height=512), None)  # special-cased
     raise SystemExit(f"unknown config {n}")
+
+
+def _full_asset_via_io():
+    """Generate-once + load the config-3 asset through the gltf+bary path."""
+    import os
+    import tempfile
+
+    from rtmm_tpu.io import loader
+    from rtmm_tpu.models import procedural
+
+    path = os.path.join(tempfile.gettempdir(), "rtmm_bench_sphere4_l3.gltf")
+    if not os.path.exists(path):
+        mesh = procedural.make_icosphere(subdivisions=4, level=3,
+                                         amplitude=0.12)
+        loader.save_gltf_bary(mesh, path)
+    return loader.load_micromesh(path)
 
 
 def _bench_render(scene, cfg, metric, dist: float = 3.0):

@@ -43,7 +43,15 @@ class RenderConfig:
     pipeline: str = "auto"        # "ray" | "tile" | "pallas" | "auto"
     max_candidates: int = 8       # "ray" path: top-K candidates per ray
     ray_chunk: int = 16384        # "ray" path: rays per jitted chunk
-    max_tile_candidates: int = 64  # tiled paths: per-tile unit list capacity
+    # Tiled paths: windows repeat until every tile is done, so no geometry
+    # is ever dropped — these only tune per-launch work granularity.
+    # XLA "tile" path: clusters consumed per candidate window (window
+    # capacity = clusters_per_window * 64 units).
+    clusters_per_window: int = 4
+    # Pallas path: per-tile cluster-list capacity per kernel launch (the
+    # kernel walks clusters -> units internally; >1 launch per frame only
+    # when some tile's frustum hits more clusters than this).
+    kernel_clusters_per_window: int = 128
     tile_chunk: int = 256         # "tile" path: tiles per lax.map step
     compute_dtype: str = "float32"
 

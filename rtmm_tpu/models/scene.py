@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from ..ops import precompute, subdivision
+from ..ops.culling import UNITS_PER_CLUSTER
 from . import mesh as mesh_mod
 
 BIG = np.float32(1e30)
@@ -31,8 +32,11 @@ BIG = np.float32(1e30)
                  "plane_o", "node_verts", "node_minmax", "node_pass",
                  "leaf_verts", "leaf_mask", "tri_valid",
                  "unit_aabb_min", "unit_aabb_max", "unit_valid",
-                 "unit_q", "unit_n", "unit_e2w2", "unit_nrm",
-                 "unit_nrm_pad", "unit_q16"],
+                 "unit_leaf_idx",
+                 "unit_qn", "unit_n", "unit_e2w2", "unit_nrm",
+                 "unit_nrm_pad", "unit_q16",
+                 "cluster_aabb_min", "cluster_aabb_max", "cluster_valid",
+                 "cluster_unit_meta"],
     meta_fields=["max_level"])
 @dataclasses.dataclass(frozen=True)
 class DeviceScene:
@@ -60,9 +64,13 @@ class DeviceScene:
     # Traversal units for the tiled/Pallas path: unit u = contiguous block of
     # LPU = NF // (NF // min(NF, 64)) leaf slots of triangle u // units_per_tri
     # (for max_level > 3 these are exactly the level-(L-3) subtree nodes).
+    # Units are blocks of LPU valid leaves packed in Morton (spatial) order
+    # (leaves of different base triangles mix freely); unit_leaf_idx maps
+    # each unit slot back into the flat (T*NF) leaf table, -1 for padding.
     unit_aabb_min: jax.Array  # (U, 3)
     unit_aabb_max: jax.Array  # (U, 3)
     unit_valid: jax.Array     # (U,) bool
+    unit_leaf_idx: jax.Array  # (U, LPU) int32
     # MXU-form Möller-Trumbore tables: with a shared ray apex `a`, the MT
     # quantities become bilinear in (ray, leaf):
     #   det   = [d, a x d] . [-n, 0]
@@ -72,12 +80,21 @@ class DeviceScene:
     # so one (rays, 6) @ (6, 3*LPU) matmul per (tile, candidate) computes
     # every ray x leaf test on the MXU. Absent leaves are zero rows
     # (det == 0 -> rejected by the reference's own epsilon).
-    unit_q: jax.Array         # (U, 8, 4*LPU) [det|u|v|t_num] column blocks
+    unit_qn: jax.Array        # (U, 8, 4*LPU + 128) [det|u|v|t_num|nrm rows]
     unit_n: jax.Array         # (U, LPU, 3) unnormalized e1 x e2
     unit_e2w2: jax.Array      # (U, LPU)
     unit_nrm: jax.Array       # (U, LPU, 3) normalized shading normals
     unit_nrm_pad: jax.Array   # (U, 8, >=128) DMA-aligned normal table
     unit_q16: jax.Array       # (U, 16, 4*LPU) arbitrary-origin MT table
+    # Scene-level hierarchy over units (the TLAS role): cluster c covers the
+    # Morton-consecutive units [c*UNITS_PER_CLUSTER, (c+1)*UNITS_PER_CLUSTER).
+    cluster_aabb_min: jax.Array  # (C, 3)
+    cluster_aabb_max: jax.Array  # (C, 3)
+    cluster_valid: jax.Array     # (C,) bool
+    # DMA-shaped per-cluster unit metadata for the Pallas kernel's in-kernel
+    # unit cull: rows 0-2 unit AABB min xyz, 3-5 max xyz, 6 valid (0/1),
+    # lanes 0..UNITS_PER_CLUSTER-1.
+    cluster_unit_meta: jax.Array  # (C, 8, 128) f32
     max_level: int         # static
 
     @property
@@ -90,18 +107,25 @@ class DeviceScene:
 
     @property
     def leaves_per_unit(self) -> int:
-        return min(self.num_leaf_slots, 64)
+        return (self.unit_qn.shape[2] - 128) // 4
 
     @property
     def num_units(self) -> int:
         return self.unit_aabb_min.shape[0]
 
+    @property
+    def num_clusters(self) -> int:
+        return self.cluster_aabb_min.shape[0]
+
     def unit_leaf_verts(self) -> jax.Array:
-        """(U, LPU, 3, 3) view of the leaf table."""
-        return self.leaf_verts.reshape(-1, self.leaves_per_unit, 3, 3)
+        """(U, LPU, 3, 3) leaf table in unit (Morton-packed) order."""
+        flat = self.leaf_verts.reshape(-1, 3, 3)
+        idx = jax.numpy.maximum(self.unit_leaf_idx, 0)
+        return jax.numpy.where(self.unit_leaf_mask()[..., None, None],
+                               flat[idx], 0.0)
 
     def unit_leaf_mask(self) -> jax.Array:
-        return self.leaf_mask.reshape(-1, self.leaves_per_unit)
+        return self.unit_leaf_idx >= 0
 
 
 def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
@@ -110,19 +134,33 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
 
     Mirrors GPUMesh::loadGLTFMeshGPU + the Application scene-build block
     (src/application.cpp:113-197) in one call.
+
+    Uniform-level all-present meshes (every real asset baked at one level)
+    take a batched NumPy path vectorized over triangles; mixed levels /
+    stitched presence fall back to the per-triangle path.
     """
-    tables = [precompute.build_triangle_tables(t, mesh) for t in mesh.triangles]
-    t_real = len(tables)
+    t_real = mesh.num_triangles
+    uniform = (mesh.has_uniform_subdivision_level()
+               and all(t.u_present.all() for t in mesh.triangles))
+    tables = None
+    if not uniform:
+        tables = [precompute.build_triangle_tables(t, mesh)
+                  for t in mesh.triangles]
     t_pad = max(_round_up(t_real, pad_triangles_to), pad_triangles_to)
-    max_level = max((tb.level for tb in tables), default=0)
+    max_level = mesh.max_level
 
     if tessellated:
-        ni, nf = 1, max(max(tb.tess_verts.shape[0] for tb in tables), 1)
+        if uniform:
+            nf = max(4**max_level, 1)
+        else:
+            nf = max(max(tb.tess_verts.shape[0] for tb in tables), 1)
+        ni = 1
     else:
         ni = max(subdivision.num_internal_nodes(max_level), 1)
         nf = 4**max_level
-    # Traversal units always carry 64 leaf slots (TPU tile alignment); pad.
-    nf = max(_round_up(nf, 64), 64)
+    # (Traversal units are packed from valid leaves independently of this
+    # per-triangle slot layout — no alignment padding needed here.)
+    nf = max(nf, 1)
 
     aabb_min = np.full((t_pad, 3), BIG, np.float32)
     aabb_max = np.full((t_pad, 3), -BIG, np.float32)
@@ -139,43 +177,113 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
     leaf_mask = np.zeros((t_pad, nf), bool)
     tri_valid = np.zeros((t_pad,), bool)
 
-    for i, tb in enumerate(tables):
-        aabb_min[i] = tb.aabb_min
-        aabb_max[i] = tb.aabb_max
-        plane["t"][i] = tb.plane_t
-        plane["b"][i] = tb.plane_b
-        plane["n"][i] = tb.plane_n
-        plane["o"][i] = tb.plane_o
-        tri_valid[i] = True
-        if tessellated:
-            f = tb.tess_verts.shape[0]
-            leaf_verts[i, :f] = tb.tess_verts
-            leaf_mask[i, :f] = True
-            continue
-        ni_t = tb.node_verts.shape[0]
-        node_verts[i, :ni_t] = tb.node_verts
-        node_minmax[i, :ni_t] = tb.node_minmax
-        node_pass[i, :ni_t] = False  # real nodes: use the test
-        # Leaves: slot k (level level_t) -> flat slot k << 2*(L - level_t).
-        shift = 4 ** (max_level - tb.level)
-        flat = tb.leaf_slots * shift
-        leaf_verts[i, flat] = tb.leaf_verts
-        leaf_mask[i, flat] = True
+    if uniform:
+        # Batched fill, chunked over triangles to bound peak memory.
+        chunk = max(1, 2_000_000 // max(4**max_level, 1))
+        for s in range(0, t_real, chunk):
+            e = min(s + chunk, t_real)
+            bt = precompute.build_uniform_tables(mesh, s, e)
+            aabb_min[s:e] = bt["aabb_min"]
+            aabb_max[s:e] = bt["aabb_max"]
+            plane["t"][s:e] = bt["plane_t"]
+            plane["b"][s:e] = bt["plane_b"]
+            plane["n"][s:e] = bt["plane_n"]
+            plane["o"][s:e] = bt["plane_o"]
+            tri_valid[s:e] = True
+            f = bt["tess_verts"].shape[1]
+            if tessellated:
+                leaf_verts[s:e, :f] = bt["tess_verts"]
+                leaf_mask[s:e, :f] = True
+            else:
+                ni_t = bt["node_verts"].shape[1]
+                if ni_t:
+                    node_verts[s:e, :ni_t] = bt["node_verts"]
+                    node_minmax[s:e, :ni_t] = bt["node_minmax"]
+                    node_pass[s:e, :ni_t] = False
+                leaf_verts[s:e, :f] = bt["leaf_verts"]
+                leaf_mask[s:e, :f] = True
+    else:
+        for i, tb in enumerate(tables):
+            aabb_min[i] = tb.aabb_min
+            aabb_max[i] = tb.aabb_max
+            plane["t"][i] = tb.plane_t
+            plane["b"][i] = tb.plane_b
+            plane["n"][i] = tb.plane_n
+            plane["o"][i] = tb.plane_o
+            tri_valid[i] = True
+            if tessellated:
+                f = tb.tess_verts.shape[0]
+                leaf_verts[i, :f] = tb.tess_verts
+                leaf_mask[i, :f] = True
+                continue
+            ni_t = tb.node_verts.shape[0]
+            node_verts[i, :ni_t] = tb.node_verts
+            node_minmax[i, :ni_t] = tb.node_minmax
+            node_pass[i, :ni_t] = False  # real nodes: use the test
+            # Leaves: slot k (level level_t) -> flat slot k << 2*(L - level_t).
+            shift = 4 ** (max_level - tb.level)
+            flat = tb.leaf_slots * shift
+            leaf_verts[i, flat] = tb.leaf_verts
+            leaf_mask[i, flat] = True
 
-    # Traversal-unit AABBs (min/max over each unit's valid leaf vertices).
-    lpu = min(nf, 64)
-    units_per_tri = nf // lpu
-    u_total = t_pad * units_per_tri
-    ulv = leaf_verts.reshape(u_total, lpu, 9).reshape(u_total, lpu * 3, 3)
-    ulm = np.repeat(leaf_mask.reshape(u_total, lpu), 3, axis=1)
-    unit_valid = ulm.any(axis=1)
+    units = pack_units(leaf_verts.reshape(-1, 3, 3), leaf_mask.reshape(-1))
+
+    dev = lambda x: jax.device_put(x)
+    return DeviceScene(
+        aabb_min=dev(aabb_min), aabb_max=dev(aabb_max),
+        plane_t=dev(plane["t"]), plane_b=dev(plane["b"]),
+        plane_n=dev(plane["n"]), plane_o=dev(plane["o"]),
+        node_verts=dev(node_verts), node_minmax=dev(node_minmax),
+        node_pass=dev(node_pass), leaf_verts=dev(leaf_verts),
+        leaf_mask=dev(leaf_mask), tri_valid=dev(tri_valid),
+        **{k: dev(v) for k, v in units.items()},
+        max_level=0 if tessellated else max_level)
+
+
+LPU = 64  # leaf micro-triangles per traversal unit (MXU lane block)
+
+
+def pack_units(leaf_verts_flat: np.ndarray, leaf_mask_flat: np.ndarray
+               ) -> dict:
+    """Build the traversal-unit + cluster tables from a flat leaf table.
+
+    Units are blocks of LPU *valid* leaves packed along a Morton curve of
+    the leaf centroids (leaves from different base triangles mix freely —
+    the MT tables are per-leaf). Compared to per-triangle leaf blocks this
+    makes unit count proportional to actual geometry (a 64x saving for
+    level-0 scenes), tightens unit AABBs, and gives clusters
+    (UNITS_PER_CLUSTER consecutive units — the TLAS analog,
+    src/GPUMesh.cpp:238-278) spatially coherent contents.
+
+    leaf_verts_flat: (L, 3, 3) float32; leaf_mask_flat: (L,) bool.
+    Returns the unit_* / cluster_* DeviceScene fields (np arrays).
+    """
+    lpu = LPU
+    idx = np.nonzero(leaf_mask_flat)[0].astype(np.int64)
+    if idx.size:
+        centers = leaf_verts_flat[idx].mean(axis=1)
+        idx = idx[np.argsort(_morton_codes(centers), kind="stable")]
+    n_leaves = idx.shape[0]
+    per_cluster = lpu * UNITS_PER_CLUSTER
+    l_pad = max(_round_up(n_leaves, per_cluster), per_cluster)
+
+    unit_leaf_idx = np.full(l_pad, -1, np.int64)
+    unit_leaf_idx[:n_leaves] = idx
+    lvu = np.zeros((l_pad, 3, 3), np.float32)
+    lvu[:n_leaves] = leaf_verts_flat[idx]
+    u_total = l_pad // lpu
+    lvu = lvu.reshape(u_total, lpu, 3, 3)
+    lmu_b = (unit_leaf_idx >= 0).reshape(u_total, lpu)
+
+    ulv = lvu.reshape(u_total, lpu * 3, 3)
+    ulm = np.repeat(lmu_b, 3, axis=1)
+    unit_valid = lmu_b.any(axis=1)
     big3 = np.broadcast_to(np.float32(BIG), ulv.shape)
     unit_aabb_min = np.where(ulm[..., None], ulv, big3).min(axis=1)
     unit_aabb_max = np.where(ulm[..., None], ulv, -big3).max(axis=1)
 
     # MXU-form MT tables (see DeviceScene docstring).
-    lvu = leaf_verts.reshape(u_total, lpu, 3, 3)
-    lmu = leaf_mask.reshape(u_total, lpu)[..., None].astype(np.float32)
+    lmu = lmu_b[..., None].astype(np.float32)
     v0, v1, v2 = lvu[:, :, 0], lvu[:, :, 1], lvu[:, :, 2]
     e1 = (v1 - v0) * lmu
     e2 = (v2 - v0) * lmu
@@ -187,17 +295,20 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
     # Rows 6-7 are zero except the t_num block's row 7, filled per frame
     # (t_num depends on the camera apex) so the constant-1 ray row
     # broadcasts it through the same matmul.
-    unit_q = np.zeros((u_total, 8, 4 * lpu), np.float32)
-    unit_q[:, 0:3, 0 * lpu:1 * lpu] = -nvec.transpose(0, 2, 1)
-    unit_q[:, 0:3, 1 * lpu:2 * lpu] = -w1.transpose(0, 2, 1)
-    unit_q[:, 3:6, 1 * lpu:2 * lpu] = e2.transpose(0, 2, 1)
-    unit_q[:, 0:3, 2 * lpu:3 * lpu] = -w2.transpose(0, 2, 1)
-    unit_q[:, 3:6, 2 * lpu:3 * lpu] = -e1.transpose(0, 2, 1)
+    # unit_qn appends a 128-lane normal block (rows 0..2 = normal xyz over
+    # the first LPU lanes) so the kernel fetches MT table + shading normals
+    # in ONE DMA per unit.
+    unit_qn = np.zeros((u_total, 8, 4 * lpu + 128), np.float32)
+    unit_qn[:, 0:3, 0 * lpu:1 * lpu] = -nvec.transpose(0, 2, 1)
+    unit_qn[:, 0:3, 1 * lpu:2 * lpu] = -w1.transpose(0, 2, 1)
+    unit_qn[:, 3:6, 1 * lpu:2 * lpu] = e2.transpose(0, 2, 1)
+    unit_qn[:, 0:3, 2 * lpu:3 * lpu] = -w2.transpose(0, 2, 1)
+    unit_qn[:, 3:6, 2 * lpu:3 * lpu] = -e1.transpose(0, 2, 1)
     unit_e2w2 = (e2 * w2).sum(-1).astype(np.float32)
     norm = np.maximum(np.linalg.norm(nvec, axis=-1, keepdims=True), 1e-20)
     unit_nrm = (nvec / norm).astype(np.float32)
-    # DMA-aligned padded normal table for the Pallas kernel: rows 0..2 hold
-    # the normal components over the first LPU lanes of a 128-lane block.
+    unit_qn[:, 0:3, 4 * lpu:4 * lpu + lpu] = unit_nrm.transpose(0, 2, 1)
+    # Standalone padded normal table for the grouped (q16) kernel.
     unit_nrm_pad = np.zeros((u_total, 8, max(128, lpu)), np.float32)
     unit_nrm_pad[:, 0:3, 0:lpu] = unit_nrm.transpose(0, 2, 1)
 
@@ -207,24 +318,57 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
     #   u_num = [d, oxd] . [-w1, e2];  v_num = [d, oxd] . [-w2, -e1]
     #   t_num = o.n - e2.w2  (now per-ray through the o rows + const row)
     unit_q16 = np.zeros((u_total, 16, 4 * lpu), np.float32)
-    unit_q16[:, 0:6, 0:3 * lpu] = unit_q[:, 0:6, 0:3 * lpu]
+    unit_q16[:, 0:6, 0:3 * lpu] = unit_qn[:, 0:6, 0:3 * lpu]
     unit_q16[:, 6:9, 3 * lpu:4 * lpu] = nvec.transpose(0, 2, 1)
     unit_q16[:, 9, 3 * lpu:4 * lpu] = -unit_e2w2
 
-    dev = lambda x: jax.device_put(x)
-    return DeviceScene(
-        aabb_min=dev(aabb_min), aabb_max=dev(aabb_max),
-        plane_t=dev(plane["t"]), plane_b=dev(plane["b"]),
-        plane_n=dev(plane["n"]), plane_o=dev(plane["o"]),
-        node_verts=dev(node_verts), node_minmax=dev(node_minmax),
-        node_pass=dev(node_pass), leaf_verts=dev(leaf_verts),
-        leaf_mask=dev(leaf_mask), tri_valid=dev(tri_valid),
-        unit_aabb_min=dev(unit_aabb_min), unit_aabb_max=dev(unit_aabb_max),
-        unit_valid=dev(unit_valid),
-        unit_q=dev(unit_q), unit_n=dev(nvec.astype(np.float32)),
-        unit_e2w2=dev(unit_e2w2), unit_nrm=dev(unit_nrm),
-        unit_nrm_pad=dev(unit_nrm_pad), unit_q16=dev(unit_q16),
-        max_level=0 if tessellated else max_level)
+    n_cl = u_total // UNITS_PER_CLUSTER
+    cl_mask = unit_valid.reshape(n_cl, UNITS_PER_CLUSTER, 1)
+    cluster_aabb_min = np.where(
+        cl_mask, unit_aabb_min.reshape(n_cl, UNITS_PER_CLUSTER, 3),
+        BIG).min(axis=1)
+    cluster_aabb_max = np.where(
+        cl_mask, unit_aabb_max.reshape(n_cl, UNITS_PER_CLUSTER, 3),
+        -BIG).max(axis=1)
+    cluster_valid = cl_mask[..., 0].any(axis=1)
+
+    meta = np.zeros((n_cl, 8, 128), np.float32)
+    meta[:, 0:3, :UNITS_PER_CLUSTER] = unit_aabb_min.reshape(
+        n_cl, UNITS_PER_CLUSTER, 3).transpose(0, 2, 1)
+    meta[:, 3:6, :UNITS_PER_CLUSTER] = unit_aabb_max.reshape(
+        n_cl, UNITS_PER_CLUSTER, 3).transpose(0, 2, 1)
+    meta[:, 6, :UNITS_PER_CLUSTER] = unit_valid.reshape(
+        n_cl, UNITS_PER_CLUSTER).astype(np.float32)
+
+    return dict(
+        unit_aabb_min=unit_aabb_min, unit_aabb_max=unit_aabb_max,
+        unit_valid=unit_valid,
+        unit_leaf_idx=unit_leaf_idx.reshape(u_total, lpu).astype(np.int32),
+        unit_qn=unit_qn, unit_n=nvec.astype(np.float32),
+        unit_e2w2=unit_e2w2, unit_nrm=unit_nrm,
+        unit_nrm_pad=unit_nrm_pad, unit_q16=unit_q16,
+        cluster_aabb_min=cluster_aabb_min, cluster_aabb_max=cluster_aabb_max,
+        cluster_valid=cluster_valid, cluster_unit_meta=meta)
+
+
+def _part1by2(x: np.ndarray) -> np.ndarray:
+    """Spread 10 bits of x to every third bit (Morton interleave helper)."""
+    x = x.astype(np.uint64) & np.uint64(0x3FF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x30000FF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x300F00F)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x30C30C3)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x9249249)
+    return x
+
+
+def _morton_codes(points: np.ndarray) -> np.ndarray:
+    """30-bit Morton codes of points quantized over their own bounds."""
+    lo = points.min(axis=0)
+    span = np.maximum(points.max(axis=0) - lo, 1e-20)
+    q = np.clip(((points - lo) / span) * 1023.0, 0.0, 1023.0).astype(np.uint64)
+    return (_part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << np.uint64(1))
+            | (_part1by2(q[:, 2]) << np.uint64(2)))
+
 
 
 def _round_up(x: int, m: int) -> int:

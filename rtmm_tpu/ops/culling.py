@@ -4,12 +4,18 @@ The reference leans on hardware TLAS traversal per ray
 (src/application.cpp:214). A TPU has no RT cores and per-ray gathers are
 slow, so candidates are found per *ray tile* instead: the frame is split
 into 8x128-pixel tiles (the native f32 VPU register shape); each tile's
-primary rays share an origin and form a 4-plane frustum cone; every
-traversal unit's AABB is tested against every tile frustum (tiles x units
-is tiny — thousands x thousands) and each tile gets a compacted candidate
-list. The per-tile trace kernel then loops over real candidates only.
+primary rays share an origin and form a 4-plane frustum cone.
 
-Conservative everywhere: a unit is culled only if its AABB lies fully
+Two-level structure (the TLAS role, src/GPUMesh.cpp:238-278): traversal
+units are Morton-ordered at scene build and grouped into *clusters* of
+UNITS_PER_CLUSTER consecutive units with a cluster AABB. Per frame, every
+cluster is tested against every tile frustum (tiles x clusters is small
+even for 10^5-unit scenes); unit-level tests run only on the clusters a
+tile actually hits, window by window (ops/tiled.py::candidate_window), so
+the cull is O(tiles x clusters + tiles x hit-units), not
+O(tiles x units), and candidate lists can never silently overflow.
+
+Conservative everywhere: a box is culled only if its AABB lies fully
 outside one frustum plane (p-vertex test). The mirror cone behind the
 camera is automatically rejected because all plane dots flip sign.
 """
@@ -20,6 +26,10 @@ import jax.numpy as jnp
 
 TILE_H = 8
 TILE_W = 128
+# Traversal units per scene cluster (the coarse level of the two-level
+# cull). 64 keeps the per-tile cluster matrix tiny while one cluster's
+# units fill exactly half a candidate-window sort lane block.
+UNITS_PER_CLUSTER = 64
 
 
 def tile_frustums(inv_view_proj: jax.Array, width: int, height: int,
@@ -109,6 +119,34 @@ def cull_units(apex: jax.Array, normals: jax.Array, aabb_min: jax.Array,
     pvert = jnp.where(n >= 0.0, pmax, pmin)
     outside = (n * pvert).sum(-1) < 0.0            # (tiles, 4, U)
     return (~outside.any(axis=1)) & valid[None, :]
+
+
+def aabb_distance(apex: jax.Array, aabb_min: jax.Array,
+                  aabb_max: jax.Array) -> jax.Array:
+    """Conservative apex -> AABB distance lower bound.
+
+    apex (3,); aabb_min/max (..., 3) -> (...,). Zero inside the box.
+    """
+    return jnp.linalg.norm(
+        jnp.maximum(jnp.maximum(aabb_min - apex, apex - aabb_max), 0.0),
+        axis=-1)
+
+
+def frustum_hit_gathered(normals: jax.Array, apex: jax.Array,
+                         aabb_min: jax.Array, aabb_max: jax.Array
+                         ) -> jax.Array:
+    """Per-tile p-vertex test on per-tile gathered AABBs.
+
+    normals (tiles, 4, 3); aabb_min/max (tiles, N, 3) -> (tiles, N) bool.
+    The refine stage of the two-level cull: each tile tests only the boxes
+    gathered from its own candidate clusters.
+    """
+    n = normals[:, :, None, :]                     # (tiles, 4, 1, 3)
+    pmin = (aabb_min - apex)[:, None]              # (tiles, 1, N, 3)
+    pmax = (aabb_max - apex)[:, None]
+    pvert = jnp.where(n >= 0.0, pmax, pmin)
+    outside = (n * pvert).sum(-1) < 0.0            # (tiles, 4, N)
+    return ~outside.any(axis=1)
 
 
 def candidate_lists(hit: jax.Array, max_candidates: int,

@@ -1,0 +1,453 @@
+"""Pallas TPU kernel for the grouped (arbitrary-origin) trace — the path
+tracer's secondary-ray engine (BASELINE config 5).
+
+Same group model as ops/grouped.py (octant+origin-cell sorted groups of
+GROUP rays, conservative per-group reach boxes) with the scalability fixes
+the XLA version cannot express:
+
+  * the scene's cluster hierarchy replaces the dense (groups x units)
+    overlap matrix: each group walks its own front-to-back cluster list
+    in-kernel, culls the 64 member units against its reach box on the VPU,
+    and traces only survivors — with *dynamic* per-group trip counts
+    instead of a fixed candidate cap;
+  * candidate capacity is exact by construction (cluster windows repeat on
+    the rare group that overlaps more clusters than the list capacity), so
+    the silent 96-candidate truncation of the XLA path is gone;
+  * per-group early exit: clusters stop when every live ray's best hit is
+    nearer than the next cluster's conservative entry distance (valid in t
+    units because ray directions are normalized), and units are pruned
+    against the running worst;
+  * double-buffered HBM->VMEM DMA of cluster metadata and per-unit
+    generalized MT tables (unit_q16: ray rows [d, o x d, o, 1]).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..models.scene import DeviceScene
+from . import culling
+from .grouped import GROUP, _sort_key
+from .intersect import MT_DET_EPS, MT_UV_EPS
+
+BIG = jnp.float32(1e30)
+UPC = culling.UNITS_PER_CLUSTER
+
+
+def _kernel(ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
+            t_in, n_in, meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
+            meta_buf, q_buf, nrm_buf, msem, usem,
+            *, lpu: int, npad: int, t_min: float, t_max: float,
+            groups_per_block: int):
+    for b in range(groups_per_block):
+        cnt_b = jnp.minimum(ccount_ref[0, b, 0], ccand_ref.shape[2])
+
+        @pl.when(cnt_b > 0)
+        def _(b=b):
+            pltpu.make_async_copy(
+                meta_hbm.at[ccand_ref[0, b, 0]], meta_buf.at[b, 0],
+                msem.at[b, 0]).start()
+
+    for b in range(groups_per_block):
+        _trace_group(b, ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
+                     t_in, n_in, meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
+                     meta_buf, q_buf, nrm_buf, msem, usem,
+                     lpu=lpu, npad=npad, t_min=t_min, t_max=t_max)
+
+
+def _trace_group(b, ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
+                 t_in, n_in, meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
+                 meta_buf, q_buf, nrm_buf, msem, usem,
+                 *, lpu, npad, t_min, t_max):
+    ccnt = jnp.minimum(ccount_ref[0, b, 0], ccand_ref.shape[2])
+
+    @pl.when(ccnt == 0)
+    def _():
+        t_out[0, b] = t_in[0, b]
+        n_out[0, b] = n_in[0, b]
+
+    @pl.when(ccnt > 0)
+    def _():
+        _trace_group_nonempty(
+            b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref, t_in, n_in,
+            meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
+            meta_buf, q_buf, nrm_buf, msem, usem,
+            lpu=lpu, npad=npad, t_min=t_min, t_max=t_max)
+
+
+def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
+                          t_in, n_in, meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
+                          meta_buf, q_buf, nrm_buf, msem, usem,
+                          *, lpu, npad, t_min, t_max):
+    rv = rv_ref[0, b]                             # (16, GROUP)
+    rv_hi = rv.astype(jnp.bfloat16)
+    rv_lo = (rv - rv_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Per-ray inverse directions + origins for the unit slab gate
+    # (rv rows: d = 0..2, o = 6..8).
+    inv_d = 1.0 / jnp.where(jnp.abs(rv[0:3]) < 1e-12, 1e-12, rv[0:3])
+    o_rows = rv[6:9]
+
+    # Group box scalars: [omin xyz, omax xyz, reach_min xyz, reach_max xyz].
+    def bx(i):
+        return box_ref[0, b, i]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def cmeta_dma(slot, ci):
+        return pltpu.make_async_copy(
+            meta_hbm.at[ccand_ref[0, b, ci]], meta_buf.at[b, slot],
+            msem.at[b, slot])
+
+    def unit_dmas(slot, unit):
+        return (
+            pltpu.make_async_copy(q_hbm.at[unit], q_buf.at[slot],
+                                  usem.at[slot, 0]),
+            pltpu.make_async_copy(nrm_hbm.at[unit], nrm_buf.at[slot],
+                                  usem.at[slot, 1]),
+        )
+
+    def process_unit(uslot, best_t, best_n):
+        q = q_buf[uslot]                          # (16, 4*LPU)
+        q_hi = q.astype(jnp.bfloat16)
+        q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dims = (((0,), (0,)), ((), ()))
+
+        def mm(a, c):
+            return jax.lax.dot_general(
+                a, c, dimension_numbers=dims,
+                preferred_element_type=jnp.float32)
+
+        out = mm(q_hi, rv_hi) + (mm(q_hi, rv_lo) + mm(q_lo, rv_hi))
+        det = out[0 * lpu:1 * lpu]
+        u_num = out[1 * lpu:2 * lpu]
+        v_num = out[2 * lpu:3 * lpu]
+        tn = out[3 * lpu:4 * lpu]
+        ok = jnp.abs(det) >= MT_DET_EPS
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        u = u_num * inv
+        v = v_num * inv
+        t = tn * inv                              # (LPU, GROUP)
+        ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
+               & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
+               & (t >= t_min) & (t <= t_max))
+        t = jnp.where(ok, t, 1e30)
+        tb = t.min(axis=0, keepdims=True)         # (1, GROUP)
+        onehot = ((t <= tb) & ok).astype(jnp.float32)
+        oh = jnp.concatenate(
+            [onehot, jnp.zeros((npad - lpu, GROUP), jnp.float32)], axis=0)
+        nrm_v = nrm_buf[uslot]
+        n_hi = nrm_v.astype(jnp.bfloat16)
+        n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        oh_b = oh.astype(jnp.bfloat16)
+        ndims = (((1,), (0,)), ((), ()))
+        nsel = (jax.lax.dot_general(n_hi, oh_b, dimension_numbers=ndims,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(n_lo, oh_b, dimension_numbers=ndims,
+                                      preferred_element_type=jnp.float32))
+        take = tb < best_t
+        return (jnp.where(take, tb, best_t),
+                jnp.where(take, nsel, best_n))
+
+    def cluster_body(carry):
+        ci, best_t, best_n, worst = carry
+        cslot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < ccnt)
+        def _():
+            cmeta_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+        cmeta_dma(cslot, ci).wait()
+        meta = meta_buf[b, cslot]                 # (8, 128)
+        cl = ccand_ref[0, b, ci]
+
+        mnx, mny, mnz = meta[0:1], meta[1:2], meta[2:3]
+        mxx, mxy, mxz = meta[3:4], meta[4:5], meta[5:6]
+        # Reach-box overlap test (the group analog of the tile frustum).
+        inside = meta[6:7] > 0.0
+        inside &= (mnx <= bx(9)) & (mxx >= bx(6))
+        inside &= (mny <= bx(10)) & (mxy >= bx(7))
+        inside &= (mnz <= bx(11)) & (mxz >= bx(8))
+        # Conservative entry distance: gap(origin box, unit AABB) <= any
+        # live ray's t to reach the unit (directions are unit length).
+        dx = jnp.maximum(jnp.maximum(mnx - bx(3), bx(0) - mxx), 0.0)
+        dy = jnp.maximum(jnp.maximum(mny - bx(4), bx(1) - mxy), 0.0)
+        dz = jnp.maximum(jnp.maximum(mnz - bx(5), bx(2) - mxz), 0.0)
+        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        inf = jnp.float32(jnp.inf)
+        key0 = jnp.where(inside & (dist <= worst), dist, inf)
+
+        def first(key):
+            kmin = jnp.min(key)
+            return jnp.min(jnp.where((key <= kmin) & (key < inf), lane, 128))
+
+        # Two-deep unit DMA pipeline (3-slot ring), as in pallas_tiled.
+        u0 = first(key0)
+        key1 = jnp.where(lane == u0, inf, key0)
+        u1 = first(key1)
+        key1 = jnp.where(lane == u1, inf, key1)
+
+        @pl.when(u0 < 128)
+        def _():
+            for d in unit_dmas(0, cl * UPC + u0):
+                d.start()
+
+        @pl.when(u1 < 128)
+        def _():
+            for d in unit_dmas(1, cl * UPC + u1):
+                d.start()
+
+        def unit_body(st):
+            u, n1, uslot, key, bt, bn, w = st
+            n2 = first(key)
+
+            @pl.when(n2 < 128)
+            def _():
+                slot2 = jax.lax.rem(uslot + 2, 3)
+                for d in unit_dmas(slot2, cl * UPC + n2):
+                    d.start()
+
+            for d in unit_dmas(uslot, cl * UPC + u):
+                d.wait()
+
+            # Per-ray slab gate: skip the MT epilogue unless some ray's
+            # interval with THIS unit's AABB can still beat its best (the
+            # group reach box is very conservative for incoherent rays).
+            def ext(row):
+                return jnp.sum(jnp.where(lane == u, row, 0.0))
+
+            ue = [ext(r) for r in (mnx, mny, mnz, mxx, mxy, mxz)]
+            t1x = (ue[0] - o_rows[0:1]) * inv_d[0:1]
+            t2x = (ue[3] - o_rows[0:1]) * inv_d[0:1]
+            t1y = (ue[1] - o_rows[1:2]) * inv_d[1:2]
+            t2y = (ue[4] - o_rows[1:2]) * inv_d[1:2]
+            t1z = (ue[2] - o_rows[2:3]) * inv_d[2:3]
+            t2z = (ue[5] - o_rows[2:3]) * inv_d[2:3]
+            enter = jnp.maximum(jnp.maximum(
+                jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z))
+            exit_ = jnp.minimum(jnp.minimum(
+                jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z))
+            gate = ((enter <= exit_) & (exit_ >= t_min)
+                    & (enter < jnp.minimum(bt, t_max)))
+            bt, bn = jax.lax.cond(
+                jnp.any(gate),
+                lambda: process_unit(uslot, bt, bn),
+                lambda: (bt, bn))
+            w = jnp.max(jnp.where(bt < 1e30, bt, 1e30))
+            key_wo = jnp.where(lane == n2, inf, key)
+            key2 = jnp.where(key_wo <= w, key_wo, inf)
+            return (n1, n2, jax.lax.rem(uslot + 1, 3), key2, bt, bn, w)
+
+        def unit_cond(st):
+            return st[0] < 128
+
+        _, _, _, _, best_t, best_n, worst = jax.lax.while_loop(
+            unit_cond, unit_body,
+            (u0, u1, jnp.int32(0), key1, best_t, best_n, worst))
+        return ci + 1, best_t, best_n, worst
+
+    def cluster_cond(carry):
+        ci, _bt, _bn, worst = carry
+        cidx = jnp.minimum(ci, centry_ref.shape[2] - 1)
+        return (ci < ccnt) & (worst >= centry_ref[0, b, cidx])
+
+    bt0 = t_in[0, b].reshape(1, GROUP)
+    bn0 = n_in[0, b]                              # (8, GROUP)
+    worst0 = jnp.max(jnp.where(bt0 < 1e30, bt0, 1e30))
+    c_final, best_t, best_n, _ = jax.lax.while_loop(
+        cluster_cond, cluster_body, (jnp.int32(0), bt0, bn0, worst0))
+
+    @pl.when(c_final < ccnt)
+    def _():
+        cmeta_dma(jax.lax.rem(c_final, 2), c_final).wait()
+
+    t_out[0, b] = best_t[0]
+    n_out[0, b] = best_n
+
+
+def _grouped_cluster_window(scene: DeviceScene, omin, omax, remaining,
+                            kc: int):
+    """Per-group cluster window: nearest kc remaining clusters by
+    origin-box gap, reach-overlap already folded into `remaining`."""
+    g, n_cl = remaining.shape
+    gap = jnp.maximum(
+        jnp.maximum(scene.cluster_aabb_min[None] - omax[:, None, :],
+                    omin[:, None, :] - scene.cluster_aabb_max[None]), 0.0)
+    dist = jnp.linalg.norm(gap, axis=-1)                      # (g, C)
+    key = jnp.where(remaining, -dist, -jnp.inf)
+    negd, cidx = jax.lax.top_k(key, kc)
+    sel = negd > -jnp.inf
+    centry = jnp.where(sel, -negd, jnp.inf)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (g, kc, n_cl), 2)
+    taken = ((iota == cidx[..., None]) & sel[..., None]).any(axis=1)
+    new_remaining = remaining & ~taken
+    next_bound = jnp.min(jnp.where(new_remaining, dist, jnp.inf), axis=1)
+    return (cidx.astype(jnp.int32), sel.sum(axis=1).astype(jnp.int32),
+            centry.astype(jnp.float32), new_remaining, next_bound)
+
+
+def trace_grouped_pallas(scene: DeviceScene, origins: jax.Array,
+                         directions: jax.Array, alive: jax.Array,
+                         cfg: RenderConfig, interpret: bool | None = None,
+                         groups_per_block: int = 4):
+    """Drop-in for grouped.trace_grouped with the Pallas cluster-walk
+    engine. Returns (t (N,), normal (N, 3), hit (N,), windows (scalar int32
+    — extra cluster windows beyond the first; 0 means every group fit))."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    n = origins.shape[0]
+    pad = (-n) % GROUP
+    if pad:
+        origins = jnp.pad(origins, ((0, pad), (0, 0)))
+        directions = jnp.pad(directions, ((0, pad), (0, 0)),
+                             constant_values=1.0)
+        alive = jnp.pad(alive, ((0, pad),))
+    total = origins.shape[0]
+    g = total // GROUP
+
+    # Compaction/sorting: dead rays last, live rays clustered by direction
+    # octant + origin cell (as the XLA engine).
+    key = jnp.where(alive, _sort_key(origins, directions, scene), 64)
+    perm = jnp.argsort(key, stable=True)
+    inv_perm = jnp.argsort(perm)
+    o = origins[perm].reshape(g, GROUP, 3)
+    d = directions[perm].reshape(g, GROUP, 3)
+    live = alive[perm].reshape(g, GROUP)
+
+    omin = jnp.where(live[..., None], o, BIG).min(axis=1)     # (g, 3)
+    omax = jnp.where(live[..., None], o, -BIG).max(axis=1)
+    dmin = jnp.where(live[..., None], d, BIG).min(axis=1)
+    dmax = jnp.where(live[..., None], d, -BIG).max(axis=1)
+    t_max = jnp.float32(cfg.t_max)
+    reach_min = omin + t_max * jnp.minimum(dmin, 0.0)
+    reach_max = omax + t_max * jnp.maximum(dmax, 0.0)
+    any_live = live.any(axis=1)
+    cl_hit = ((reach_min[:, None, :] <= scene.cluster_aabb_max[None])
+              & (reach_max[:, None, :] >= scene.cluster_aabb_min[None])
+              ).all(-1)                                       # (g, C)
+    cl_hit &= scene.cluster_valid[None] & any_live[:, None]
+
+    # Ray matrix rows [d(3), o x d(3), o(3), 1, pad(6)] (scene.unit_q16).
+    m = jnp.cross(o, d)
+    rv = jnp.concatenate(
+        [d, m, o, jnp.ones((g, GROUP, 1), jnp.float32),
+         jnp.zeros((g, GROUP, 6), jnp.float32)], axis=-1)
+    rv_t = rv.transpose(0, 2, 1)                              # (g, 16, GROUP)
+    box = jnp.concatenate(
+        [omin, omax, reach_min, reach_max,
+         jnp.zeros((g, 4), jnp.float32)], axis=1)             # (g, 16)
+
+    kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
+    # Dead lanes start "hit at 0" so they never block early exit; their
+    # outputs are masked below.
+    init_t = jnp.where(live, BIG, 0.0)
+    init_n = jnp.zeros((g, 8, GROUP), jnp.float32)
+
+    def one_window(ccand, ccount, centry, best_t, best_n):
+        return _launch(scene, rv_t, box, ccand, ccount, centry,
+                       best_t, best_n, cfg, interpret, groups_per_block)
+
+    def cond(st):
+        return st[0].any()
+
+    def body(st):
+        active, remaining, best_t, best_n, windows = st
+        ccand, ccount, centry, remaining, bound = _grouped_cluster_window(
+            scene, omin, omax, remaining, kc)
+        best_t, best_n = one_window(ccand, ccount, centry, best_t, best_n)
+        worst = jnp.max(jnp.where(best_t < BIG, best_t, BIG), axis=1)
+        active = remaining.any(axis=1) & (worst >= bound)
+        remaining &= active[:, None]
+        return (active, remaining, best_t, best_n,
+                windows + active.sum(dtype=jnp.int32))
+
+    active0 = cl_hit.any(axis=1)
+    _, _, best_t, best_n, windows = jax.lax.while_loop(
+        cond, body, (active0, cl_hit & active0[:, None], init_t, init_n,
+                     jnp.int32(0)))
+
+    bt = best_t.reshape(-1)[inv_perm][:n]
+    bn = best_n[:, 0:3].transpose(0, 2, 1).reshape(-1, 3)[inv_perm][:n]
+    live_out = live.reshape(-1)[inv_perm][:n]
+    hit = live_out & (bt < BIG) & (bt > 0.0)
+    nrm = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True),
+                           1e-20)
+    return jnp.where(hit, bt, cfg.t_max), nrm, hit, windows
+
+
+def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
+            interpret, groups_per_block):
+    g = rv_t.shape[0]
+    lpu = scene.leaves_per_unit
+    npad = scene.unit_nrm_pad.shape[2]
+    kc = ccand.shape[1]
+    gb = groups_per_block
+    pad = (-g) % gb
+    if pad:
+        rv_t = jnp.pad(rv_t, ((0, pad), (0, 0), (0, 0)))
+        box = jnp.pad(box, ((0, pad), (0, 0)))
+        ccand = jnp.pad(ccand, ((0, pad), (0, 0)))
+        ccount = jnp.pad(ccount, ((0, pad),))
+        centry = jnp.pad(centry, ((0, pad), (0, 0)))
+        t_in = jnp.pad(t_in, ((0, pad), (0, 0)))
+        n_in = jnp.pad(n_in, ((0, pad), (0, 0), (0, 0)))
+    nb = (g + pad) // gb
+
+    kernel = functools.partial(_kernel, lpu=lpu, npad=npad,
+                               t_min=cfg.t_min, t_max=cfg.t_max,
+                               groups_per_block=gb)
+    out_shape = (
+        jax.ShapeDtypeStruct((nb, gb, GROUP), jnp.float32),
+        jax.ShapeDtypeStruct((nb, gb, 8, GROUP), jnp.float32),
+    )
+    in_specs = [
+        pl.BlockSpec((1, gb, kc), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, gb, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, gb, kc), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, gb, 16), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, gb, 16, GROUP), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, gb, GROUP), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, gb, 8, GROUP), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_specs = (
+        pl.BlockSpec((1, gb, GROUP), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, gb, 8, GROUP), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    t, nrm = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((gb, 2, 8, 128), jnp.float32),
+            pltpu.VMEM((3, 16, 4 * lpu), jnp.float32),
+            pltpu.VMEM((3, 8, npad), jnp.float32),
+            pltpu.SemaphoreType.DMA((gb, 2)),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        interpret=interpret,
+    )(ccand.reshape(nb, gb, kc), ccount.reshape(nb, gb, 1),
+      centry.reshape(nb, gb, kc), box.reshape(nb, gb, 16),
+      rv_t.reshape(nb, gb, 16, GROUP),
+      t_in.reshape(nb, gb, GROUP), n_in.reshape(nb, gb, 8, GROUP),
+      scene.cluster_unit_meta, scene.unit_q16, scene.unit_nrm_pad)
+    return (t.reshape(-1, GROUP)[:g], nrm.reshape(-1, 8, GROUP)[:g])

@@ -1,14 +1,23 @@
 """Pallas TPU kernel for the tiled wavefront trace.
 
-Same algorithm as tiled.py (MXU-form Möller-Trumbore over per-tile candidate
-lists) with the two things XLA cannot express:
+Same algorithm as tiled.py (MXU-form Möller-Trumbore over front-to-back
+candidates) with the things XLA cannot express:
 
-  * a *dynamic* per-tile candidate loop — tiles run exactly `count[i]`
-    candidates instead of the padded maximum, so empty sky tiles cost ~zero;
-  * explicit double-buffered DMA of each candidate's tables (HBM -> VMEM)
-    overlapped with the previous candidate's compute.
+  * the whole two-level walk runs *inside* the kernel: each tile iterates
+    its own front-to-back cluster list (SMEM scalars), DMAs one 4 KB
+    cluster-metadata block (per-unit AABBs), frustum-culls and
+    distance-sorts the 64 member units on the VPU, and then runs only the
+    surviving units — so a frame is ONE kernel launch regardless of scene
+    size, with per-tile data-dependent trip counts;
+  * double-buffered DMA at both levels: the next cluster's metadata and the
+    next unit's MT tables stream from HBM while the current one computes;
+  * per-tile early exit: the cluster loop stops when every ray's best hit
+    is nearer than the next cluster's conservative entry bound, and units
+    are pruned against the running worst-hit distance (the analog of the
+    reference's nearest-first stack + first-hit return,
+    intersection.hlsl:228-242,472).
 
-Data layout per (tile, candidate) step, chosen for native TPU tiling:
+Data layout per (tile, unit) step, chosen for native TPU tiling:
   raymat   (8, TILE)    rows [dx,dy,dz, mx,my,mz, s, 1]  (TILE = 1024 lanes)
   q        (8, 4*LPU)   [det | u_num | v_num | t_num] column blocks
                         (DeviceScene.unit_q with the per-frame t_num row)
@@ -33,45 +42,86 @@ from .intersect import MT_DET_EPS, MT_UV_EPS
 
 BIG = jnp.float32(1e30)
 TILE = culling.TILE_H * culling.TILE_W
+UPC = culling.UNITS_PER_CLUSTER
 
 
-def _kernel(cand_ref, count_ref, entry_ref, raymat_ref,  # blocked inputs
-            q_hbm, nrm_hbm,                       # full tables (ANY/HBM)
-            t_out, n_out,                         # outputs
-            q_buf, nrm_buf, sem,                  # scratch
-            *, lpu: int, npad: int, t_min: float, t_max: float,
-            tiles_per_block: int):
+def _kernel(*refs, lpu: int, t_min: float, t_max: float,
+            tiles_per_block: int, fused_cfg):
+    """fused_cfg: None = windowed mode (carry t/n in and out); a
+    RenderConfig = single-window fused mode (shade in-kernel, write color
+    rows, no carry inputs — saves one full (tiles, 8, TILE) HBM round-trip
+    plus the separate XLA shading pass)."""
+    if fused_cfg is None:
+        (ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
+         t_in, n_in, meta_hbm, q_hbm, t_out, n_out,
+         meta_buf, q_buf, msem, usem) = refs
+        outs = (t_in, n_in, t_out, n_out, None)
+    else:
+        (ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
+         meta_hbm, q_hbm, c_out,
+         meta_buf, q_buf, msem, usem) = refs
+        outs = (None, None, None, None, c_out)
     # Several tiles per grid step amortize the per-program overhead (the
     # frame is mostly empty tiles whose only cost is grid machinery).
+    # Kick off every tile's FIRST cluster-metadata DMA up front (per-tile
+    # buffers) so tile b+1's metadata streams while tile b computes —
+    # otherwise each tile pays the full HBM latency before its first
+    # cluster.
     for b in range(tiles_per_block):
-        _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
-                    q_hbm, nrm_hbm, t_out, n_out, q_buf, nrm_buf, sem,
-                    lpu=lpu, npad=npad, t_min=t_min, t_max=t_max)
+        cnt_b = jnp.minimum(ccount_ref[0, b, 0], ccand_ref.shape[2])
+
+        @pl.when(cnt_b > 0)
+        def _(b=b):
+            pltpu.make_async_copy(
+                meta_hbm.at[ccand_ref[0, b, 0]], meta_buf.at[b, 0],
+                msem.at[b, 0]).start()
+
+    for b in range(tiles_per_block):
+        _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref,
+                    raymat_ref, outs, meta_hbm, q_hbm,
+                    meta_buf, q_buf, msem, usem,
+                    lpu=lpu, t_min=t_min, t_max=t_max,
+                    fused_cfg=fused_cfg)
 
 
-def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
-                q_hbm, nrm_hbm, t_out, n_out, q_buf, nrm_buf, sem,
-                *, lpu, npad, t_min, t_max):
-    rm = raymat_ref[0, b]                         # (8, TILE)
-    # count can exceed the candidate-list capacity (overflowing tiles keep
-    # their true count for observability); clamp — reading cand_ref past
-    # c_max would index garbage and launch an out-of-bounds table DMA.
-    cnt = jnp.minimum(count_ref[0, b, 0], cand_ref.shape[2])
+def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
+                outs, meta_hbm, q_hbm,
+                meta_buf, q_buf, msem, usem,
+                *, lpu, t_min, t_max, fused_cfg):
+    t_in, n_in, t_out, n_out, c_out = outs
+    # count can exceed the cluster-list capacity (overflowing tiles keep
+    # their true count; the host window loop re-runs them); clamp — reading
+    # ccand_ref past capacity would index garbage.
+    ccnt = jnp.minimum(ccount_ref[0, b, 0], ccand_ref.shape[2])
 
-    def dmas(slot, c):
-        unit = cand_ref[0, b, c]
-        return (
-            pltpu.make_async_copy(q_hbm.at[unit], q_buf.at[slot],
-                                  sem.at[slot, 0]),
-            pltpu.make_async_copy(nrm_hbm.at[unit], nrm_buf.at[slot],
-                                  sem.at[slot, 1]),
-        )
-
-    @pl.when(cnt > 0)
+    # Empty tiles (~85% of a typical frame) skip everything: constant
+    # background (fused) / carry passthrough (windowed).
+    @pl.when(ccnt == 0)
     def _():
-        for d in dmas(0, 0):
-            d.start()
+        if fused_cfg is None:
+            t_out[0, b] = t_in[0, b]
+            n_out[0, b] = n_in[0, b]
+        else:
+            bg = [jnp.full((1, TILE), jnp.float32(c))
+                  for c in fused_cfg.background]
+            c_out[0, b] = jnp.concatenate(
+                bg + [jnp.zeros((5, TILE), jnp.float32)], axis=0)
 
+    @pl.when(ccnt > 0)
+    def _():
+        _trace_tile_nonempty(
+            b, ccnt, ccand_ref, centry_ref, frus_ref, raymat_ref, outs,
+            meta_hbm, q_hbm, meta_buf, q_buf, msem, usem,
+            lpu=lpu, t_min=t_min, t_max=t_max,
+            fused_cfg=fused_cfg)
+
+
+def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
+                         raymat_ref, outs, meta_hbm, q_hbm,
+                         meta_buf, q_buf, msem, usem,
+                         *, lpu, t_min, t_max, fused_cfg):
+    t_in, n_in, t_out, n_out, c_out = outs
+    rm = raymat_ref[0, b]                         # (8, TILE)
     s_row = rm[6:7]                               # (1, TILE)
     # hi/lo bf16 split of the ray matrix (once per tile): emulates 3-pass
     # f32 matmuls (Mosaic supports only DEFAULT/HIGHEST; HIGHEST is 6
@@ -79,19 +129,30 @@ def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
     rm_hi = rm.astype(jnp.bfloat16)
     rm_lo = (rm - rm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    def body(carry):
-        c, best_t, best_n, _worst = carry
-        slot = jax.lax.rem(c, 2)
+    # Tile frustum scalars: [apex xyz, n0 xyz, n1 xyz, n2 xyz, n3 xyz].
+    ax = frus_ref[0, b, 0]
+    ay = frus_ref[0, b, 1]
+    az = frus_ref[0, b, 2]
 
-        @pl.when(c + 1 < cnt)
-        def _():
-            for d in dmas(jax.lax.rem(c + 1, 2), c + 1):
-                d.start()
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-        for d in dmas(slot, c):
-            d.wait()
+    def cmeta_dma(slot, ci):
+        return pltpu.make_async_copy(
+            meta_hbm.at[ccand_ref[0, b, ci]], meta_buf.at[b, slot],
+            msem.at[b, slot])
 
-        q = q_buf[slot]                           # (8, 4*LPU)
+    def qn_dma(slot, unit):
+        return pltpu.make_async_copy(q_hbm.at[unit], q_buf.at[slot],
+                                     usem.at[slot])
+
+    # (this tile's first cluster metadata DMA was started by _kernel's
+    # block-level prefetch loop)
+
+    def process_unit(uslot, best_t, best_n):
+        """MXU Möller-Trumbore for one unit's LPU leaves; returns updated
+        (best_t (1, TILE), best_n (8, TILE))."""
+        qn = q_buf[uslot]                         # (8, 4*LPU + 128)
+        q = qn[:, :4 * lpu]
         # Single-pass bf16 speckles the image (the det/u/v epsilon tests
         # flip near edges), and HIGHEST costs 6 passes. Three bf16 products
         # with the hi/lo splits give ~21-bit mantissas — ample for the
@@ -100,9 +161,9 @@ def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
         q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         dims = (((0,), (0,)), ((), ()))
 
-        def mm(a, b):
+        def mm(a, c):
             return jax.lax.dot_general(
-                a, b, dimension_numbers=dims,
+                a, c, dimension_numbers=dims,
                 preferred_element_type=jnp.float32)
 
         out = mm(q_hi, rm_hi) + (mm(q_hi, rm_lo) + mm(q_lo, rm_hi))
@@ -122,9 +183,9 @@ def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
         tb = t.min(axis=0, keepdims=True)         # (1, TILE)
         onehot = ((t <= tb) & ok).astype(jnp.float32)
         oh = jnp.concatenate(
-            [onehot, jnp.zeros((npad - lpu, TILE), jnp.float32)], axis=0)
+            [onehot, jnp.zeros((128 - lpu, TILE), jnp.float32)], axis=0)
         # one-hot is exact in bf16; split only the normals (2 passes).
-        nrm_v = nrm_buf[slot]
+        nrm_v = qn[:, 4 * lpu:4 * lpu + 128]
         n_hi = nrm_v.astype(jnp.bfloat16)
         n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         oh_b = oh.astype(jnp.bfloat16)
@@ -134,99 +195,217 @@ def _trace_tile(b, cand_ref, count_ref, entry_ref, raymat_ref,
                 + jax.lax.dot_general(n_lo, oh_b, dimension_numbers=ndims,
                                       preferred_element_type=jnp.float32))
         take = tb < best_t
-        best_t = jnp.where(take, tb, best_t)
-        best_n = jnp.where(take, nsel, best_n)
-        # Early-exit bound: candidates are front-to-back by apex distance;
-        # once every ray's best apex-relative hit is nearer than the next
-        # candidate's entry bound, the rest cannot contribute (the analog of
-        # the reference's nearest-first stack + first-hit return,
-        # intersection.hlsl:462-476).
-        worst = jnp.max(jnp.where(best_t < 1e30, best_t + s_row, 1e30))
-        return c + 1, best_t, best_n, worst
+        return (jnp.where(take, tb, best_t),
+                jnp.where(take, nsel, best_n))
 
-    def cond(carry):
-        c, _best_t, _best_n, worst = carry
-        cidx = jnp.minimum(c, entry_ref.shape[2] - 1)  # guard c == c_max
-        return (c < cnt) & (worst >= entry_ref[0, b, cidx])
+    def cluster_body(carry):
+        ci, best_t, best_n, worst = carry
+        cslot = jax.lax.rem(ci, 2)
 
-    init = (jnp.int32(0),
-            jnp.full((1, TILE), 1e30, jnp.float32),
-            jnp.zeros((8, TILE), jnp.float32),
-            jnp.float32(1e30))
-    c_final, best_t, best_n, _ = jax.lax.while_loop(cond, body, init)
+        @pl.when(ci + 1 < ccnt)
+        def _():
+            cmeta_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
 
-    # Drain: if the early-exit bound stopped the loop at c_final < cnt, the
-    # previous iteration already started the DMA for candidate c_final —
-    # leaving it un-awaited leaks its semaphore and corrupts later programs
-    # on the device. (At a full run c_final == cnt and nothing is pending.)
-    @pl.when((c_final > 0) & (c_final < cnt))
+        cmeta_dma(cslot, ci).wait()
+        meta = meta_buf[b, cslot]                 # (8, 128)
+        cl = ccand_ref[0, b, ci]
+
+        mnx, mny, mnz = meta[0:1], meta[1:2], meta[2:3]
+        mxx, mxy, mxz = meta[3:4], meta[4:5], meta[5:6]
+        inside = meta[6:7] > 0.0                  # valid lanes only
+        for p in range(4):
+            nx = frus_ref[0, b, 3 + 3 * p + 0]
+            ny = frus_ref[0, b, 3 + 3 * p + 1]
+            nz = frus_ref[0, b, 3 + 3 * p + 2]
+            dot = (nx * (jnp.where(nx >= 0.0, mxx, mnx) - ax)
+                   + ny * (jnp.where(ny >= 0.0, mxy, mny) - ay)
+                   + nz * (jnp.where(nz >= 0.0, mxz, mnz) - az))
+            inside &= dot >= 0.0
+        dx = jnp.maximum(jnp.maximum(mnx - ax, ax - mxx), 0.0)
+        dy = jnp.maximum(jnp.maximum(mny - ay, ay - mxy), 0.0)
+        dz = jnp.maximum(jnp.maximum(mnz - az, az - mxz), 0.0)
+        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)   # (1, 128)
+        # "Masked distance" row: +inf = excluded. A float carry — Mosaic
+        # cannot legalize boolean-vector while-loop carries.
+        inf = jnp.float32(jnp.inf)
+        key0 = jnp.where(inside & (dist <= worst), dist, inf)
+
+        def first(key):
+            """Lane of the nearest active unit (128 = none)."""
+            kmin = jnp.min(key)
+            return jnp.min(jnp.where((key <= kmin) & (key < inf), lane, 128))
+
+        # Two-deep unit DMA pipeline (3-slot ring): while unit u computes,
+        # u+1 and u+2 stream from HBM — one prefetch cannot hide the HBM
+        # latency behind the ~1 us per-unit epilogue.
+        u0 = first(key0)
+        key1 = jnp.where(lane == u0, inf, key0)
+        u1 = first(key1)
+        key1 = jnp.where(lane == u1, inf, key1)
+
+        @pl.when(u0 < 128)
+        def _():
+            qn_dma(0, cl * UPC + u0).start()
+
+        @pl.when(u1 < 128)
+        def _():
+            qn_dma(1, cl * UPC + u1).start()
+
+        def unit_body(st):
+            u, n1, uslot, key, bt, bn, w = st
+            n2 = first(key)
+
+            @pl.when(n2 < 128)
+            def _():
+                qn_dma(jax.lax.rem(uslot + 2, 3), cl * UPC + n2).start()
+
+            qn_dma(uslot, cl * UPC + u).wait()
+            bt, bn = process_unit(uslot, bt, bn)
+            w = jnp.max(jnp.where(bt < 1e30, bt + s_row, 1e30))
+            # Prune what the improved worst rules out — n1/n2's DMAs are
+            # already in flight, so they stay pinned via the carry and are
+            # always processed (a rare wasted matmul, never a leaked
+            # semaphore).
+            key_wo = jnp.where(lane == n2, inf, key)
+            key2 = jnp.where(key_wo <= w, key_wo, inf)
+            return (n1, n2, jax.lax.rem(uslot + 1, 3), key2, bt, bn, w)
+
+        def unit_cond(st):
+            return st[0] < 128
+
+        _, _, _, _, best_t, best_n, worst = jax.lax.while_loop(
+            unit_cond, unit_body,
+            (u0, u1, jnp.int32(0), key1, best_t, best_n, worst))
+        return ci + 1, best_t, best_n, worst
+
+    def cluster_cond(carry):
+        ci, _bt, _bn, worst = carry
+        cidx = jnp.minimum(ci, centry_ref.shape[2] - 1)
+        return (ci < ccnt) & (worst >= centry_ref[0, b, cidx])
+
+    # Carry in the running best from previous cluster windows; the early
+    # exit bound then also skips whole windows this tile no longer needs.
+    # (Fused mode is single-window: start fresh.)
+    if fused_cfg is None:
+        bt0 = t_in[0, b].reshape(1, TILE)
+        bn0 = n_in[0, b]                          # (8, TILE)
+        worst0 = jnp.max(jnp.where(bt0 < 1e30, bt0 + s_row, 1e30))
+    else:
+        bt0 = jnp.full((1, TILE), 1e30, jnp.float32)
+        bn0 = jnp.zeros((8, TILE), jnp.float32)
+        worst0 = jnp.float32(1e30)
+    c_final, best_t, best_n, _ = jax.lax.while_loop(
+        cluster_cond, cluster_body, (jnp.int32(0), bt0, bn0, worst0))
+
+    # Drain: whenever the cluster loop stopped at c_final < ccnt (early-exit
+    # bound, possibly before the first iteration), the metadata DMA for
+    # cluster c_final has already been started — leaving it un-awaited leaks
+    # its semaphore and corrupts later programs on the device. (Unit DMAs
+    # never leak: the unit loop only exits after processing a unit whose
+    # successor was 128, i.e. nothing in flight.)
+    @pl.when(c_final < ccnt)
     def _():
-        for d in dmas(jax.lax.rem(c_final, 2), c_final):
-            d.wait()
+        cmeta_dma(jax.lax.rem(c_final, 2), c_final).wait()
 
-    t_out[0, b] = best_t[0]
-    n_out[0, b] = best_n
+    if fused_cfg is None:
+        t_out[0, b] = best_t[0]
+        n_out[0, b] = best_n
+    else:
+        # Fused epilogue: normalize the selected normal, shade against the
+        # view direction (-d = -rows 0..2 of the ray matrix), Reinhard — the
+        # exact row form of shading.shade_or_miss.
+        nx, ny, nz = best_n[0:1], best_n[1:2], best_n[2:3]
+        nn = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-20)
+        hit = best_t < 1e30
+        r, g, bl = shading.shade_rows(
+            nx / nn, ny / nn, nz / nn, -rm[0:1], -rm[1:2], -rm[2:3],
+            hit, fused_cfg)
+        c_out[0, b] = jnp.concatenate(
+            [r, g, bl, jnp.zeros((5, TILE), jnp.float32)], axis=0)
 
 
 def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, q_frame: jax.Array,
-                 cand: jax.Array, count: jax.Array, entry: jax.Array,
-                 cfg: RenderConfig, interpret: bool = False,
-                 tiles_per_block: int = 8):
-    """raymat_t: (tiles, 8, TILE); q_frame: (U, 8, 4*LPU).
-    Returns (t (tiles, TILE), normal (tiles, 8, TILE), rows 0..2 used)."""
+                 frus: jax.Array, ccand: jax.Array, ccount: jax.Array,
+                 centry: jax.Array, t_in: jax.Array | None,
+                 n_in: jax.Array | None, cfg: RenderConfig,
+                 interpret: bool = False, tiles_per_block: int = 8,
+                 fused: bool = False):
+    """One cluster window (normally the whole frame). raymat_t:
+    (tiles, 8, TILE); q_frame: (U, 8, 4*LPU); frus: (tiles, 16) frustum
+    scalars; ccand/ccount/centry: per-tile front-to-back cluster lists.
+
+    Windowed mode (fused=False): t_in (tiles, TILE) / n_in
+    (tiles, 8, TILE) carry the running best from previous windows (BIG/0
+    for the first); returns the updated (t, normal rows).
+    Fused mode (fused=True, single window): shades in-kernel and returns
+    one (tiles, 8, TILE) array with rgb in rows 0..2.
+    """
     n_tiles = raymat_t.shape[0]
     lpu = scene.leaves_per_unit
-    npad = scene.unit_nrm_pad.shape[2]
-    c_max = cand.shape[1]
+    kc = ccand.shape[1]
     tb = tiles_per_block
     pad = (-n_tiles) % tb
     if pad:
         raymat_t = jnp.pad(raymat_t, ((0, pad), (0, 0), (0, 0)))
-        cand = jnp.pad(cand, ((0, pad), (0, 0)))
-        count = jnp.pad(count, ((0, pad),))
-        entry = jnp.pad(entry, ((0, pad), (0, 0)))
+        frus = jnp.pad(frus, ((0, pad), (0, 0)))
+        ccand = jnp.pad(ccand, ((0, pad), (0, 0)))
+        ccount = jnp.pad(ccount, ((0, pad),))
+        centry = jnp.pad(centry, ((0, pad), (0, 0)))
+        if not fused:
+            t_in = jnp.pad(t_in, ((0, pad), (0, 0)), constant_values=1e30)
+            n_in = jnp.pad(n_in, ((0, pad), (0, 0), (0, 0)))
     nb = (n_tiles + pad) // tb
 
-    kernel = functools.partial(_kernel, lpu=lpu, npad=npad,
+    kernel = functools.partial(_kernel, lpu=lpu,
                                t_min=cfg.t_min, t_max=cfg.t_max,
-                               tiles_per_block=tb)
-    out_shape = (
-        jax.ShapeDtypeStruct((nb, tb, TILE), jnp.float32),
-        jax.ShapeDtypeStruct((nb, tb, 8, TILE), jnp.float32),
-    )
-    in_specs = [
-        pl.BlockSpec((1, tb, c_max), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, tb, 1), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, tb, c_max), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, tb, 8, TILE), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
-    out_specs = (
-        pl.BlockSpec((1, tb, TILE), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tb, 8, TILE), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    )
-    t, nrm = pl.pallas_call(
+                               tiles_per_block=tb,
+                               fused_cfg=cfg if fused else None)
+    smem = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.SMEM)
+    vmem = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    head_specs = [smem((tb, kc)), smem((tb, 1)), smem((tb, kc)),
+                  smem((tb, 16)), vmem((tb, 8, TILE))]
+    tail_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+    head_args = (ccand.reshape(nb, tb, kc), ccount.reshape(nb, tb, 1),
+                 centry.reshape(nb, tb, kc), frus.reshape(nb, tb, 16),
+                 raymat_t.reshape(nb, tb, 8, TILE))
+    tail_args = (scene.cluster_unit_meta, q_frame)
+    if fused:
+        in_specs = head_specs + tail_specs
+        args = head_args + tail_args
+        out_shape = jax.ShapeDtypeStruct((nb, tb, 8, TILE), jnp.float32)
+        out_specs = vmem((tb, 8, TILE))
+    else:
+        in_specs = head_specs + [vmem((tb, TILE)),
+                                 vmem((tb, 8, TILE))] + tail_specs
+        args = head_args + (t_in.reshape(nb, tb, TILE),
+                            n_in.reshape(nb, tb, 8, TILE)) + tail_args
+        out_shape = (
+            jax.ShapeDtypeStruct((nb, tb, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, tb, 8, TILE), jnp.float32),
+        )
+        out_specs = (vmem((tb, TILE)), vmem((tb, 8, TILE)))
+
+    out = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, 8, 4 * lpu), jnp.float32),
-            pltpu.VMEM((2, 8, npad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((tb, 2, 8, 128), jnp.float32),
+            pltpu.VMEM((3, 8, 4 * lpu + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((tb, 2)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(cand.reshape(nb, tb, c_max), count.reshape(nb, tb, 1),
-      entry.reshape(nb, tb, c_max), raymat_t.reshape(nb, tb, 8, TILE),
-      q_frame, scene.unit_nrm_pad)
+    )(*args)
+    if fused:
+        return out.reshape(-1, 8, TILE)[:n_tiles]
+    t, nrm = out
     return (t.reshape(-1, TILE)[:n_tiles],
             nrm.reshape(-1, 8, TILE)[:n_tiles])
 
@@ -239,19 +418,45 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
     width, height = cfg.width, cfg.height
     pw, ph = tiled.padded_size(width, height)
     tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
+    n_tiles = tx * ty
 
-    raymat, q_frame, cand, count, entry, dirs = tiled.build_frame_inputs(
-        scene, inv_view_proj, cfg)
-    raymat_t = raymat.transpose(0, 2, 1)            # (tiles, 8, TILE)
+    fi = tiled.build_frame_inputs(scene, inv_view_proj, cfg)
+    raymat_t = fi.raymat.transpose(0, 2, 1)         # (tiles, 8, TILE)
+    frus = tiled.frustum_scalars(fi)
+    kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
 
-    t, nrm = trace_pallas(scene, raymat_t, q_frame, cand, count, entry, cfg,
-                          interpret=interpret)
-    best_t = t                                      # (tiles, TILE)
-    best_n = nrm[:, 0:3].transpose(0, 2, 1)         # (tiles, TILE, 3)
-    hit_mask = best_t < BIG
-    n_unit = best_n / jnp.maximum(
-        jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
-    colors = shading.shade_or_miss(hit_mask, n_unit, -dirs, cfg)
+    if scene.num_clusters <= kc:
+        # Single window covers the whole scene: trace + shade fused in one
+        # kernel launch (no (tiles, 8, TILE) HBM round-trip, no separate
+        # shading pass, empty tiles write constant background in-kernel).
+        cl_dist = culling.aabb_distance(fi.apex, scene.cluster_aabb_min,
+                                        scene.cluster_aabb_max)
+        key = jnp.where(fi.cluster_hit, -cl_dist[None, :], -jnp.inf)
+        negd, cidx = jax.lax.top_k(key, kc)
+        sel = negd > -jnp.inf
+        centry = jnp.where(sel, -negd, jnp.inf).astype(jnp.float32)
+        rows = trace_pallas(scene, raymat_t, fi.q_frame, frus,
+                            cidx.astype(jnp.int32),
+                            sel.sum(axis=1).astype(jnp.int32), centry,
+                            None, None, cfg, interpret=interpret,
+                            fused=True)
+        colors = rows[:, 0:3].transpose(0, 2, 1)     # (tiles, TILE, 3)
+    else:
+        def trace_window(ccand, ccount, centry, best_t, best_n):
+            return trace_pallas(scene, raymat_t, fi.q_frame, frus,
+                                ccand, ccount, centry, best_t, best_n, cfg,
+                                interpret=interpret)
+
+        init = (jnp.full((n_tiles, TILE), BIG, jnp.float32),
+                jnp.zeros((n_tiles, 8, TILE), jnp.float32))
+        best_t, nrm = tiled.trace_windowed_clusters(
+            scene, fi, cfg, trace_window, *init, kc=kc)
+
+        best_n = nrm[:, 0:3].transpose(0, 2, 1)     # (tiles, TILE, 3)
+        hit_mask = best_t < BIG
+        n_unit = best_n / jnp.maximum(
+            jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
+        colors = shading.shade_or_miss(hit_mask, n_unit, -fi.dirs, cfg)
 
     img = (colors.reshape(ty, tx, culling.TILE_H, culling.TILE_W, 3)
            .transpose(0, 2, 1, 3, 4).reshape(ph, pw, 3))

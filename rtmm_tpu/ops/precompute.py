@@ -176,6 +176,160 @@ def build_triangle_tables(tri: mesh_mod.MicroTriangle,
         leaf_slots=leaf_slots, leaf_verts=leaf_verts, tess_verts=tess_verts)
 
 
+def build_uniform_tables(mesh: mesh_mod.MicroMesh, start: int, stop: int
+                         ) -> dict:
+    """Batched TriangleTables for a slice of a uniform-level, all-present
+    mesh — the same math as build_triangle_tables vectorized over the
+    triangle axis, which turns the host precompute from a per-triangle
+    Python loop (~1.5 ms/triangle) into dense NumPy, enabling real-scale
+    scenes (10^4-10^6 base triangles).
+
+    Returns a dict of arrays with leading dim (stop - start): plane_{t,b,n,o}
+    (N,3), aabb_{min,max} (N,3), node_verts (N,NI,3,2), node_minmax (N,NI,2),
+    node_delta (N,NI), leaf_verts (N,F,3,3), tess_verts (N,F,3,3),
+    scales (N,M). Leaf slot k holds the uniform-case leaf in emission order
+    (slots are exactly arange(4^level), matching enumerate_leaves with full
+    presence).
+    """
+    tris = mesh.triangles[start:stop]
+    lvl = tris[0].subdivision_level
+    n = len(tris)
+    bidx = np.stack([t.base_vertex_indices for t in tris])       # (N, 3)
+    u_pos = np.stack([t.u_positions for t in tris]).astype(np.float32)
+    u_disp = np.stack([t.u_displacements for t in tris]).astype(np.float32)
+    v0 = mesh.positions[bidx[:, 0]].astype(np.float32)
+    v1 = mesh.positions[bidx[:, 1]].astype(np.float32)
+    v2 = mesh.positions[bidx[:, 2]].astype(np.float32)
+    d0 = mesh.directions[bidx[:, 0]].astype(np.float32)
+    d1 = mesh.directions[bidx[:, 1]].astype(np.float32)
+    d2 = mesh.directions[bidx[:, 2]].astype(np.float32)
+
+    def nrm_rows(x):
+        return (x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
+                               1e-20)).astype(np.float32)
+
+    e1b = v1 - v0
+    e2b = v2 - v0
+    pn = nrm_rows(np.cross(e1b, e2b))
+    pt = nrm_rows(e1b)
+    pb = nrm_rows(np.cross(pn, pt))
+
+    displaced = u_pos + u_disp                                   # (N, M, 3)
+    aabb_min = displaced.min(axis=1)
+    aabb_max = displaced.max(axis=1)
+
+    # Batched displacement scales (mesh.cpp:398-416, robust dot-ratio form).
+    bc = _barycentric_batch(v0, v1, v2, u_pos)                   # (N, M, 3)
+    d = (bc[..., 0:1] * d0[:, None] + bc[..., 1:2] * d1[:, None]
+         + bc[..., 2:3] * d2[:, None]).astype(np.float32)
+    dd = (d * d).sum(-1)
+    scales = _safe_div((u_disp * d).sum(-1), dd).astype(np.float32)
+    scales = np.where(dd == 0.0, 0.0, scales).astype(np.float32)
+
+    heights = (u_disp * pn[:, None]).sum(-1).astype(np.float32)  # (N, M)
+    moved = displaced - po_broadcast(v0, u_pos)
+    pts2d = np.stack([(moved * pt[:, None]).sum(-1),
+                      (moved * pb[:, None]).sum(-1)],
+                     axis=-1).astype(np.float32)                 # (N, M, 2)
+
+    ni = subdivision.num_internal_nodes(lvl)
+    node_minmax = np.zeros((n, max(ni, 1), 2), np.float32)[:, :ni]
+    node_delta = np.zeros((n, ni), np.float32)
+    node_verts = np.zeros((n, ni, 3, 2), np.float32)
+
+    leaf_corners = subdivision.enumerate_leaves(
+        lvl, lambda c: np.ones(c.shape[:-1], dtype=bool))[1]     # (F, 3, 2)
+    fidx = subdivision.grid_index(leaf_corners)                  # (F, 3)
+    f = leaf_corners.shape[0]
+
+    if lvl > 0:
+        paths = subdivision.face_node_paths(leaf_corners, lvl)   # (F, lvl+1)
+        tables = subdivision.node_corner_table(lvl)
+        fheights = heights[:, fidx]                              # (N, F, 3)
+        fpts = pts2d[:, fidx]                                    # (N, F, 3, 2)
+        for l in range(lvl):
+            off = subdivision.level_offset(l)
+            count = 4**l
+            fpn = f // count
+            order = np.argsort(paths[:, l], kind="stable")       # contiguous
+            fh = fheights[:, order].reshape(n, count, fpn * 3)
+            node_minmax[:, off:off + count, 0] = fh.min(axis=2)
+            node_minmax[:, off:off + count, 1] = fh.max(axis=2)
+            corner2d = pts2d[:, subdivision.grid_index(tables[l])]
+            fp = fpts[:, order].reshape(n, count, fpn, 3, 2)
+            delta = _node_deltas_batched(corner2d, fp)
+            node_delta[:, off:off + count] = delta
+            node_verts[:, off:off + count] = expand_triangle(corner2d, delta)
+
+    # Displaced 3D leaves, closed form (same as _leaf_verts_3d, batched).
+    denom = max(2**lvl, 1)
+    u = leaf_corners[..., 0] / denom                             # (F, 3)
+    w = leaf_corners[..., 1] / denom
+    lbc = np.stack([1.0 - u, u - w, w], axis=-1).astype(np.float32)  # (F,3,3)
+    base = (lbc[None, ..., 0:1] * v0[:, None, None]
+            + lbc[None, ..., 1:2] * v1[:, None, None]
+            + lbc[None, ..., 2:3] * v2[:, None, None])
+    ldirs = (lbc[None, ..., 0:1] * d0[:, None, None]
+             + lbc[None, ..., 1:2] * d1[:, None, None]
+             + lbc[None, ..., 2:3] * d2[:, None, None])
+    s = scales[:, fidx]                                          # (N, F, 3)
+    leaf_verts = (base + s[..., None] * ldirs).astype(np.float32)
+
+    tess_verts = displaced[:, fidx].astype(np.float32)           # (N, F, 3, 3)
+
+    return dict(level=lvl, plane_t=pt, plane_b=pb, plane_n=pn, plane_o=v0,
+                aabb_min=aabb_min, aabb_max=aabb_max, scales=scales,
+                node_minmax=node_minmax, node_delta=node_delta,
+                node_verts=node_verts, leaf_verts=leaf_verts,
+                tess_verts=tess_verts)
+
+
+def po_broadcast(v0: np.ndarray, u_pos: np.ndarray) -> np.ndarray:
+    """Plane origin (= v0) broadcast over the micro-vertex axis."""
+    return np.broadcast_to(v0[:, None], u_pos.shape)
+
+
+def _barycentric_batch(a, b, c, points):
+    """Batched barycentric coords: a/b/c (N, 3), points (N, M, 3)."""
+    v0 = (b - a).astype(np.float64)
+    v1 = (c - a).astype(np.float64)
+    v2 = points.astype(np.float64) - a[:, None]
+    d00 = (v0 * v0).sum(-1)[:, None]
+    d01 = (v0 * v1).sum(-1)[:, None]
+    d11 = (v1 * v1).sum(-1)[:, None]
+    d20 = (v2 * v0[:, None]).sum(-1)
+    d21 = (v2 * v1[:, None]).sum(-1)
+    denom = d00 * d11 - d01 * d01
+    beta = (d11 * d20 - d01 * d21) / denom
+    gamma = (d00 * d21 - d01 * d20) / denom
+    alpha = 1.0 - beta - gamma
+    return np.stack([alpha, beta, gamma], axis=-1)
+
+
+def _node_deltas_batched(corner2d: np.ndarray, fp: np.ndarray) -> np.ndarray:
+    """Batched _node_deltas: corner2d (N, count, 3, 2) node corners,
+    fp (N, count, fpn, 3, 2) member face points -> (N, count)."""
+    c = corner2d
+    a_ = c[:, :, [0, 1, 2], :][:, :, None, :, None, :]  # (N,cnt,1,3e,1,2)
+    b_ = c[:, :, [1, 2, 0], :][:, :, None, :, None, :]
+    e1 = c[:, :, 1] - c[:, :, 0]
+    e2 = c[:, :, 2] - c[:, :, 0]
+    ccw = (e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0]) > 0.0
+
+    p = fp[:, :, :, None, :, :]                         # (N,cnt,fpn,1,3p,2)
+    ab = b_ - a_
+    ap = p - a_
+    ab_len2 = (ab * ab).sum(-1)
+    t = np.clip(_safe_div((ap * ab).sum(-1), ab_len2), 0.0, 1.0)
+    closest = a_ + t[..., None] * ab
+    dist = np.linalg.norm(p - closest, axis=-1)         # (N,cnt,fpn,3,3)
+    cross = ab[..., 0] * ap[..., 1] - ab[..., 1] * ap[..., 0]
+    is_right = cross <= 0.0
+    outside = np.where(ccw[..., None, None, None], is_right, ~is_right)
+    contrib = np.where(outside, dist, 0.0)
+    return contrib.max(axis=(2, 3, 4)).astype(np.float32)
+
+
 def _node_deltas(corner2d: np.ndarray, node_of_face: np.ndarray,
                  fpts: np.ndarray, count: int) -> np.ndarray:
     """Max outside-distance of member points to node edges (mesh.cpp:248-272).

@@ -94,3 +94,47 @@ def shade_or_miss(hit: jax.Array, normal: jax.Array, view: jax.Array,
     bg = _vec3(cfg.background)
     color = shade(normal, view, cfg)
     return jnp.where(hit[..., None], color, bg)
+
+
+def shade_rows(nx, ny, nz, vx, vy, vz, hit, cfg: RenderConfig):
+    """Row-major shade_or_miss for the Pallas kernel's fused epilogue.
+
+    All inputs are same-shaped arrays (component rows, e.g. (1, TILE));
+    colors come back as (r, g, b) rows. Python-float constants inline as
+    scalars — exactly the same math as shade()/shade_or_miss().
+    """
+    alb = [float(c) for c in cfg.mesh_color]
+    f0 = [0.04 + (a - 0.04) * cfg.metallic for a in alb]
+    n_dot_v = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
+    ggx_v = _geometry_schlick_ggx(n_dot_v, cfg.roughness)
+
+    lo = [jnp.zeros_like(nx) for _ in range(3)]
+    for ldir, lscale in zip(LIGHT_DIRS, LIGHT_SCALE):
+        lx, ly, lz = (jnp.float32(c) for c in ldir)
+        hx, hy, hz = vx + lx, vy + ly, vz + lz
+        hnorm = jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-20)
+        hx, hy, hz = hx / hnorm, hy / hnorm, hz / hnorm
+        n_dot_l = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+        ndf = _distribution_ggx(
+            jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0), cfg.roughness)
+        g = ggx_v * _geometry_schlick_ggx(n_dot_l, cfg.roughness)
+        h_dot_v = jnp.maximum(hx * vx + hy * vy + hz * vz, 0.0)
+        fres5 = jnp.clip(1.0 - h_dot_v, 0.0, 1.0) ** 5
+        denom = 4.0 * n_dot_v * n_dot_l + 0.0001
+        ndf_g = ndf * g
+        for c in range(3):
+            radiance = (cfg.light_color[c] * cfg.light_intensity * lscale)
+            f_c = f0[c] + (1.0 - f0[c]) * fres5
+            k_d = (1.0 - f_c) * (1.0 - cfg.metallic)
+            spec = ndf_g * f_c / denom
+            lo[c] = lo[c] + ((k_d * (alb[c] / PI) + spec)
+                             * radiance * n_dot_l)
+
+    out = []
+    for c in range(3):
+        ambient = alb[c] * (cfg.ambient_occlusion * cfg.light_intensity * 0.1)
+        color = ambient + lo[c]
+        color = color / (color + 1.0)               # Reinhard
+        color = alb[c] + (color - alb[c]) * cfg.shading_weight
+        out.append(jnp.where(hit, color, jnp.float32(cfg.background[c])))
+    return out

@@ -3,23 +3,31 @@
 The TPU-shaped replacement for the per-ray pipeline in traversal.py:
 
   * rays are processed in 8x128 pixel tiles (one VPU register per scalar);
-  * candidates come from the tile-frustum cull (culling.py), so the only
-    dynamic gathers are per tile, not per ray;
+  * candidates come from a two-level frustum cull: a dense tile x cluster
+    test (clusters = Morton-consecutive groups of 64 traversal units with a
+    scene-build AABB — the TLAS role, src/GPUMesh.cpp:238-278), then a
+    unit-level refine only on the clusters each tile hits;
+  * candidates are consumed in *windows* of cfg.clusters_per_window
+    clusters per tile, nearest-first, inside a while_loop that stops when
+    every tile has either exhausted its clusters or proven that no
+    remaining cluster can beat its worst closest hit. Capacity is exact by
+    construction — there is no top-K truncation, so geometry is never
+    silently dropped no matter how many units a tile sees;
   * because all primary rays share the camera apex, the Möller-Trumbore
     quantities are bilinear in (ray, leaf) (see DeviceScene.unit_q): each
-    (tile, candidate) step is ONE (1024, 6) @ (6, 3*LPU) matmul on the MXU
+    (tile, candidate) step is ONE (1024, 8) @ (8, 4*LPU) matmul on the MXU
     followed by an elementwise epilogue and a min-reduce. Per-pixel
     near-plane origins are recovered exactly via t_near = t_apex - s with
     s = dot(origin - apex, d) (d . (d x e2) = 0 makes u, v independent of
     the along-ray origin shift).
 
-The hierarchy is folded into the traversal units (scene.py): every unit
-carries at most 64 leaf micro-triangles, so the inner loop is dense and
-branch-free. This XLA version is the correctness reference and CPU
-fallback; pallas_tiled.py implements the same algorithm with per-tile
-dynamic candidate counts.
+This XLA version is the correctness reference and CPU fallback;
+pallas_tiled.py implements the same algorithm with per-tile dynamic
+candidate counts and double-buffered HBM->VMEM DMA.
 """
 from __future__ import annotations
+
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +39,7 @@ from .intersect import MT_DET_EPS, MT_UV_EPS
 
 BIG = jnp.float32(1e30)
 TILE = culling.TILE_H * culling.TILE_W
+UPC = culling.UNITS_PER_CLUSTER
 
 
 def padded_size(width: int, height: int) -> tuple[int, int]:
@@ -39,17 +48,20 @@ def padded_size(width: int, height: int) -> tuple[int, int]:
     return pw, ph
 
 
-def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
-                       cfg: RenderConfig):
-    """Per-frame, per-tile inputs shared by the XLA and Pallas backends.
+class FrameInputs(NamedTuple):
+    """Per-frame inputs shared by the XLA and Pallas backends."""
 
-    Returns (raymat (tiles, TILE, 8), q_frame (U, 8, 4*LPU), cand
-    (tiles, C), count (tiles,), entry (tiles, C), dirs (tiles, TILE, 3)) —
-    candidates front-to-back with conservative entry bounds. raymat columns are
-    [d, apex x d, s, 1] with s = dot(origin - apex, d); q_frame is the
-    static unit_q table with the apex-dependent t_num block filled in
-    (row 7, broadcast through the constant-1 ray column).
-    """
+    raymat: jax.Array       # (tiles, TILE, 8) rows [d, apex x d, s, 1]
+    q_frame: jax.Array      # (U, 8, 4*LPU+128) unit_qn w/ per-frame t_num row
+    dirs: jax.Array         # (tiles, TILE, 3)
+    apex: jax.Array         # (3,)
+    normals: jax.Array      # (tiles, 4, 3) tile frustum planes
+    cluster_hit: jax.Array  # (tiles, C) bool — coarse-level cull result
+
+
+def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
+                       cfg: RenderConfig) -> FrameInputs:
+    """Raygen + per-frame tables + the coarse (cluster-level) cull."""
     width, height = cfg.width, cfg.height
     pw, ph = padded_size(width, height)
     tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
@@ -57,11 +69,9 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
 
     apex, normals = culling.tile_frustums(inv_view_proj, width, height,
                                           pw, ph)
-    hit = culling.cull_units(apex, normals, scene.unit_aabb_min,
-                             scene.unit_aabb_max, scene.unit_valid)
-    cand, count, entry = culling.candidate_lists(
-        hit, cfg.max_tile_candidates, apex,
-        scene.unit_aabb_min, scene.unit_aabb_max)
+    cluster_hit = culling.cull_units(apex, normals, scene.cluster_aabb_min,
+                                     scene.cluster_aabb_max,
+                                     scene.cluster_valid)
 
     origins, dirs = raygen.generate_rays(inv_view_proj, width, height, pw, ph)
 
@@ -79,8 +89,176 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
     # t_num = a.n - e2.w2 — ray-independent, apex-dependent (once per frame).
     t_num = (scene.unit_n * apex).sum(-1) - scene.unit_e2w2    # (U, LPU)
     lpu = scene.leaves_per_unit
-    q_frame = scene.unit_q.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
-    return raymat, q_frame, cand, count, entry, dirs
+    q_frame = scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
+    return FrameInputs(raymat, q_frame, dirs, apex, normals, cluster_hit)
+
+
+def candidate_window(scene: DeviceScene, apex: jax.Array, normals: jax.Array,
+                     remaining: jax.Array, kc: int):
+    """Build one unit-level candidate window from the nearest remaining
+    clusters of each tile.
+
+    remaining: (tiles, C) bool — clusters hit by the tile frustum and not
+    yet processed. Selects (up to) the kc nearest, refines their units with
+    the tile's own frustum, and sorts the survivors front-to-back by a
+    conservative apex->AABB entry bound.
+
+    Returns (cand (tiles, kc*UPC) int32, count (tiles,) int32,
+    entry (tiles, kc*UPC) f32 ascending with +inf tail, new_remaining,
+    next_bound (tiles,) f32 — the nearest entry bound any tile's
+    *unselected* cluster could still contribute).
+    """
+    n_tiles, n_cl = remaining.shape
+    cl_dist = culling.aabb_distance(apex, scene.cluster_aabb_min,
+                                    scene.cluster_aabb_max)          # (C,)
+    key = jnp.where(remaining, -cl_dist[None, :], -jnp.inf)
+    negd, cidx = jax.lax.top_k(key, kc)                   # (tiles, kc)
+    sel = negd > -jnp.inf
+
+    # Clear the selected clusters (one-hot compare; no scatter).
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, kc, n_cl), 2)
+    taken = ((iota == cidx[..., None]) & sel[..., None]).any(axis=1)
+    new_remaining = remaining & ~taken
+    next_bound = jnp.min(
+        jnp.where(new_remaining, cl_dist[None, :], jnp.inf), axis=1)
+
+    units = (cidx[..., None] * UPC
+             + jnp.arange(UPC, dtype=jnp.int32)[None, None]
+             ).reshape(n_tiles, kc * UPC)
+    umin = scene.unit_aabb_min[units]                     # (tiles, n, 3)
+    umax = scene.unit_aabb_max[units]
+    uhit = culling.frustum_hit_gathered(normals, apex, umin, umax)
+    uhit &= scene.unit_valid[units]
+    uhit &= jnp.repeat(sel, UPC, axis=1)
+    udist = culling.aabb_distance(apex, umin, umax)
+    dkey = jnp.where(uhit, udist, jnp.inf)
+    entry, cand = jax.lax.sort_key_val(dkey, units, dimension=1)
+    count = uhit.sum(axis=1).astype(jnp.int32)
+    return (cand.astype(jnp.int32), count, entry.astype(jnp.float32),
+            new_remaining, next_bound)
+
+
+def cluster_window(scene: DeviceScene, apex: jax.Array,
+                   remaining: jax.Array, kc: int):
+    """Cluster-level window: the kc nearest remaining clusters per tile,
+    front-to-back, for the Pallas kernel's in-kernel unit walk.
+
+    Returns (ccand (tiles, kc) int32, ccount (tiles,) int32,
+    centry (tiles, kc) f32 ascending with +inf tail, new_remaining,
+    next_bound (tiles,))."""
+    n_tiles, n_cl = remaining.shape
+    cl_dist = culling.aabb_distance(apex, scene.cluster_aabb_min,
+                                    scene.cluster_aabb_max)          # (C,)
+    key = jnp.where(remaining, -cl_dist[None, :], -jnp.inf)
+    negd, cidx = jax.lax.top_k(key, kc)                   # descending key
+    sel = negd > -jnp.inf
+    centry = jnp.where(sel, -negd, jnp.inf)               # ascending dist
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, kc, n_cl), 2)
+    taken = ((iota == cidx[..., None]) & sel[..., None]).any(axis=1)
+    new_remaining = remaining & ~taken
+    next_bound = jnp.min(
+        jnp.where(new_remaining, cl_dist[None, :], jnp.inf), axis=1)
+    return (cidx.astype(jnp.int32), sel.sum(axis=1).astype(jnp.int32),
+            centry.astype(jnp.float32), new_remaining, next_bound)
+
+
+def frustum_scalars(fi: FrameInputs) -> jax.Array:
+    """(tiles, 16) f32 per-tile frustum pack for the kernel's SMEM:
+    [apex xyz, n0 xyz, n1 xyz, n2 xyz, n3 xyz, pad]."""
+    n_tiles = fi.normals.shape[0]
+    apex = jnp.broadcast_to(fi.apex, (n_tiles, 3))
+    return jnp.concatenate(
+        [apex, fi.normals.reshape(n_tiles, 12),
+         jnp.zeros((n_tiles, 1), jnp.float32)], axis=1)
+
+
+def trace_windowed_clusters(scene: DeviceScene, fi: FrameInputs,
+                            cfg: RenderConfig, trace_window: Callable,
+                            init_t: jax.Array, init_n, kc: int):
+    """Cluster-granular window driver (Pallas path): trace_window receives
+    (ccand, ccount, centry, best_t, best_n) and walks units in-kernel.
+    Typically a single window — multiple only when some tile's frustum hits
+    more than kc clusters."""
+    s_apex = fi.raymat[..., 6]
+
+    def cond(st):
+        return st[0].any()
+
+    def body(st):
+        active, remaining, best_t, best_n = st
+        ccand, ccount, centry, remaining, bound = cluster_window(
+            scene, fi.apex, remaining, kc)
+        best_t, best_n = trace_window(ccand, ccount, centry, best_t, best_n)
+        worst = jnp.max(jnp.where(best_t < BIG, best_t + s_apex, BIG),
+                        axis=1)
+        active = remaining.any(axis=1) & (worst >= bound)
+        remaining &= active[:, None]
+        return (active, remaining, best_t, best_n)
+
+    active0 = fi.cluster_hit.any(axis=1)
+    remaining0 = fi.cluster_hit & active0[:, None]
+    _, _, best_t, best_n = jax.lax.while_loop(
+        cond, body, (active0, remaining0, init_t, init_n))
+    return best_t, best_n
+
+
+def trace_windowed(scene: DeviceScene, fi: FrameInputs, cfg: RenderConfig,
+                   trace_window: Callable, init_t: jax.Array, init_n):
+    """Drive trace_window over candidate windows until every tile is done.
+
+    trace_window(cand, count, entry, best_t, best_n) -> (best_t, best_n)
+    must fold one window's candidates into the running closest hit; best_t
+    is (tiles, TILE) along-ray t (BIG = miss), best_n is backend-shaped.
+
+    A tile stays active while it has unprocessed clusters AND some ray
+    could still be improved: entry bounds are apex-relative, so the tile's
+    worst hit converts via t_apex = t + s (misses keep it at +inf, which
+    correctly forbids early exit while any ray has not hit).
+    """
+    kc = max(1, min(cfg.clusters_per_window, fi.cluster_hit.shape[1]))
+    s_apex = fi.raymat[..., 6]                            # (tiles, TILE)
+
+    def cond(st):
+        return st[0].any()
+
+    def body(st):
+        active, remaining, best_t, best_n = st
+        cand, count, entry, remaining, bound = candidate_window(
+            scene, fi.apex, fi.normals, remaining, kc)
+        best_t, best_n = trace_window(cand, count, entry, best_t, best_n)
+        worst = jnp.max(jnp.where(best_t < BIG, best_t + s_apex, BIG),
+                        axis=1)
+        active = remaining.any(axis=1) & (worst >= bound)
+        remaining &= active[:, None]
+        return (active, remaining, best_t, best_n)
+
+    active0 = fi.cluster_hit.any(axis=1)
+    remaining0 = fi.cluster_hit & active0[:, None]
+    _, _, best_t, best_n = jax.lax.while_loop(
+        cond, body, (active0, remaining0, init_t, init_n))
+    return best_t, best_n
+
+
+def candidate_counts(scene: DeviceScene, inv_view_proj: jax.Array,
+                     cfg: RenderConfig) -> jax.Array:
+    """(tiles,) exact per-tile unit-candidate counts (observability; sums
+    the windows the trace would consume without early exit)."""
+    fi = build_frame_inputs(scene, inv_view_proj, cfg)
+    kc = max(1, min(cfg.clusters_per_window, fi.cluster_hit.shape[1]))
+
+    def cond(st):
+        return st[0].any()
+
+    def body(st):
+        remaining, total = st
+        _, count, _, remaining, _ = candidate_window(
+            scene, fi.apex, fi.normals, remaining, kc)
+        return (remaining, total + count)
+
+    _, total = jax.lax.while_loop(
+        cond, body,
+        (fi.cluster_hit, jnp.zeros(fi.cluster_hit.shape[0], jnp.int32)))
+    return total
 
 
 def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg):
@@ -94,7 +272,7 @@ def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg):
     argmin + take_along_axis.
     """
     lpu = scene.leaves_per_unit
-    q = q_frame[unit]                                  # (nt, 8, 4*LPU)
+    q = q_frame[unit][..., :4 * lpu]                   # (nt, 8, 4*LPU)
     nrm = scene.unit_nrm[unit]                         # (nt, LPU, 3)
     out = jax.lax.dot_general(
         raymat, q,
@@ -133,40 +311,47 @@ def render_tiled(scene: DeviceScene, inv_view_proj: jax.Array,
     tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
     n_tiles = tx * ty
 
-    raymat, q_frame, cand, count, _entry, dirs = build_frame_inputs(
-        scene, inv_view_proj, cfg)
-    c_max = cand.shape[1]
-
-    def trace_tiles(args):
-        rm, d, cnd, cnt = args
-
-        def body(c, carry):
-            best_t, best_n = carry
-            unit = cnd[:, c]
-            tb, nb = trace_candidate(scene, rm, q_frame, unit, c < cnt, cfg)
-            take = tb < best_t
-            return (jnp.where(take, tb, best_t),
-                    jnp.where(take[..., None], nb, best_n))
-
-        nt = rm.shape[0]
-        init = (jnp.full((nt, TILE), BIG, jnp.float32),
-                jnp.zeros((nt, TILE, 3), jnp.float32))
-        best_t, best_n = jax.lax.fori_loop(0, c_max, body, init)
-        hit_mask = best_t < BIG
-        nrm = best_n / jnp.maximum(
-            jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
-        return shading.shade_or_miss(hit_mask, nrm, -d, cfg)
+    fi = build_frame_inputs(scene, inv_view_proj, cfg)
+    q_frame = fi.q_frame
 
     tile_chunk = max(1, min(n_tiles, cfg.tile_chunk))
     if n_tiles % tile_chunk:
         tile_chunk = n_tiles
-    colors = jax.lax.map(
-        trace_tiles,
-        (raymat.reshape(-1, tile_chunk, TILE, 8),
-         dirs.reshape(-1, tile_chunk, TILE, 3),
-         cand.reshape(-1, tile_chunk, c_max),
-         count.reshape(-1, tile_chunk)))
-    colors = colors.reshape(n_tiles, TILE, 3)
+
+    def trace_window(cand, count, entry, best_t, best_n):
+        c_max = cand.shape[1]
+
+        def trace_tiles(args):
+            rm, cnd, cnt, bt0, bn0 = args
+
+            def body(c, carry):
+                bt, bn = carry
+                unit = cnd[:, c]
+                tb, nb = trace_candidate(scene, rm, q_frame, unit,
+                                         c < cnt, cfg)
+                take = tb < bt
+                return (jnp.where(take, tb, bt),
+                        jnp.where(take[..., None], nb, bn))
+
+            return jax.lax.fori_loop(0, c_max, body, (bt0, bn0))
+
+        bt, bn = jax.lax.map(
+            trace_tiles,
+            (fi.raymat.reshape(-1, tile_chunk, TILE, 8),
+             cand.reshape(-1, tile_chunk, c_max),
+             count.reshape(-1, tile_chunk),
+             best_t.reshape(-1, tile_chunk, TILE),
+             best_n.reshape(-1, tile_chunk, TILE, 3)))
+        return bt.reshape(n_tiles, TILE), bn.reshape(n_tiles, TILE, 3)
+
+    init = (jnp.full((n_tiles, TILE), BIG, jnp.float32),
+            jnp.zeros((n_tiles, TILE, 3), jnp.float32))
+    best_t, best_n = trace_windowed(scene, fi, cfg, trace_window, *init)
+
+    hit_mask = best_t < BIG
+    nrm = best_n / jnp.maximum(
+        jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
+    colors = shading.shade_or_miss(hit_mask, nrm, -fi.dirs, cfg)
 
     img = (colors.reshape(ty, tx, culling.TILE_H, culling.TILE_W, 3)
            .transpose(0, 2, 1, 3, 4).reshape(ph, pw, 3))

@@ -5,14 +5,23 @@ D3D12 upload/readback. The TPU-native scaling story is a 2D device mesh:
 
   axis "rays"  — data-parallel pixel rows (embarrassingly parallel, no
                  comms; the dominant axis),
-  axis "scene" — the base-triangle tables sharded across chips (model-
-                 parallel analog for scenes larger than one chip's HBM);
-                 per-ray closest hits are combined with an all_gather +
-                 min-reduce across this axis (rides ICI, one small
-                 collective per frame).
+  axis "scene" — the scene tables sharded across chips (model-parallel
+                 analog for scenes larger than one chip's HBM); per-ray
+                 closest hits are combined with an all_gather + min-reduce
+                 across this axis (rides ICI, one small collective per
+                 frame).
 
-Everything is expressed with shard_map over a Mesh so XLA inserts the
-collectives; the same code runs on a virtual CPU mesh for tests.
+Three pipelines:
+  * render_sharded       — per-ray reference path, rays x scene shard_map;
+  * render_tiled_gspmd   — rays-only GSPMD annotation of the tiled/MXU
+                           path (no collectives at all);
+  * render_tiled_sharded — the tiled/MXU path under shard_map with BOTH
+                           axes: tiles split over "rays", clusters + unit
+                           tables split over "scene", windowed trace per
+                           shard, then the closest-hit min-combine.
+
+Everything is expressed so XLA inserts the collectives; the same code runs
+on a virtual CPU mesh for tests.
 """
 from __future__ import annotations
 
@@ -26,7 +35,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..models.scene import DeviceScene
-from ..ops import raygen, shading, traversal
+from ..ops import culling, raygen, shading, tiled, traversal
+from ..ops.tiled import TILE
 
 BIG = jnp.float32(1e30)
 
@@ -40,15 +50,66 @@ def make_mesh(n_rays: int | None = None, n_scene: int = 1,
     return Mesh(dev, ("rays", "scene"))
 
 
-def _scene_specs(scene: DeviceScene):
-    """PartitionSpec pytree: every per-triangle table sharded on axis 0 over
-    'scene', replicated over 'rays'."""
-    return jax.tree.map(lambda _: P("scene"), scene)
+_UNIT_FIELDS = ("unit_aabb_min", "unit_aabb_max", "unit_valid", "unit_leaf_idx",
+                "unit_qn", "unit_n", "unit_e2w2", "unit_nrm", "unit_nrm_pad",
+                "unit_q16")
+_CLUSTER_FIELDS = ("cluster_aabb_min", "cluster_aabb_max", "cluster_valid",
+                   "cluster_unit_meta")
+
+
+def _scene_specs(scene: DeviceScene, n_scene: int):
+    """PartitionSpec pytree: tables sharded on axis 0 over 'scene',
+    replicated over 'rays'.
+
+    Every big table family splits when its size divides the axis; the tiny
+    cluster tables (C x 3 floats) replicate whenever C doesn't divide —
+    the per-ray path never reads them and the tiled path pads the scene to
+    divisibility first (_pad_scene_for_scene_axis).
+    """
+    u_ok = scene.num_units % n_scene == 0
+    c_ok = scene.num_clusters % n_scene == 0
+    specs = {}
+    for f in dataclasses.fields(scene):
+        if f.name == "max_level":
+            continue
+        if f.name in _CLUSTER_FIELDS:
+            specs[f.name] = P("scene") if c_ok else P()
+        elif f.name in _UNIT_FIELDS:
+            specs[f.name] = P("scene") if u_ok else P()
+        else:
+            specs[f.name] = P("scene")
+    return dataclasses.replace(
+        jax.tree.map(lambda _: P(), scene), **specs)
+
+
+def _pad_scene_for_scene_axis(scene: DeviceScene, s: int) -> DeviceScene:
+    """Pad unit + cluster tables with invalid entries so whole clusters
+    split evenly over the scene axis (each shard keeps aligned
+    cluster -> unit ranges)."""
+    n_cl = scene.num_clusters
+    pad_cl = (-n_cl) % s
+    if pad_cl == 0:
+        return scene
+    upc = culling.UNITS_PER_CLUSTER
+    updates = {}
+    for name in _UNIT_FIELDS + _CLUSTER_FIELDS:
+        a = getattr(scene, name)
+        n = pad_cl * (upc if name in _UNIT_FIELDS else 1)
+        fill = (BIG if name.endswith("aabb_min")
+                else -BIG if name.endswith("aabb_max") else 0)
+        pads = ((0, n),) + ((0, 0),) * (a.ndim - 1)
+        updates[name] = jnp.pad(a, pads, constant_values=fill)
+    return dataclasses.replace(scene, **updates)
+
+
+def _check_divisible(scene: DeviceScene, n_scene_axis: int) -> None:
+    if scene.num_triangles % n_scene_axis:
+        raise ValueError("triangle padding must divide over the 'scene' axis")
 
 
 def render_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
                    cfg: RenderConfig, mesh: Mesh) -> jax.Array:
-    """Render one frame over the device mesh. Returns (H, W, 3) float32.
+    """Per-ray reference path over the device mesh. Returns (H, W, 3).
 
     Requires cfg.height divisible by the 'rays' axis size and the padded
     triangle count divisible by the 'scene' axis size.
@@ -57,12 +118,11 @@ def render_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
     n_scene_axis = mesh.shape["scene"]
     if cfg.height % n_rays_axis:
         raise ValueError("height must divide over the 'rays' axis")
-    if scene.num_triangles % n_scene_axis:
-        raise ValueError("triangle padding must divide over the 'scene' axis")
+    _check_divisible(scene, n_scene_axis)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(_scene_specs(scene), P()),
+        in_specs=(_scene_specs(scene, n_scene_axis), P()),
         out_specs=P("rays"),
         check_vma=False)
     def step(scene_shard: DeviceScene, ivp: jax.Array) -> jax.Array:
@@ -94,20 +154,36 @@ def render_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
     return step(scene, jnp.asarray(inv_view_proj, jnp.float32))
 
 
+def _xla_trace_window(scene, raymat, q_frame, cfg):
+    """Unchunked XLA window tracer (for GSPMD / shard_map bodies)."""
+
+    def trace_window(cand, count, entry, best_t, best_n):
+        c_max = cand.shape[1]
+
+        def body(c, carry):
+            bt, bn = carry
+            tb, nb = tiled.trace_candidate(scene, raymat, q_frame,
+                                           cand[:, c], c < count, cfg)
+            take = tb < bt
+            return (jnp.where(take, tb, bt),
+                    jnp.where(take[..., None], nb, bn))
+
+        return jax.lax.fori_loop(0, c_max, body, (best_t, best_n))
+
+    return trace_window
+
+
 def render_tiled_gspmd(scene: DeviceScene, inv_view_proj: jax.Array,
                        cfg: RenderConfig, mesh: Mesh) -> jax.Array:
     """Data-parallel tiled rendering via GSPMD sharding annotations.
 
-    The idiomatic single-axis scaling path: the per-tile trace is a dense
-    computation over the tile dimension, so sharding the per-tile inputs
-    over the 'rays' mesh axis and letting XLA partition is sufficient — no
-    collectives in the render at all (the scene tables are replicated).
-    Used when the mesh has no 'scene' axis; the shard_map path above
-    handles scene-sharded tracing with its closest-hit combine.
+    The idiomatic single-axis scaling path: the windowed per-tile trace is
+    a dense computation over the tile dimension, so sharding the per-tile
+    inputs over the 'rays' mesh axis and letting XLA partition is
+    sufficient — no collectives in the render at all (the scene tables are
+    replicated). Used when the mesh has no 'scene' axis; the shard_map
+    paths handle scene-sharded tracing with their closest-hit combine.
     """
-    from ..ops import culling, tiled
-    from ..ops.tiled import TILE
-
     width, height = cfg.width, cfg.height
     pw, ph = tiled.padded_size(width, height)
     tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
@@ -116,33 +192,112 @@ def render_tiled_gspmd(scene: DeviceScene, inv_view_proj: jax.Array,
     if n_tiles % n_dev:
         raise ValueError("tile count must divide over the 'rays' axis")
 
-    raymat, q_frame, cand, count, _entry, dirs = tiled.build_frame_inputs(
-        scene, inv_view_proj, cfg)
+    fi = tiled.build_frame_inputs(scene, inv_view_proj, cfg)
     shard = jax.NamedSharding(mesh, P("rays"))
-    raymat = jax.lax.with_sharding_constraint(raymat, shard)
-    cand = jax.lax.with_sharding_constraint(cand, shard)
-    count = jax.lax.with_sharding_constraint(count, shard)
-    dirs = jax.lax.with_sharding_constraint(dirs, shard)
-
-    c_max = cand.shape[1]
-
-    def body(c, carry):
-        best_t, best_n = carry
-        tb, nb = tiled.trace_candidate(scene, raymat, q_frame, cand[:, c],
-                                       c < count, cfg)
-        take = tb < best_t
-        return (jnp.where(take, tb, best_t),
-                jnp.where(take[..., None], nb, best_n))
+    fi = fi._replace(
+        raymat=jax.lax.with_sharding_constraint(fi.raymat, shard),
+        dirs=jax.lax.with_sharding_constraint(fi.dirs, shard),
+        normals=jax.lax.with_sharding_constraint(fi.normals, shard),
+        cluster_hit=jax.lax.with_sharding_constraint(fi.cluster_hit, shard))
 
     init = (jnp.full((n_tiles, TILE), BIG, jnp.float32),
             jnp.zeros((n_tiles, TILE, 3), jnp.float32))
-    best_t, best_n = jax.lax.fori_loop(0, c_max, body, init)
+    best_t, best_n = tiled.trace_windowed(
+        scene, fi, cfg,
+        _xla_trace_window(scene, fi.raymat, fi.q_frame, cfg), *init)
     hit = best_t < BIG
     nrm = best_n / jnp.maximum(
         jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
-    colors = shading.shade_or_miss(hit, nrm, -dirs, cfg)
+    colors = shading.shade_or_miss(hit, nrm, -fi.dirs, cfg)
     img = (colors.reshape(ty, tx, culling.TILE_H, culling.TILE_W, 3)
            .transpose(0, 2, 1, 3, 4).reshape(ph, pw, 3))
+    return img[:height, :width]
+
+
+def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
+                         cfg: RenderConfig, mesh: Mesh) -> jax.Array:
+    """Tiled/MXU pipeline over BOTH mesh axes via shard_map.
+
+    Tiles (pixel tile rows) split over 'rays'; clusters + unit tables split
+    over 'scene' (each shard culls and traces only its slice of the scene's
+    units — the scene-too-big-for-one-chip case). Per-tile closest hits are
+    min-combined across the scene axis with one all_gather per frame, then
+    shaded locally. Numerics match the single-chip tiled path (same
+    MXU-form Möller-Trumbore, same window machinery).
+    """
+    width, height = cfg.width, cfg.height
+    pw, ph = tiled.padded_size(width, height)
+    tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
+    n_rays_axis = mesh.shape["rays"]
+    n_scene_axis = mesh.shape["scene"]
+    if ty % n_rays_axis:
+        raise ValueError("tile rows must divide over the 'rays' axis")
+    _check_divisible(scene, n_scene_axis)
+    scene = _pad_scene_for_scene_axis(scene, n_scene_axis)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(_scene_specs(scene, n_scene_axis), P()),
+        out_specs=P("rays"),
+        check_vma=False)
+    def step(scene_shard: DeviceScene, ivp: jax.Array) -> jax.Array:
+        ty_local = ty // n_rays_axis
+        n_tiles_local = ty_local * tx
+        tile0 = jax.lax.axis_index("rays") * n_tiles_local
+
+        # Full-frame frustums + rays, sliced to this shard's tile rows.
+        apex, normals = culling.tile_frustums(ivp, width, height, pw, ph)
+        normals = jax.lax.dynamic_slice_in_dim(normals, tile0,
+                                               n_tiles_local, 0)
+        origins, dirs = raygen.generate_rays(ivp, width, height, pw, ph)
+
+        def to_tiles(x):
+            x = (x.reshape(ty, culling.TILE_H, tx, culling.TILE_W, 3)
+                 .transpose(0, 2, 1, 3, 4).reshape(ty * tx, TILE, 3))
+            return jax.lax.dynamic_slice_in_dim(x, tile0, n_tiles_local, 0)
+
+        dirs = to_tiles(dirs)
+        origins = to_tiles(origins)
+        m = jnp.cross(jnp.broadcast_to(apex, dirs.shape), dirs)
+        s = ((origins - apex) * dirs).sum(-1)
+        raymat = jnp.concatenate(
+            [dirs, m, s[..., None], jnp.ones_like(s)[..., None]], axis=-1)
+
+        # Shard-local coarse cull + q table (this shard's clusters/units).
+        cluster_hit = culling.cull_units(
+            apex, normals, scene_shard.cluster_aabb_min,
+            scene_shard.cluster_aabb_max, scene_shard.cluster_valid)
+        lpu = scene_shard.leaves_per_unit
+        t_num = (scene_shard.unit_n * apex).sum(-1) - scene_shard.unit_e2w2
+        q_frame = scene_shard.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
+
+        fi = tiled.FrameInputs(raymat, q_frame, dirs, apex, normals,
+                               cluster_hit)
+        init = (jnp.full((n_tiles_local, TILE), BIG, jnp.float32),
+                jnp.zeros((n_tiles_local, TILE, 3), jnp.float32))
+        best_t, best_n = tiled.trace_windowed(
+            scene_shard, fi, cfg,
+            _xla_trace_window(scene_shard, raymat, q_frame, cfg), *init)
+
+        if n_scene_axis > 1:
+            # Closest-hit combine across scene shards (ICI collective).
+            t_all = jax.lax.all_gather(best_t, "scene")    # (S, nt, TILE)
+            n_all = jax.lax.all_gather(best_n, "scene")
+            best = jnp.argmin(t_all, axis=0)
+            best_t = jnp.take_along_axis(t_all, best[None], 0)[0]
+            best_n = jnp.take_along_axis(
+                n_all, best[None, ..., None], 0)[0]
+
+        hit = best_t < BIG
+        nrm = best_n / jnp.maximum(
+            jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
+        colors = shading.shade_or_miss(hit, nrm, -dirs, cfg)
+        img = (colors.reshape(ty_local, tx, culling.TILE_H, culling.TILE_W, 3)
+               .transpose(0, 2, 1, 3, 4).reshape(ty_local * culling.TILE_H,
+                                                 pw, 3))
+        return img
+
+    img = step(scene, jnp.asarray(inv_view_proj, jnp.float32))
     return img[:height, :width]
 
 
@@ -154,19 +309,24 @@ class ShardedRenderer:
     cfg: RenderConfig
     mesh: Mesh
 
-    pipeline: str = "auto"   # "ray" (shard_map) | "tile" (GSPMD) | "auto"
+    pipeline: str = "auto"   # "ray" (shard_map) | "tile" | "auto"
 
     def __post_init__(self):
-        from ..ops import culling, tiled
-
         pw, ph = tiled.padded_size(self.cfg.width, self.cfg.height)
-        n_tiles = (pw // culling.TILE_W) * (ph // culling.TILE_H)
-        divisible = n_tiles % self.mesh.shape["rays"] == 0
+        tx = pw // culling.TILE_W
+        ty = ph // culling.TILE_H
+        n_rays = self.mesh.shape["rays"]
+        n_scene = self.mesh.shape["scene"]
+        gspmd_ok = n_scene == 1 and (tx * ty) % n_rays == 0
+        sharded_ok = (ty % n_rays == 0
+                      and self.scene.num_triangles % n_scene == 0)
         use_tile = (self.pipeline == "tile"
                     or (self.pipeline == "auto"
-                        and self.mesh.shape["scene"] == 1
-                        and divisible))
-        fn = render_tiled_gspmd if use_tile else render_sharded
+                        and (gspmd_ok or sharded_ok)))
+        if use_tile:
+            fn = render_tiled_gspmd if gspmd_ok else render_tiled_sharded
+        else:
+            fn = render_sharded
         self._fn = jax.jit(functools.partial(
             fn, cfg=self.cfg, mesh=self.mesh), keep_unused=True)
 

@@ -3,14 +3,22 @@
 The reference only ever builds a single identity-transform instance
 (src/GPUMesh.cpp:244-252); this module provides the full two-level story
 (benchmark config 4): N instances of a base micro-mesh, each with a
-rigid + uniform-scale transform, traced by the same tiled/Pallas pipeline.
+rigid + uniform-scale transform. Two strategies:
 
-TPU-first design: instead of transforming rays into object space per
-candidate (a per-candidate (8, TILE) recompute inside the hot loop),
-instance transforms are *baked* into world-space scene tables by a jitted
-device function — a handful of batched matmuls over the leaf tables. For
-static scenes this runs once; for dynamic scenes it is cheap enough to run
-per frame (it is O(scene), not O(rays)).
+* bake_instances — materialize world-space copies of the scene tables (a
+  handful of batched matmuls, jitted). Fastest to trace (one flat scene)
+  but HBM is O(instances x scene): right for a handful of instances.
+
+* render_instanced — TRUE two-level traversal (the reference's TLAS ->
+  ray-transform -> shared-BLAS model, src/GPUMesh.cpp:238-278): a scan
+  over instances transforms the per-frame ray tables into each instance's
+  object space (apex/dirs rotate, t scales by 1/s — the shared-apex
+  bilinear MT identities survive rigid+uniform-scale exactly) and traces
+  the SHARED object-space cluster hierarchy, min-combining closest hits
+  across instances in world t. HBM is O(scene + instances), so it scales
+  to hundreds of instances and per-frame animation. Per-instance near/far
+  clips act in object units (world t_min*s_i .. t_max*s_i) — a sub-epsilon
+  deviation from the baked path at the near plane.
 """
 from __future__ import annotations
 
@@ -20,9 +28,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models import scene as scene_mod
 from ..models.scene import DeviceScene
+from ..ops.culling import UNITS_PER_CLUSTER
 
 BIG = jnp.float32(1e30)
+
+
+def _part1by2(x: jax.Array) -> jax.Array:
+    """Spread 10 bits to every third bit (Morton; jnp twin of scene.py's)."""
+    x = x.astype(jnp.uint32) & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0x30000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x30C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x9249249)
+    return x
+
+
+def _morton_leaf_order(centers: jax.Array, valid: jax.Array) -> jax.Array:
+    """Stable order putting valid leaves first along a Morton curve (jnp
+    twin of scene.pack_units's ordering; shapes stay static under jit)."""
+    lo = jnp.where(valid[:, None], centers, BIG).min(axis=0)
+    hi = jnp.where(valid[:, None], centers, -BIG).max(axis=0)
+    span = jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip((centers - lo) / span * 1023.0, 0.0, 1023.0
+                 ).astype(jnp.uint32)
+    code = (_part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1)
+            | (_part1by2(q[:, 2]) << 2))
+    code = jnp.where(valid, code, jnp.uint32(0x7FFFFFFF))
+    return jnp.argsort(code, stable=True)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,11 +141,28 @@ def _bake(scene: DeviceScene, rot: jax.Array, trn: jax.Array,
     aabb_min = jnp.where(tri_valid[:, None], aabb_min, BIG)
     aabb_max = jnp.where(tri_valid[:, None], aabb_max, -BIG)
 
-    # Traversal-unit tables from transformed leaves.
-    lpu = scene.leaves_per_unit
-    ulv = leaf_verts.reshape(-1, lpu, 3, 3)
-    ulm = leaf_mask.reshape(-1, lpu)
-    u_lv = ulv.reshape(ulv.shape[0], -1, 3)
+    # Traversal units: Morton-packed blocks of valid world-space leaves
+    # (the jit-safe twin of scene.pack_units — the total slot count stays
+    # static; invalid leaves sort to the tail as invalid units/clusters).
+    lpu = scene_mod.LPU
+    lv_flat = leaf_verts.reshape(-1, 3, 3)
+    lm_flat = leaf_mask.reshape(-1)
+    order = _morton_leaf_order(lv_flat.mean(axis=1), lm_flat)
+    l_pad = -(-lv_flat.shape[0] // (lpu * UNITS_PER_CLUSTER)) \
+        * (lpu * UNITS_PER_CLUSTER)
+    pad_n = l_pad - lv_flat.shape[0]
+    lv_sorted = jnp.pad(lv_flat[order], ((0, pad_n), (0, 0), (0, 0)))
+    lm_sorted = jnp.pad(lm_flat[order], ((0, pad_n),))
+    unit_leaf_idx = jnp.pad(
+        jnp.where(lm_flat[order], order.astype(jnp.int32), -1),
+        ((0, pad_n),), constant_values=-1)
+    lv_sorted = jnp.where(lm_sorted[:, None, None], lv_sorted, 0.0)
+
+    u_total = l_pad // lpu
+    ulv = lv_sorted.reshape(u_total, lpu, 3, 3)
+    ulm = lm_sorted.reshape(u_total, lpu)
+    unit_leaf_idx = unit_leaf_idx.reshape(u_total, lpu)
+    u_lv = ulv.reshape(u_total, -1, 3)
     u_lm = jnp.repeat(ulm, 3, axis=1)[..., None]
     unit_valid = ulm.any(axis=1)
     unit_aabb_min = jnp.where(u_lm, u_lv, BIG).min(axis=1)
@@ -125,25 +176,46 @@ def _bake(scene: DeviceScene, rot: jax.Array, trn: jax.Array,
     w1 = jnp.cross(e2, v0 * lmf)
     w2 = jnp.cross(v0 * lmf, e1)
     u_total = ulv.shape[0]
-    unit_q = jnp.zeros((u_total, 8, 4 * lpu), jnp.float32)
-    unit_q = unit_q.at[:, 0:3, 0 * lpu:1 * lpu].set(
+    unit_qn = jnp.zeros((u_total, 8, 4 * lpu + 128), jnp.float32)
+    unit_qn = unit_qn.at[:, 0:3, 0 * lpu:1 * lpu].set(
         -nvec.transpose(0, 2, 1))
-    unit_q = unit_q.at[:, 0:3, 1 * lpu:2 * lpu].set(-w1.transpose(0, 2, 1))
-    unit_q = unit_q.at[:, 3:6, 1 * lpu:2 * lpu].set(e2.transpose(0, 2, 1))
-    unit_q = unit_q.at[:, 0:3, 2 * lpu:3 * lpu].set(-w2.transpose(0, 2, 1))
-    unit_q = unit_q.at[:, 3:6, 2 * lpu:3 * lpu].set(-e1.transpose(0, 2, 1))
+    unit_qn = unit_qn.at[:, 0:3, 1 * lpu:2 * lpu].set(-w1.transpose(0, 2, 1))
+    unit_qn = unit_qn.at[:, 3:6, 1 * lpu:2 * lpu].set(e2.transpose(0, 2, 1))
+    unit_qn = unit_qn.at[:, 0:3, 2 * lpu:3 * lpu].set(-w2.transpose(0, 2, 1))
+    unit_qn = unit_qn.at[:, 3:6, 2 * lpu:3 * lpu].set(-e1.transpose(0, 2, 1))
     unit_e2w2 = (e2 * w2).sum(-1)
     norm = jnp.maximum(jnp.linalg.norm(nvec, axis=-1, keepdims=True), 1e-20)
     unit_nrm = nvec / norm
+    unit_qn = unit_qn.at[:, 0:3, 4 * lpu:5 * lpu].set(
+        unit_nrm.transpose(0, 2, 1))
     npad = scene.unit_nrm_pad.shape[2]
     unit_nrm_pad = jnp.zeros((u_total, 8, npad), jnp.float32)
     unit_nrm_pad = unit_nrm_pad.at[:, 0:3, 0:lpu].set(
         unit_nrm.transpose(0, 2, 1))
     unit_q16 = jnp.zeros((u_total, 16, 4 * lpu), jnp.float32)
-    unit_q16 = unit_q16.at[:, 0:6, 0:3 * lpu].set(unit_q[:, 0:6, 0:3 * lpu])
+    unit_q16 = unit_q16.at[:, 0:6, 0:3 * lpu].set(unit_qn[:, 0:6, 0:3 * lpu])
     unit_q16 = unit_q16.at[:, 6:9, 3 * lpu:4 * lpu].set(
         nvec.transpose(0, 2, 1))
     unit_q16 = unit_q16.at[:, 9, 3 * lpu:4 * lpu].set(-unit_e2w2)
+
+    # Clusters over the (already Morton-packed) units.
+    n_cl = u_total // UNITS_PER_CLUSTER
+    cl_mask = unit_valid.reshape(n_cl, UNITS_PER_CLUSTER, 1)
+    cluster_aabb_min = jnp.where(
+        cl_mask, unit_aabb_min.reshape(n_cl, UNITS_PER_CLUSTER, 3),
+        BIG).min(axis=1)
+    cluster_aabb_max = jnp.where(
+        cl_mask, unit_aabb_max.reshape(n_cl, UNITS_PER_CLUSTER, 3),
+        -BIG).max(axis=1)
+    cluster_valid = cl_mask[..., 0].any(axis=1)
+
+    meta = jnp.zeros((n_cl, 8, 128), jnp.float32)
+    meta = meta.at[:, 0:3, :UNITS_PER_CLUSTER].set(
+        unit_aabb_min.reshape(n_cl, UNITS_PER_CLUSTER, 3).transpose(0, 2, 1))
+    meta = meta.at[:, 3:6, :UNITS_PER_CLUSTER].set(
+        unit_aabb_max.reshape(n_cl, UNITS_PER_CLUSTER, 3).transpose(0, 2, 1))
+    meta = meta.at[:, 6, :UNITS_PER_CLUSTER].set(
+        unit_valid.reshape(n_cl, UNITS_PER_CLUSTER).astype(jnp.float32))
 
     return dataclasses.replace(
         scene,
@@ -155,6 +227,138 @@ def _bake(scene: DeviceScene, rot: jax.Array, trn: jax.Array,
         node_pass=tile(scene.node_pass),
         leaf_verts=leaf_verts, leaf_mask=leaf_mask, tri_valid=tri_valid,
         unit_aabb_min=unit_aabb_min, unit_aabb_max=unit_aabb_max,
-        unit_valid=unit_valid,
-        unit_q=unit_q, unit_n=nvec, unit_e2w2=unit_e2w2,
-        unit_nrm=unit_nrm, unit_nrm_pad=unit_nrm_pad, unit_q16=unit_q16)
+        unit_valid=unit_valid, unit_leaf_idx=unit_leaf_idx,
+        unit_qn=unit_qn, unit_n=nvec, unit_e2w2=unit_e2w2,
+        unit_nrm=unit_nrm, unit_nrm_pad=unit_nrm_pad, unit_q16=unit_q16,
+        cluster_aabb_min=cluster_aabb_min, cluster_aabb_max=cluster_aabb_max,
+        cluster_valid=cluster_valid, cluster_unit_meta=meta)
+
+
+def render_instanced(scene: DeviceScene, instances: list[Instance],
+                     inv_view_proj, cfg, interpret: bool | None = None):
+    """Render N instances of `scene` with true two-level traversal.
+
+    Returns (H, W, 3) float32. The scene tables are shared (object space);
+    only a (N, 3, 3) rotation + (N, 3) translation + (N,) scale stack is
+    instance-specific.
+    """
+    rot = jnp.asarray(np.stack([i.rotation for i in instances]), jnp.float32)
+    trn = jnp.asarray(np.stack([i.translation for i in instances]),
+                      jnp.float32)
+    scl = jnp.asarray(np.asarray([i.scale for i in instances]), jnp.float32)
+    return _render_instanced(scene, rot, trn, scl,
+                             jnp.asarray(inv_view_proj, jnp.float32),
+                             cfg, interpret)
+
+
+def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
+    import jax as _jax
+
+    from ..ops import culling, shading, tiled
+    from ..ops.tiled import TILE
+
+    if interpret is None:
+        interpret = _jax.devices()[0].platform == "cpu"
+    width, height = cfg.width, cfg.height
+    pw, ph = tiled.padded_size(width, height)
+    tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
+    n_tiles = tx * ty
+
+    # World-space per-frame ray data (shared across instances).
+    from ..ops import raygen
+
+    apex_w, normals_w = culling.tile_frustums(ivp, width, height, pw, ph)
+    origins_w, dirs_w = raygen.generate_rays(ivp, width, height, pw, ph)
+
+    def to_tiles(x):
+        return (x.reshape(ty, culling.TILE_H, tx, culling.TILE_W, 3)
+                .transpose(0, 2, 1, 3, 4).reshape(n_tiles, TILE, 3))
+
+    dirs_w = to_tiles(dirs_w)
+    origins_w = to_tiles(origins_w)
+    s_w = ((origins_w - apex_w) * dirs_w).sum(-1)        # (tiles, TILE)
+    lpu = scene.leaves_per_unit
+
+    def one_instance(carry, inst):
+        best_t, best_n = carry                            # world-space
+        r, t, s = inst                                    # (3,3), (3,), ()
+        inv_s = 1.0 / s
+        # object space: p_obj = R^T (p - t) / s, directions rotate only
+        apex_o = (r.T @ (apex_w - t)) * inv_s
+        dirs_o = jnp.einsum("ij,xyj->xyi", r.T, dirs_w)
+        m_o = jnp.cross(jnp.broadcast_to(apex_o, dirs_o.shape), dirs_o)
+        s_o = s_w * inv_s
+        raymat = jnp.concatenate(
+            [dirs_o, m_o, s_o[..., None], jnp.ones_like(s_o)[..., None]],
+            axis=-1)
+        normals_o = jnp.einsum("ij,xyj->xyi", r.T, normals_w)
+        cluster_hit = culling.cull_units(
+            apex_o, normals_o, scene.cluster_aabb_min,
+            scene.cluster_aabb_max, scene.cluster_valid)
+        t_num = (scene.unit_n * apex_o).sum(-1) - scene.unit_e2w2
+        q_frame = scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
+        fi = tiled.FrameInputs(raymat, q_frame, dirs_o, apex_o, normals_o,
+                               cluster_hit)
+        kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
+
+        # Carry converts world -> object (t scales, normal rows rotate) so
+        # the kernel's early exit prunes against hits from prior instances.
+        init_t = best_t * inv_s
+        if interpret:
+            # XLA windowed tracer (CPU correctness path).
+            init_n3 = jnp.einsum("ij,xyj->xyi", r.T, best_n)
+            bt_o, bn_o3 = tiled.trace_windowed(
+                scene, fi, cfg,
+                _xla_window(scene, fi, cfg), init_t, init_n3)
+            bn_w = jnp.einsum("ij,xyj->xyi", r, bn_o3)
+        else:
+            from ..ops import pallas_tiled
+
+            frus = tiled.frustum_scalars(fi)
+            init_n = jnp.zeros((n_tiles, 8, TILE), jnp.float32)
+            init_n = init_n.at[:, 0:3].set(
+                jnp.einsum("ij,xjy->xiy", r.T,
+                           best_n.transpose(0, 2, 1)))
+            raymat_t = raymat.transpose(0, 2, 1)
+
+            def trace_window(ccand, ccount, centry, bt, bn):
+                return pallas_tiled.trace_pallas(
+                    scene, raymat_t, q_frame, frus, ccand, ccount, centry,
+                    bt, bn, cfg, interpret=False)
+
+            bt_o, bn_rows = tiled.trace_windowed_clusters(
+                scene, fi, cfg, trace_window, init_t, init_n, kc=kc)
+            bn_w = jnp.einsum("ij,xjy->xyi", r,
+                              bn_rows[:, 0:3])            # (tiles, TILE, 3)
+        bt_w = jnp.where(bt_o < BIG * 0.5, bt_o * s, best_t)
+        return (bt_w, bn_w), None
+
+    init = (jnp.full((n_tiles, TILE), BIG, jnp.float32),
+            jnp.zeros((n_tiles, TILE, 3), jnp.float32))
+    (best_t, best_n), _ = jax.lax.scan(one_instance, init, (rot, trn, scl))
+
+    hit = best_t < BIG * 0.5
+    nrm = best_n / jnp.maximum(
+        jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
+    colors = shading.shade_or_miss(hit, nrm, -dirs_w, cfg)
+    img = (colors.reshape(ty, tx, culling.TILE_H, culling.TILE_W, 3)
+           .transpose(0, 2, 1, 3, 4).reshape(ph, pw, 3))
+    return img[:cfg.height, :cfg.width]
+
+
+def _xla_window(scene, fi, cfg):
+    def trace_window(cand, count, entry, best_t, best_n):
+        c_max = cand.shape[1]
+
+        def body(c, carry):
+            bt, bn = carry
+            from ..ops import tiled as tiled_mod
+            tb, nb = tiled_mod.trace_candidate(
+                scene, fi.raymat, fi.q_frame, cand[:, c], c < count, cfg)
+            take = tb < bt
+            return (jnp.where(take, tb, bt),
+                    jnp.where(take[..., None], nb, bn))
+
+        return jax.lax.fori_loop(0, c_max, body, (best_t, best_n))
+
+    return trace_window

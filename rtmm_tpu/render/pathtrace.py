@@ -31,7 +31,7 @@ import numpy as np
 
 from ..config import RenderConfig
 from ..models.scene import DeviceScene
-from ..ops import grouped, raygen, shading, traversal
+from ..ops import grouped, pallas_grouped, raygen, shading, traversal
 
 BIG = jnp.float32(1e30)
 
@@ -43,9 +43,12 @@ class PathTraceConfig:
     seed: int = 0
     ray_chunk: int = 8192
     compaction: bool = True
-    # "grouped": octant-sorted ray groups + generalized MXU Möller-Trumbore
-    # (ops/grouped.py, fast); "perray": the per-ray reference pipeline.
-    engine: str = "grouped"
+    # "pallas": in-kernel cluster-walk groups (ops/pallas_grouped.py, the
+    # TPU production engine; interpreted on CPU); "grouped": octant-sorted
+    # ray groups + generalized MXU Möller-Trumbore in XLA (ops/grouped.py);
+    # "perray": the per-ray reference pipeline. "auto" = pallas on TPU,
+    # grouped on CPU.
+    engine: str = "auto"
 
 
 def _direct_light(normal: jax.Array, albedo: jax.Array,
@@ -99,6 +102,13 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
                cfg: RenderConfig, pt: PathTraceConfig):
     """Returns (image (H, W, 3), stats dict with per-bounce live counts)."""
     height, width = cfg.height, cfg.width
+    engine = pt.engine
+    if engine == "auto":
+        try:
+            on_tpu = jax.devices()[0].platform != "cpu"
+        except Exception:
+            on_tpu = False
+        engine = "pallas" if on_tpu else "grouped"
     o0, d0 = raygen.generate_rays(
         jnp.asarray(inv_view_proj, jnp.float32), width, height)
     n = o0.shape[0]
@@ -115,7 +125,10 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
         live_counts = []
         overflow_counts = []
         for bounce in range(pt.bounces + 1):
-            if pt.engine == "grouped":
+            if engine == "pallas":
+                t, nrm, hit, overflow = pallas_grouped.trace_grouped_pallas(
+                    scene, origins, dirs, alive, cfg)
+            elif engine == "grouped":
                 t, nrm, hit, overflow = grouped.trace_grouped(
                     scene, origins, dirs, alive, cfg)
             else:

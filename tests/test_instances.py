@@ -87,3 +87,45 @@ def test_instances_work_with_ray_pipeline(base_scene):
     b = np.asarray(Renderer(baked, CFG).render(ivp))
     npix = (np.abs(a - b).max(-1) > 1e-3).sum()
     assert npix == 0, f"{npix} pixels differ between pipelines"
+
+
+def test_two_level_traversal_matches_baked(base_scene):
+    """render_instanced (ray-transform-per-instance, shared BLAS) must match
+    the baked world-space render."""
+    ring = []
+    for i in range(6):
+        a = 2.0 * np.pi * i / 6
+        ring.append(inst_mod.Instance.from_euler(
+            [2.2 * np.cos(a), 2.2 * np.sin(a), 0.0], (0.0, a, 0.25 * i),
+            0.7 + 0.1 * (i % 3)))
+    ivp = _ivp(dist=6.0)
+    baked = np.asarray(Renderer(
+        inst_mod.bake_instances(base_scene, ring), CFG).render(ivp))
+    two_level = np.asarray(inst_mod.render_instanced(
+        base_scene, ring, ivp, CFG))
+    diff = np.abs(two_level - baked).max(-1)
+    npix = int((diff > 1e-3).sum())
+    assert npix <= 3, f"{npix} pixels diverge vs baked instances"
+
+
+def test_two_level_traversal_64_instances(base_scene):
+    """64 instances through the two-level path: memory stays O(scene +
+    instances) (no baked tables) and the image matches the baked render."""
+    rng = np.random.default_rng(11)
+    insts = []
+    for i in range(64):
+        pos = rng.uniform(-3.2, 3.2, size=3)
+        insts.append(inst_mod.Instance.from_euler(
+            pos, rng.uniform(0, 2 * np.pi, size=3), 0.35))
+    ivp = _ivp(dist=8.0)
+    two_level = np.asarray(inst_mod.render_instanced(
+        base_scene, insts, ivp, CFG))
+    baked = np.asarray(Renderer(
+        inst_mod.bake_instances(base_scene, insts), CFG).render(ivp))
+    assert np.isfinite(two_level).all()
+    # scene must actually be visible
+    bg = np.asarray(CFG.background, np.float32)
+    assert (np.abs(two_level - bg).max(-1) > 1e-5).mean() > 0.05
+    diff = np.abs(two_level - baked).max(-1)
+    npix = int((diff > 1e-3).sum())
+    assert npix <= 6, f"{npix} pixels diverge vs baked instances"

@@ -91,3 +91,39 @@ def test_grouped_engine_matches_perray(scene):
     la = np.asarray(sa["live_rays_per_bounce"])
     lb = np.asarray(sb["live_rays_per_bounce"])
     np.testing.assert_allclose(la, lb, atol=4)
+
+
+def test_pallas_engine_matches_grouped(scene):
+    """The in-kernel cluster-walk engine (interpret mode on CPU) must agree
+    with the XLA grouped engine ray-for-ray."""
+    import dataclasses
+    base = PathTraceConfig(bounces=2, samples_per_pixel=1, ray_chunk=1536,
+                           compaction=False)
+    a, sa = PathTracer(scene, CFG, dataclasses.replace(
+        base, engine="pallas")).render(_ivp())
+    b, sb = PathTracer(scene, CFG, dataclasses.replace(
+        base, engine="grouped")).render(_ivp())
+    diff = np.abs(np.asarray(a) - np.asarray(b)).max(-1)
+    npix = int((diff > 1e-4).sum())
+    assert npix <= 5, f"{npix} pixels diverge between engines"
+    la = np.asarray(sa["live_rays_per_bounce"])
+    lb = np.asarray(sb["live_rays_per_bounce"])
+    np.testing.assert_allclose(la, lb, atol=4)
+
+
+def test_pallas_grouped_closed_surface_no_loss():
+    """Subdiv-3 closed sphere, bounce rays reach most of the scene (the
+    config-5 saturation case): the windowed cluster walk must not lose
+    geometry vs the exact per-ray engine."""
+    import dataclasses
+    mesh = procedural.make_icosphere(subdivisions=0, level=3, amplitude=0.1)
+    ds = scene_mod.build_device_scene(mesh)
+    base = PathTraceConfig(bounces=1, samples_per_pixel=1, ray_chunk=1536,
+                           compaction=False)
+    a, sa = PathTracer(ds, CFG, dataclasses.replace(
+        base, engine="pallas")).render(_ivp())
+    b, sb = PathTracer(ds, CFG, dataclasses.replace(
+        base, engine="perray")).render(_ivp())
+    diff = np.abs(np.asarray(a) - np.asarray(b)).max(-1)
+    npix = int((diff > 1e-4).sum())
+    assert npix <= 5, f"{npix} pixels diverge between engines"

@@ -128,7 +128,9 @@ def test_deep_hierarchy_level4_units():
     ground truth."""
     mesh = procedural.make_plane(grid=(1, 1), level=4, amplitude=0.2)
     ds = scene_mod.build_device_scene(mesh)
-    assert ds.num_units == ds.num_triangles * 4      # 4 units per level-4 tri
+    # 4 units per real level-4 triangle (unit table padded to a cluster)
+    assert int(np.asarray(ds.unit_valid).sum()) == mesh.num_triangles * 4
+    assert ds.num_units % 64 == 0
     assert ds.leaves_per_unit == 64
     w, h = 96, 48
     cfg_t = RenderConfig(width=w, height=h, pipeline="tile")
@@ -151,7 +153,7 @@ def test_deep_hierarchy_level5_pallas_interpret():
     16 units/triangle; Pallas interpret == tiled XLA."""
     mesh = procedural.make_plane(grid=(1, 1), level=5, amplitude=0.15)
     ds = scene_mod.build_device_scene(mesh)
-    assert ds.num_units == ds.num_triangles * 16
+    assert int(np.asarray(ds.unit_valid).sum()) == mesh.num_triangles * 16
     w, h = 64, 32
     cfg = RenderConfig(width=w, height=h)
     ivp = _ivp_wh(w, h)
@@ -166,3 +168,71 @@ def test_deep_hierarchy_level5_pallas_interpret():
     # and it draws something
     bg = np.asarray(cfg.background, np.float32)
     assert (np.abs(tile - bg).max(-1) > 1e-5).mean() > 0.05
+
+
+# --- scene-level hierarchy: clusters + candidate windows -------------------
+
+def test_multi_window_equals_single_window():
+    """Windowed candidate consumption never drops geometry: a forced
+    one-cluster-per-window render must equal the few-window render and the
+    per-ray reference (the overflow-free guarantee of the window loop)."""
+    mesh = procedural.make_plane(grid=(32, 32), level=1, amplitude=0.15)
+    ds = scene_mod.build_device_scene(mesh)
+    assert ds.num_clusters >= 2, "need a multi-cluster scene"
+    w, h = 64, 32
+    ivp = _ivp(w, h, dist=2.2)
+    imgs = {}
+    for kc in (1, 8):
+        cfg = RenderConfig(width=w, height=h, pipeline="tile",
+                           clusters_per_window=kc)
+        imgs[kc] = np.asarray(Renderer(ds, cfg).render(ivp))
+    np.testing.assert_allclose(imgs[1], imgs[8], atol=1e-6)
+    pal = np.asarray(render_pallas(
+        ds, jnp.asarray(ivp),
+        RenderConfig(width=w, height=h, clusters_per_window=1),
+        interpret=True))
+    np.testing.assert_allclose(pal, imgs[8], atol=1e-5)
+    ray = np.asarray(Renderer(ds, RenderConfig(
+        width=w, height=h, pipeline="ray", max_candidates=16)).render(ivp))
+    rmse = np.sqrt(((imgs[1] - ray) ** 2).mean())
+    assert rmse <= 1e-3, rmse
+
+
+def test_large_scene_tile_matches_ray():
+    """A real-scale (10k+ base triangle) scene renders through the cluster
+    hierarchy with tile == per-ray agreement and zero dropped hits."""
+    mesh = procedural.make_plane(grid=(72, 72), level=0, amplitude=0.08)
+    assert mesh.num_triangles == 10368
+    ds = scene_mod.build_device_scene(mesh)
+    assert ds.num_clusters > 2
+    w, h = 64, 32
+    ivp = _ivp(w, h, dist=2.0)
+    tile = np.asarray(Renderer(ds, RenderConfig(
+        width=w, height=h, pipeline="tile")).render(ivp))
+    ray = np.asarray(Renderer(ds, RenderConfig(
+        width=w, height=h, pipeline="ray", max_candidates=16)).render(ivp))
+    rmse = np.sqrt(((tile - ray) ** 2).mean())
+    assert rmse <= 1e-3, rmse
+    # visible coverage sanity: the plane fills a chunk of the frame
+    bg = np.asarray(RenderConfig().background)
+    assert (np.abs(tile - bg).max(-1) > 1e-5).mean() > 0.1
+
+
+def test_candidate_counts_match_dense_cull():
+    """candidate_counts (windowed, exact) == the dense tiles x units cull."""
+    import jax
+
+    from rtmm_tpu.ops import tiled as tiled_mod
+
+    mesh = procedural.make_plane(grid=(8, 8), level=1, amplitude=0.1)
+    ds = scene_mod.build_device_scene(mesh)
+    cfg = RenderConfig(width=64, height=32, clusters_per_window=1)
+    ivp = jnp.asarray(_ivp(64, 32, dist=2.2))
+    counts = np.asarray(jax.jit(
+        lambda s, m: tiled_mod.candidate_counts(s, m, cfg))(ds, ivp))
+    pw, ph = tiled_mod.padded_size(cfg.width, cfg.height)
+    apex, normals = culling.tile_frustums(ivp, cfg.width, cfg.height, pw, ph)
+    dense = np.asarray(culling.cull_units(
+        apex, normals, ds.unit_aabb_min, ds.unit_aabb_max,
+        ds.unit_valid).sum(axis=1))
+    np.testing.assert_array_equal(counts, dense)
