@@ -165,8 +165,14 @@ def main(argv=None) -> int:
         mrays = cfg.width * cfg.height / dt / 1e6
         print(f"frame {frame}: {dt * 1e3:.1f} ms ({mrays:.1f} Mrays/s) -> {path}")
         if args.stats and args.pathtrace == 0:
-            from .utils.stats import collect_frame_stats
-            print("  stats:", collect_frame_stats(ds, ivp, cfg).as_dict())
+            from .utils import stats as stats_mod
+            print("  stats:",
+                  stats_mod.collect_frame_stats(ds, ivp, cfg).as_dict())
+            # Traversal-divergence heatmap (SURVEY §5): per-pixel step counts.
+            hm = stats_mod.traversal_heatmap(ds, ivp, cfg)
+            hm_path = os.path.join(args.out, f"heatmap_{frame:04d}.png")
+            stats_mod.heatmap_to_png(hm_path, hm)
+            print(f"  heatmap: max {int(hm.max())} steps/ray -> {hm_path}")
         elif args.stats:
             print("  live rays/bounce:",
                   np.asarray(pt_stats["live_rays_per_bounce"]).tolist())

@@ -39,6 +39,17 @@ def trace(scene: DeviceScene, origins: jax.Array, directions: jax.Array,
     Replaces TraceRay + the whole DXR shader-table machinery
     (src/application.cpp:214, src/dx_util/RayTraceShader.cpp:345-372).
     """
+    t, nrm, hit, _ = trace_with_steps(scene, origins, directions, cfg)
+    return t, nrm, hit
+
+
+def trace_with_steps(scene: DeviceScene, origins: jax.Array,
+                     directions: jax.Array, cfg: RenderConfig):
+    """trace() plus a per-ray traversal-step count: the number of hierarchy
+    nodes that survived pruning plus the leaf Möller-Trumbore tests run —
+    the divergence metric of the reference's per-ray stack loop
+    (intersection.hlsl:462-476), per pixel. Returns (t, normal, hit,
+    steps (N,) int32)."""
     n = origins.shape[0]
     num_tris = scene.num_triangles
     k = min(cfg.max_candidates, num_tris)
@@ -57,14 +68,18 @@ def trace(scene: DeviceScene, origins: jax.Array, directions: jax.Array,
     # --- per-candidate traversal, running closest hit over the K slots ---
     best_t = jnp.full((n,), BIG, jnp.float32)
     best_n = jnp.zeros((n, 3), jnp.float32)
+    steps = jnp.zeros((n,), jnp.int32)
     for slot in range(k):
         tri = cand_idx[:, slot]
-        t, nrm = _trace_one_candidate(scene, origins, directions, tri, cfg)
-        take = cand_valid[:, slot] & (t < best_t)
+        t, nrm, st = _trace_one_candidate(scene, origins, directions, tri,
+                                          cfg)
+        valid = cand_valid[:, slot]
+        steps = steps + jnp.where(valid, st, 0)
+        take = valid & (t < best_t)
         best_t = jnp.where(take, t, best_t)
         best_n = jnp.where(take[:, None], nrm, best_n)
     hit = best_t < BIG
-    return jnp.where(hit, best_t, cfg.t_max), best_n, hit
+    return jnp.where(hit, best_t, cfg.t_max), best_n, hit, steps
 
 
 def _trace_one_candidate(scene: DeviceScene, origins, directions, tri, cfg):
@@ -78,6 +93,7 @@ def _trace_one_candidate(scene: DeviceScene, origins, directions, tri, cfg):
 
     # Breadth-first mask propagation over internal levels (static unroll,
     # level <= 5 as in the reference, intersection.hlsl:79).
+    steps = jnp.zeros((n,), jnp.int32)
     active = jnp.ones((n, 1), bool)
     for l in range(level):
         off = level_offset(l)
@@ -89,6 +105,7 @@ def _trace_one_candidate(scene: DeviceScene, origins, directions, tri, cfg):
             o2[:, None], d2[:, None], nv, nm, h0[:, None], hslope[:, None])
         parent = active if l == 0 else jnp.repeat(active, 4, axis=1)
         active = parent & ok
+        steps = steps + active.sum(axis=1, dtype=jnp.int32)
     leaf_active = (jnp.repeat(active, 4, axis=1) if level > 0
                    else jnp.ones((n, scene.num_leaf_slots), bool))
     # Leaf slots are padded to a multiple of 64 (traversal-unit alignment);
@@ -105,27 +122,31 @@ def _trace_one_candidate(scene: DeviceScene, origins, directions, tri, cfg):
     t_max = jnp.float32(cfg.t_max)
 
     def leaf_block(i, carry):
-        bt, bn = carry
+        bt, bn, st = carry
         lv = jax.lax.dynamic_slice_in_dim(scene.leaf_verts, i * blk, blk, 1)
         lm = jax.lax.dynamic_slice_in_dim(scene.leaf_mask, i * blk, blk, 1)
         la = jax.lax.dynamic_slice_in_dim(leaf_active, i * blk, blk, 1)
         lv = lv[tri]                                         # (N, blk, 3, 3)
         lm = lm[tri]                                         # (N, blk)
+        tested = lm & la
+        st = st + tested.sum(axis=1, dtype=jnp.int32)
         ok, t, nrm = intersect.moller_trumbore(
             origins[:, None], directions[:, None],
             lv[:, :, 0], lv[:, :, 1], lv[:, :, 2])
-        valid = ok & lm & la & (t >= t_min) & (t <= t_max)
+        valid = ok & tested & (t >= t_min) & (t <= t_max)
         t = jnp.where(valid, t, BIG)
         idx = jnp.argmin(t, axis=1)                          # (N,)
         tb = jnp.take_along_axis(t, idx[:, None], 1)[:, 0]
         nb = jnp.take_along_axis(nrm, idx[:, None, None], 1)[:, 0]
         take = tb < bt
         return (jnp.where(take, tb, bt),
-                jnp.where(take[:, None], nb, bn))
+                jnp.where(take[:, None], nb, bn), st)
 
-    init = (jnp.full((n,), BIG, jnp.float32), jnp.zeros((n, 3), jnp.float32))
+    init = (jnp.full((n,), BIG, jnp.float32), jnp.zeros((n, 3), jnp.float32),
+            steps)
     if num_blocks == 1:
-        best_t, best_n = leaf_block(0, init)
+        best_t, best_n, steps = leaf_block(0, init)
     else:
-        best_t, best_n = jax.lax.fori_loop(0, num_blocks, leaf_block, init)
-    return best_t, best_n
+        best_t, best_n, steps = jax.lax.fori_loop(0, num_blocks, leaf_block,
+                                                  init)
+    return best_t, best_n, steps
