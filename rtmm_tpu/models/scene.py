@@ -308,6 +308,10 @@ def pack_units(leaf_verts_flat: np.ndarray, leaf_mask_flat: np.ndarray
     norm = np.maximum(np.linalg.norm(nvec, axis=-1, keepdims=True), 1e-20)
     unit_nrm = (nvec / norm).astype(np.float32)
     unit_qn[:, 0:3, 4 * lpu:4 * lpu + lpu] = unit_nrm.transpose(0, 2, 1)
+    # Row 3 of the normal block carries e2.w2 so the kernel can form
+    # t_num = apex.n - e2.w2 itself (n = -det-block rows 0..2): the q table
+    # is then fully camera-independent — no per-frame table copy.
+    unit_qn[:, 3, 4 * lpu:4 * lpu + lpu] = unit_e2w2
     # Standalone padded normal table for the grouped (q16) kernel.
     unit_nrm_pad = np.zeros((u_total, 8, max(128, lpu)), np.float32)
     unit_nrm_pad[:, 0:3, 0:lpu] = unit_nrm.transpose(0, 2, 1)

@@ -94,6 +94,66 @@ def tile_frustums(inv_view_proj: jax.Array, width: int, height: int,
     return apex, normals
 
 
+SUB_FRUSTA = 4   # sub-cones per tile along the 128-px width (32 px each)
+
+
+def tile_sub_frustums(inv_view_proj: jax.Array, width: int, height: int,
+                      render_width: int | None = None,
+                      render_height: int | None = None) -> jax.Array:
+    """Per-tile SUB-frustum planes: each 8x128 tile split into SUB_FRUSTA
+    8x32 cones along the width.
+
+    Narrow cones let the trace kernel prune per sub-tile: a unit is a
+    candidate only for sub-tiles whose cone reaches it AND whose own worst
+    hit it could still beat — which is what kills the silhouette-tile
+    blow-up (a wide tile straddling an object edge otherwise keeps every
+    back-surface unit alive because some of its rays miss).
+
+    Returns normals (tiles, SUB_FRUSTA, 4, 3) with the same orientation
+    convention as tile_frustums.
+    """
+    m = inv_view_proj.astype(jnp.float32)
+    rw = render_width or width
+    rh = render_height or height
+    tx = rw // TILE_W
+    ty = rh // TILE_H
+    sw = TILE_W // SUB_FRUSTA
+
+    cx = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 1) * TILE_W
+    cy = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 0) * TILE_H
+
+    def unproject(px, py, z):
+        u = px / width
+        v = py / height
+        ndc_x = u * 2.0 - 1.0
+        ndc_y = -(v * 2.0 - 1.0)
+        p = [m[i, 0] * ndc_x + m[i, 1] * ndc_y + (m[i, 2] * z + m[i, 3])
+             for i in range(4)]
+        return jnp.stack([p[0] / p[3], p[1] / p[3], p[2] / p[3]], axis=-1)
+
+    def corner_dir(px, py):
+        near = unproject(px, py, 0.0)
+        far = unproject(px, py, 1.0)
+        d = far - near
+        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    top = [corner_dir(cx + k * sw, cy) for k in range(SUB_FRUSTA + 1)]
+    bot = [corner_dir(cx + k * sw, cy + TILE_H)
+           for k in range(SUB_FRUSTA + 1)]
+    subs = []
+    for k in range(SUB_FRUSTA):
+        dc = corner_dir(cx + (k + 0.5) * sw, cy + TILE_H / 2)
+        planes = []
+        for a, b in ((top[k], top[k + 1]), (top[k + 1], bot[k + 1]),
+                     (bot[k + 1], bot[k]), (bot[k], top[k])):
+            n = jnp.cross(a, b)
+            sign = jnp.sign((n * dc).sum(-1, keepdims=True))
+            sign = jnp.where(sign == 0.0, 1.0, sign)
+            planes.append(n * sign)
+        subs.append(jnp.stack(planes, axis=2))     # (ty, tx, 4, 3)
+    return jnp.stack(subs, axis=2).reshape(ty * tx, SUB_FRUSTA, 4, 3)
+
+
 def _ray_closest_point(o1, d1, o2, d2):
     """Closest point of two rays (the shared camera apex for primaries)."""
     a = (d1 * d1).sum(-1)

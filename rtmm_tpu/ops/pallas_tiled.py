@@ -43,6 +43,7 @@ from .intersect import MT_DET_EPS, MT_UV_EPS
 BIG = jnp.float32(1e30)
 TILE = culling.TILE_H * culling.TILE_W
 UPC = culling.UNITS_PER_CLUSTER
+NSUB = culling.SUB_FRUSTA
 
 
 def _kernel(*refs, lpu: int, t_min: float, t_max: float,
@@ -129,12 +130,17 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     rm_hi = rm.astype(jnp.bfloat16)
     rm_lo = (rm - rm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    # Tile frustum scalars: [apex xyz, n0 xyz, n1 xyz, n2 xyz, n3 xyz].
+    # Frustum scalars: [apex xyz, SUB_FRUSTA sub-cones x 4 planes x xyz].
     ax = frus_ref[0, b, 0]
     ay = frus_ref[0, b, 1]
     az = frus_ref[0, b, 2]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    # Sub-tile ray masks: pixel (r, c) sits at ray index r*128 + c, so the
+    # j-th 8x32 sub-cone owns columns [32j, 32j+32).
+    col = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1), 128)
+    sw = 128 // NSUB
+    smask = [(col >= j * sw) & (col < (j + 1) * sw) for j in range(NSUB)]
 
     def cmeta_dma(slot, ci):
         return pltpu.make_async_copy(
@@ -198,8 +204,15 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         return (jnp.where(take, tb, best_t),
                 jnp.where(take, nsel, best_n))
 
+    def worst_subs(bt):
+        """Per-sub-tile worst apex-relative hit (1e30 while any ray of the
+        sub-tile still misses)."""
+        v = jnp.where(bt < 1e30, bt + s_row, 1e30)
+        return tuple(jnp.max(jnp.where(smask[j], v, 0.0))
+                     for j in range(NSUB))
+
     def cluster_body(carry):
-        ci, best_t, best_n, worst = carry
+        ci, best_t, best_n, worsts = carry
         cslot = jax.lax.rem(ci, 2)
 
         @pl.when(ci + 1 < ccnt)
@@ -212,23 +225,39 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
         mnx, mny, mnz = meta[0:1], meta[1:2], meta[2:3]
         mxx, mxy, mxz = meta[3:4], meta[4:5], meta[5:6]
-        inside = meta[6:7] > 0.0                  # valid lanes only
-        for p in range(4):
-            nx = frus_ref[0, b, 3 + 3 * p + 0]
-            ny = frus_ref[0, b, 3 + 3 * p + 1]
-            nz = frus_ref[0, b, 3 + 3 * p + 2]
-            dot = (nx * (jnp.where(nx >= 0.0, mxx, mnx) - ax)
-                   + ny * (jnp.where(ny >= 0.0, mxy, mny) - ay)
-                   + nz * (jnp.where(nz >= 0.0, mxz, mnz) - az))
-            inside &= dot >= 0.0
+        valid = meta[6:7] > 0.0                   # valid lanes only
+        # Per-sub-cone p-vertex tests: a unit stays a candidate only for
+        # sub-tiles whose cone reaches it AND whose own worst hit it could
+        # still beat (the per-sub bound is what prunes back-surface units
+        # on silhouette tiles, where some full-tile rays miss everything).
+        insides = []
+        for j in range(NSUB):
+            inside_j = valid
+            for p in range(4):
+                base = 3 + 12 * j + 3 * p
+                nx = frus_ref[0, b, base + 0]
+                ny = frus_ref[0, b, base + 1]
+                nz = frus_ref[0, b, base + 2]
+                dot = (nx * (jnp.where(nx >= 0.0, mxx, mnx) - ax)
+                       + ny * (jnp.where(ny >= 0.0, mxy, mny) - ay)
+                       + nz * (jnp.where(nz >= 0.0, mxz, mnz) - az))
+                inside_j &= dot >= 0.0
+            insides.append(inside_j)
         dx = jnp.maximum(jnp.maximum(mnx - ax, ax - mxx), 0.0)
         dy = jnp.maximum(jnp.maximum(mny - ay, ay - mxy), 0.0)
         dz = jnp.maximum(jnp.maximum(mnz - az, az - mxz), 0.0)
         dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)   # (1, 128)
+        inf = jnp.float32(jnp.inf)
+
+        def eligible(ws):
+            e = insides[0] & (dist <= ws[0])
+            for j in range(1, NSUB):
+                e |= insides[j] & (dist <= ws[j])
+            return e
+
         # "Masked distance" row: +inf = excluded. A float carry — Mosaic
         # cannot legalize boolean-vector while-loop carries.
-        inf = jnp.float32(jnp.inf)
-        key0 = jnp.where(inside & (dist <= worst), dist, inf)
+        key0 = jnp.where(eligible(worsts), dist, inf)
 
         def first(key):
             """Lane of the nearest active unit (128 = none)."""
@@ -252,7 +281,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             qn_dma(1, cl * UPC + u1).start()
 
         def unit_body(st):
-            u, n1, uslot, key, bt, bn, w = st
+            u, n1, uslot, key, bt, bn, ws = st
             n2 = first(key)
 
             @pl.when(n2 < 128)
@@ -261,27 +290,30 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
             qn_dma(uslot, cl * UPC + u).wait()
             bt, bn = process_unit(uslot, bt, bn)
-            w = jnp.max(jnp.where(bt < 1e30, bt + s_row, 1e30))
-            # Prune what the improved worst rules out — n1/n2's DMAs are
+            ws = worst_subs(bt)
+            # Prune what the improved worsts rule out — n1/n2's DMAs are
             # already in flight, so they stay pinned via the carry and are
             # always processed (a rare wasted matmul, never a leaked
             # semaphore).
             key_wo = jnp.where(lane == n2, inf, key)
-            key2 = jnp.where(key_wo <= w, key_wo, inf)
-            return (n1, n2, jax.lax.rem(uslot + 1, 3), key2, bt, bn, w)
+            key2 = jnp.where((key_wo < inf) & eligible(ws), key_wo, inf)
+            return (n1, n2, jax.lax.rem(uslot + 1, 3), key2, bt, bn, ws)
 
         def unit_cond(st):
             return st[0] < 128
 
-        _, _, _, _, best_t, best_n, worst = jax.lax.while_loop(
+        _, _, _, _, best_t, best_n, worsts = jax.lax.while_loop(
             unit_cond, unit_body,
-            (u0, u1, jnp.int32(0), key1, best_t, best_n, worst))
-        return ci + 1, best_t, best_n, worst
+            (u0, u1, jnp.int32(0), key1, best_t, best_n, worsts))
+        return ci + 1, best_t, best_n, worsts
 
     def cluster_cond(carry):
-        ci, _bt, _bn, worst = carry
+        ci, _bt, _bn, worsts = carry
+        wmax = worsts[0]
+        for j in range(1, NSUB):
+            wmax = jnp.maximum(wmax, worsts[j])
         cidx = jnp.minimum(ci, centry_ref.shape[2] - 1)
-        return (ci < ccnt) & (worst >= centry_ref[0, b, cidx])
+        return (ci < ccnt) & (wmax >= centry_ref[0, b, cidx])
 
     # Carry in the running best from previous cluster windows; the early
     # exit bound then also skips whole windows this tile no longer needs.
@@ -289,13 +321,12 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     if fused_cfg is None:
         bt0 = t_in[0, b].reshape(1, TILE)
         bn0 = n_in[0, b]                          # (8, TILE)
-        worst0 = jnp.max(jnp.where(bt0 < 1e30, bt0 + s_row, 1e30))
     else:
         bt0 = jnp.full((1, TILE), 1e30, jnp.float32)
         bn0 = jnp.zeros((8, TILE), jnp.float32)
-        worst0 = jnp.float32(1e30)
     c_final, best_t, best_n, _ = jax.lax.while_loop(
-        cluster_cond, cluster_body, (jnp.int32(0), bt0, bn0, worst0))
+        cluster_cond, cluster_body,
+        (jnp.int32(0), bt0, bn0, worst_subs(bt0)))
 
     # Drain: whenever the cluster loop stopped at c_final < ccnt (early-exit
     # bound, possibly before the first iteration), the metadata DMA for
@@ -367,10 +398,10 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, q_frame: jax.Array,
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
     head_specs = [smem((tb, kc)), smem((tb, 1)), smem((tb, kc)),
-                  smem((tb, 16)), vmem((tb, 8, TILE))]
+                  smem((tb, 64)), vmem((tb, 8, TILE))]
     tail_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
     head_args = (ccand.reshape(nb, tb, kc), ccount.reshape(nb, tb, 1),
-                 centry.reshape(nb, tb, kc), frus.reshape(nb, tb, 16),
+                 centry.reshape(nb, tb, kc), frus.reshape(nb, tb, 64),
                  raymat_t.reshape(nb, tb, 8, TILE))
     tail_args = (scene.cluster_unit_meta, q_frame)
     if fused:

@@ -57,6 +57,9 @@ class FrameInputs(NamedTuple):
     apex: jax.Array         # (3,)
     normals: jax.Array      # (tiles, 4, 3) tile frustum planes
     cluster_hit: jax.Array  # (tiles, C) bool — coarse-level cull result
+    # (tiles, SUB_FRUSTA, 4, 3) sub-cone planes for the kernel's per-unit
+    # cull, or None on paths that never reach the Pallas kernel.
+    sub_normals: jax.Array | None = None
 
 
 def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
@@ -69,6 +72,8 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
 
     apex, normals = culling.tile_frustums(inv_view_proj, width, height,
                                           pw, ph)
+    sub_normals = culling.tile_sub_frustums(inv_view_proj, width, height,
+                                            pw, ph)
     cluster_hit = culling.cull_units(apex, normals, scene.cluster_aabb_min,
                                      scene.cluster_aabb_max,
                                      scene.cluster_valid)
@@ -90,7 +95,8 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
     t_num = (scene.unit_n * apex).sum(-1) - scene.unit_e2w2    # (U, LPU)
     lpu = scene.leaves_per_unit
     q_frame = scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
-    return FrameInputs(raymat, q_frame, dirs, apex, normals, cluster_hit)
+    return FrameInputs(raymat, q_frame, dirs, apex, normals, cluster_hit,
+                       sub_normals)
 
 
 def candidate_window(scene: DeviceScene, apex: jax.Array, normals: jax.Array,
@@ -163,13 +169,14 @@ def cluster_window(scene: DeviceScene, apex: jax.Array,
 
 
 def frustum_scalars(fi: FrameInputs) -> jax.Array:
-    """(tiles, 16) f32 per-tile frustum pack for the kernel's SMEM:
-    [apex xyz, n0 xyz, n1 xyz, n2 xyz, n3 xyz, pad]."""
+    """(tiles, 64) f32 per-tile frustum pack for the kernel's SMEM:
+    [apex xyz, then SUB_FRUSTA sub-cones x 4 planes x xyz, pad]."""
     n_tiles = fi.normals.shape[0]
+    ns = culling.SUB_FRUSTA * 12
     apex = jnp.broadcast_to(fi.apex, (n_tiles, 3))
     return jnp.concatenate(
-        [apex, fi.normals.reshape(n_tiles, 12),
-         jnp.zeros((n_tiles, 1), jnp.float32)], axis=1)
+        [apex, fi.sub_normals.reshape(n_tiles, ns),
+         jnp.zeros((n_tiles, 61 - ns), jnp.float32)], axis=1)
 
 
 def trace_windowed_clusters(scene: DeviceScene, fi: FrameInputs,

@@ -188,6 +188,7 @@ def _bake(scene: DeviceScene, rot: jax.Array, trn: jax.Array,
     unit_nrm = nvec / norm
     unit_qn = unit_qn.at[:, 0:3, 4 * lpu:5 * lpu].set(
         unit_nrm.transpose(0, 2, 1))
+    unit_qn = unit_qn.at[:, 3, 4 * lpu:5 * lpu].set(unit_e2w2)
     npad = scene.unit_nrm_pad.shape[2]
     unit_nrm_pad = jnp.zeros((u_total, 8, npad), jnp.float32)
     unit_nrm_pad = unit_nrm_pad.at[:, 0:3, 0:lpu].set(
@@ -268,6 +269,7 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
     from ..ops import raygen
 
     apex_w, normals_w = culling.tile_frustums(ivp, width, height, pw, ph)
+    sub_normals_w = culling.tile_sub_frustums(ivp, width, height, pw, ph)
     origins_w, dirs_w = raygen.generate_rays(ivp, width, height, pw, ph)
 
     def to_tiles(x):
@@ -292,13 +294,14 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
             [dirs_o, m_o, s_o[..., None], jnp.ones_like(s_o)[..., None]],
             axis=-1)
         normals_o = jnp.einsum("ij,xyj->xyi", r.T, normals_w)
+        sub_normals_o = jnp.einsum("ij,xsyj->xsyi", r.T, sub_normals_w)
         cluster_hit = culling.cull_units(
             apex_o, normals_o, scene.cluster_aabb_min,
             scene.cluster_aabb_max, scene.cluster_valid)
         t_num = (scene.unit_n * apex_o).sum(-1) - scene.unit_e2w2
         q_frame = scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
         fi = tiled.FrameInputs(raymat, q_frame, dirs_o, apex_o, normals_o,
-                               cluster_hit)
+                               cluster_hit, sub_normals_o)
         kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
 
         # Carry converts world -> object (t scales, normal rows rotate) so
