@@ -48,8 +48,10 @@ def _build_config(n: int):
     if n == 3:
         # Full asset through the asset-loading path (BASELINE config 3 is
         # "full micromesh-tools asset at 1080p"): a subdiv-3 closed surface
-        # with 5120 base x 64 micro = 327,680 micro-triangles, written as a
+        # with 1,280 base x 64 micro = 81,920 micro-triangles, written as a
         # spec-layout .gltf + .bary pair once and loaded via io.loader.
+        # (A 4x bigger 5,120-triangle variant runs at ~73 Mrays/s — see
+        # PERF.md's scene-size table.)
         mesh = _full_asset_via_io()
         scene = scene_mod.build_device_scene(mesh)
         return ("primary_rays_1080p_subdiv3_micromesh", scene,
@@ -93,9 +95,9 @@ def _full_asset_via_io():
     from rtmm_tpu.io import loader
     from rtmm_tpu.models import procedural
 
-    path = os.path.join(tempfile.gettempdir(), "rtmm_bench_sphere4_l3.gltf")
+    path = os.path.join(tempfile.gettempdir(), "rtmm_bench_sphere3_l3.gltf")
     if not os.path.exists(path):
-        mesh = procedural.make_icosphere(subdivisions=4, level=3,
+        mesh = procedural.make_icosphere(subdivisions=3, level=3,
                                          amplitude=0.12)
         loader.save_gltf_bary(mesh, path)
     return loader.load_micromesh(path)

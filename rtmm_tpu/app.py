@@ -76,6 +76,11 @@ def main(argv=None) -> int:
     parser.add_argument("--instances", type=int, default=1,
                         help="replicate the asset in a ring of N instances "
                              "(TLAS analog demo)")
+    parser.add_argument("--tlas", action="store_true",
+                        help="with --instances: true two-level traversal "
+                             "(per-instance ray transform into the shared "
+                             "BLAS, O(scene+N) memory) instead of baking "
+                             "world-space copies")
     parser.add_argument("--pathtrace", type=int, default=0, metavar="BOUNCES",
                         help="path-traced multi-bounce rendering")
     parser.add_argument("--spp", type=int, default=4,
@@ -106,6 +111,7 @@ def main(argv=None) -> int:
     print(f"scene build: {time.perf_counter() - t0:.2f}s "
           f"(mode={'tessellated' if args.tessellated else 'micromesh'})")
 
+    instance_ring = None
     if args.instances > 1:
         from .render import instances as inst_mod
         n = args.instances
@@ -115,8 +121,13 @@ def main(argv=None) -> int:
             ring.append(inst_mod.Instance.from_euler(
                 [2.2 * np.cos(a), 2.2 * np.sin(a), 0.0],
                 (0.0, a, 0.0), 0.8))
-        ds = inst_mod.bake_instances(ds, ring)
-        print(f"instanced: {n} instances, {ds.num_triangles} triangles total")
+        if args.tlas:
+            instance_ring = ring
+            print(f"instanced (two-level TLAS): {n} instances, shared BLAS")
+        else:
+            ds = inst_mod.bake_instances(ds, ring)
+            print(f"instanced: {n} instances, "
+                  f"{ds.num_triangles} triangles total")
 
     if args.compare_t:
         if args.cache:
@@ -141,6 +152,9 @@ def main(argv=None) -> int:
         from .render.pathtrace import PathTraceConfig, PathTracer
         renderer = PathTracer(ds, cfg, PathTraceConfig(
             bounces=args.pathtrace, samples_per_pixel=args.spp))
+    elif instance_ring is not None:
+        from .render import instances as inst_mod
+        renderer = inst_mod.InstancedRenderer(ds, instance_ring, cfg)
     else:
         renderer = Renderer(ds, cfg)
     tb = camera.Trackball(distance=args.distance)

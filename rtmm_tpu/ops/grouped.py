@@ -39,16 +39,21 @@ def _octant(d: jax.Array) -> jax.Array:
             + 4 * (d[:, 2] > 0).astype(jnp.int32))
 
 
+N_CELLS = 4   # origin cells per axis in the group sort key
+DEAD_KEY = 8 * N_CELLS**3
+
+
 def _sort_key(o: jax.Array, d: jax.Array, scene: DeviceScene) -> jax.Array:
-    """Direction octant + origin cell (2x2x2 over the scene bounds): rays
+    """Direction octant + origin cell (4x4x4 over the scene bounds): rays
     in a group share a cone AND a local origin box, keeping reach boxes
     tight."""
     lo = scene.unit_aabb_min.min(axis=0)
     hi = scene.unit_aabb_max.max(axis=0)
-    cell = jnp.clip(((o - lo) / jnp.maximum(hi - lo, 1e-6) * 2).astype(
-        jnp.int32), 0, 1)
-    cell_id = cell[:, 0] + 2 * cell[:, 1] + 4 * cell[:, 2]
-    return _octant(d) * 8 + cell_id
+    cell = jnp.clip(((o - lo) / jnp.maximum(hi - lo, 1e-6)
+                     * N_CELLS).astype(jnp.int32), 0, N_CELLS - 1)
+    cell_id = (cell[:, 0] + N_CELLS * cell[:, 1]
+               + N_CELLS * N_CELLS * cell[:, 2])
+    return _octant(d) * N_CELLS**3 + cell_id
 
 
 def trace_grouped(scene: DeviceScene, origins: jax.Array,
@@ -71,7 +76,8 @@ def trace_grouped(scene: DeviceScene, origins: jax.Array,
 
     # --- compaction/sorting: dead rays last, live rays clustered by
     # direction octant + origin cell ---
-    key = jnp.where(alive, _sort_key(origins, directions, scene), 64)
+    key = jnp.where(alive, _sort_key(origins, directions, scene),
+                    DEAD_KEY)
     perm = jnp.argsort(key, stable=True)
     inv_perm = jnp.argsort(perm)
     o = origins[perm].reshape(g, GROUP, 3)

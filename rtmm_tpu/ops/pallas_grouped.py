@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RenderConfig
 from ..models.scene import DeviceScene
 from . import culling
-from .grouped import GROUP, _sort_key
+from .grouped import DEAD_KEY, GROUP, _sort_key
 from .intersect import MT_DET_EPS, MT_UV_EPS
 
 BIG = jnp.float32(1e30)
@@ -87,6 +87,9 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
     rv = rv_ref[0, b]                             # (16, GROUP)
     rv_hi = rv.astype(jnp.bfloat16)
     rv_lo = (rv - rv_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # One K=48 matmul instead of three K=16 passes (per-pass MXU overheads
+    # dominate at tiny contraction depth; see pallas_tiled).
+    rv_cat = jnp.concatenate([rv_hi, rv_lo, rv_hi], axis=0)   # (48, GROUP)
     # Per-ray inverse directions + origins for the unit slab gate
     # (rv rows: d = 0..2, o = 6..8).
     inv_d = 1.0 / jnp.where(jnp.abs(rv[0:3]) < 1e-12, 1e-12, rv[0:3])
@@ -111,18 +114,14 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                                   usem.at[slot, 1]),
         )
 
-    def process_unit(uslot, best_t, best_n):
+    def process_unit(uslot, best_t, best_n, w):
         q = q_buf[uslot]                          # (16, 4*LPU)
         q_hi = q.astype(jnp.bfloat16)
         q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dims = (((0,), (0,)), ((), ()))
-
-        def mm(a, c):
-            return jax.lax.dot_general(
-                a, c, dimension_numbers=dims,
-                preferred_element_type=jnp.float32)
-
-        out = mm(q_hi, rv_hi) + (mm(q_hi, rv_lo) + mm(q_lo, rv_hi))
+        q_cat = jnp.concatenate([q_hi, q_hi, q_lo], axis=0)   # (48, 4*LPU)
+        out = jax.lax.dot_general(
+            q_cat, rv_cat, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         det = out[0 * lpu:1 * lpu]
         u_num = out[1 * lpu:2 * lpu]
         v_num = out[2 * lpu:3 * lpu]
@@ -137,21 +136,24 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                & (t >= t_min) & (t <= t_max))
         t = jnp.where(ok, t, 1e30)
         tb = t.min(axis=0, keepdims=True)         # (1, GROUP)
-        onehot = ((t <= tb) & ok).astype(jnp.float32)
-        oh = jnp.concatenate(
-            [onehot, jnp.zeros((npad - lpu, GROUP), jnp.float32)], axis=0)
-        nrm_v = nrm_buf[uslot]
-        n_hi = nrm_v.astype(jnp.bfloat16)
-        n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        oh_b = oh.astype(jnp.bfloat16)
-        ndims = (((1,), (0,)), ((), ()))
-        nsel = (jax.lax.dot_general(n_hi, oh_b, dimension_numbers=ndims,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(n_lo, oh_b, dimension_numbers=ndims,
-                                      preferred_element_type=jnp.float32))
         take = tb < best_t
-        return (jnp.where(take, tb, best_t),
-                jnp.where(take, nsel, best_n))
+
+        def improve():
+            oh_b = ((t <= tb) & ok).astype(jnp.bfloat16)
+            nrm_v = nrm_buf[uslot][:, :lpu]
+            n_hi = nrm_v.astype(jnp.bfloat16)
+            n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            n_cat = jnp.concatenate([n_hi, n_lo], axis=1)   # (8, 2*LPU)
+            oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, GROUP)
+            nsel = jax.lax.dot_general(
+                n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            bt2 = jnp.where(take, tb, best_t)
+            return (bt2, jnp.where(take, nsel, best_n),
+                    jnp.max(jnp.where(bt2 < 1e30, bt2, 1e30)))
+
+        return jax.lax.cond(jnp.any(take), improve,
+                            lambda: (best_t, best_n, w))
 
     def cluster_body(carry):
         ci, best_t, best_n, worst = carry
@@ -235,11 +237,10 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                 jnp.maximum(t1z, t2z))
             gate = ((enter <= exit_) & (exit_ >= t_min)
                     & (enter < jnp.minimum(bt, t_max)))
-            bt, bn = jax.lax.cond(
+            bt, bn, w = jax.lax.cond(
                 jnp.any(gate),
-                lambda: process_unit(uslot, bt, bn),
-                lambda: (bt, bn))
-            w = jnp.max(jnp.where(bt < 1e30, bt, 1e30))
+                lambda: process_unit(uslot, bt, bn, w),
+                lambda: (bt, bn, w))
             key_wo = jnp.where(lane == n2, inf, key)
             key2 = jnp.where(key_wo <= w, key_wo, inf)
             return (n1, n2, jax.lax.rem(uslot + 1, 3), key2, bt, bn, w)
@@ -313,7 +314,8 @@ def trace_grouped_pallas(scene: DeviceScene, origins: jax.Array,
 
     # Compaction/sorting: dead rays last, live rays clustered by direction
     # octant + origin cell (as the XLA engine).
-    key = jnp.where(alive, _sort_key(origins, directions, scene), 64)
+    key = jnp.where(alive, _sort_key(origins, directions, scene),
+                    DEAD_KEY)
     perm = jnp.argsort(key, stable=True)
     inv_perm = jnp.argsort(perm)
     o = origins[perm].reshape(g, GROUP, 3)

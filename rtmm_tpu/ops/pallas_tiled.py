@@ -129,6 +129,9 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # passes and the matmul dominates the kernel).
     rm_hi = rm.astype(jnp.bfloat16)
     rm_lo = (rm - rm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # One K=24 matmul instead of three K=8 passes: each extra pass re-pays
+    # the MXU's per-output-tile overheads, which dominate at tiny K.
+    rm_cat = jnp.concatenate([rm_hi, rm_lo, rm_hi], axis=0)   # (24, TILE)
 
     # Frustum scalars: [apex xyz, SUB_FRUSTA sub-cones x 4 planes x xyz].
     ax = frus_ref[0, b, 0]
@@ -147,59 +150,61 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             meta_hbm.at[ccand_ref[0, b, ci]], meta_buf.at[b, slot],
             msem.at[b, slot])
 
-    def qn_dma(slot, unit):
-        return pltpu.make_async_copy(q_hbm.at[unit], q_buf.at[slot],
-                                     usem.at[slot])
+    def qblock_dma(slot, ci):
+        cl0 = ccand_ref[0, b, ci]
+        return pltpu.make_async_copy(
+            q_hbm.at[pl.ds(cl0 * UPC, UPC)], q_buf.at[slot],
+            usem.at[slot])
+
+    @pl.when(ccnt > 0)
+    def _():
+        qblock_dma(0, 0).start()
 
     # (this tile's first cluster metadata DMA was started by _kernel's
     # block-level prefetch loop)
 
-    def process_unit(uslot, best_t, best_n):
-        """MXU Möller-Trumbore for one unit's LPU leaves; returns updated
+    def process_unit(qslot, u, best_t, best_n):
+        """MXU Möller-Trumbore for one unit's LPU leaves (read from the
+        VMEM-resident cluster q block at lane u); returns updated
         (best_t (1, TILE), best_n (8, TILE))."""
-        qn = q_buf[uslot]                         # (8, 4*LPU + 128)
+        qn = q_buf[qslot, u]                      # (8, 4*LPU + 128)
         q = qn[:, :4 * lpu]
         # Single-pass bf16 speckles the image (the det/u/v epsilon tests
         # flip near edges), and HIGHEST costs 6 passes. Three bf16 products
         # with the hi/lo splits give ~21-bit mantissas — ample for the
-        # reference's 1e-3 u/v epsilons.
+        # reference's 1e-3 u/v epsilons — and fuse into ONE K=24 matmul
+        # (each extra pass re-pays the MXU's per-output-tile overheads,
+        # which dominate at tiny contraction depth).
         q_hi = q.astype(jnp.bfloat16)
         q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dims = (((0,), (0,)), ((), ()))
-
-        def mm(a, c):
-            return jax.lax.dot_general(
-                a, c, dimension_numbers=dims,
-                preferred_element_type=jnp.float32)
-
-        out = mm(q_hi, rm_hi) + (mm(q_hi, rm_lo) + mm(q_lo, rm_hi))
+        q_cat = jnp.concatenate([q_hi, q_hi, q_lo], axis=0)   # (24, 4*LPU)
+        out = jax.lax.dot_general(
+            q_cat, rm_cat, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         det = out[0 * lpu:1 * lpu]
         u_num = out[1 * lpu:2 * lpu]
         v_num = out[2 * lpu:3 * lpu]
         tn_b = out[3 * lpu:4 * lpu]
         ok = jnp.abs(det) >= MT_DET_EPS
         inv = 1.0 / jnp.where(ok, det, 1.0)
-        u = u_num * inv
-        v = v_num * inv
+        uu = u_num * inv
+        vv = v_num * inv
         t = tn_b * inv - s_row                    # (LPU, TILE)
-        ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
-               & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
+        ok &= ((uu >= -MT_UV_EPS) & (uu <= 1.0 + MT_UV_EPS)
+               & (vv >= -MT_UV_EPS) & (uu + vv <= 1.0 + MT_UV_EPS)
                & (t >= t_min) & (t <= t_max))
         t = jnp.where(ok, t, 1e30)
         tb = t.min(axis=0, keepdims=True)         # (1, TILE)
-        onehot = ((t <= tb) & ok).astype(jnp.float32)
-        oh = jnp.concatenate(
-            [onehot, jnp.zeros((128 - lpu, TILE), jnp.float32)], axis=0)
-        # one-hot is exact in bf16; split only the normals (2 passes).
-        nrm_v = qn[:, 4 * lpu:4 * lpu + 128]
+        oh_b = ((t <= tb) & ok).astype(jnp.bfloat16)   # one-hot: bf16-exact
+        # hi/lo normal split fused into one K=2*LPU matmul (as above).
+        nrm_v = qn[:, 4 * lpu:4 * lpu + lpu]
         n_hi = nrm_v.astype(jnp.bfloat16)
         n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        oh_b = oh.astype(jnp.bfloat16)
-        ndims = (((1,), (0,)), ((), ()))
-        nsel = (jax.lax.dot_general(n_hi, oh_b, dimension_numbers=ndims,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(n_lo, oh_b, dimension_numbers=ndims,
-                                      preferred_element_type=jnp.float32))
+        n_cat = jnp.concatenate([n_hi, n_lo], axis=1)  # (8, 2*LPU)
+        oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, TILE)
+        nsel = jax.lax.dot_general(
+            n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         take = tb < best_t
         return (jnp.where(take, tb, best_t),
                 jnp.where(take, nsel, best_n))
@@ -218,6 +223,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         @pl.when(ci + 1 < ccnt)
         def _():
             cmeta_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+            qblock_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
 
         cmeta_dma(cslot, ci).wait()
         meta = meta_buf[b, cslot]                 # (8, 128)
@@ -247,7 +253,6 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         dy = jnp.maximum(jnp.maximum(mny - ay, ay - mxy), 0.0)
         dz = jnp.maximum(jnp.maximum(mnz - az, az - mxz), 0.0)
         dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)   # (1, 128)
-        inf = jnp.float32(jnp.inf)
 
         def eligible(ws):
             e = insides[0] & (dist <= ws[0])
@@ -255,56 +260,53 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                 e |= insides[j] & (dist <= ws[j])
             return e
 
-        # "Masked distance" row: +inf = excluded. A float carry — Mosaic
-        # cannot legalize boolean-vector while-loop carries.
-        key0 = jnp.where(eligible(worsts), dist, inf)
 
-        def first(key):
-            """Lane of the nearest active unit (128 = none)."""
-            kmin = jnp.min(key)
-            return jnp.min(jnp.where((key <= kmin) & (key < inf), lane, 128))
+        # Integer candidate keys: distance bits (monotone for dist >= 0)
+        # with the lane in the low 7 bits — ONE min-reduce picks the
+        # nearest unit AND its lane. INT32_MAX = removed/ineligible.
+        imax = jnp.int32(0x7FFFFFFF)
+        dist_ikey = jax.lax.bitwise_or(
+            jax.lax.bitwise_and(
+                jax.lax.bitcast_convert_type(dist, jnp.int32),
+                jnp.int32(-128)), lane)
 
-        # Two-deep unit DMA pipeline (3-slot ring): while unit u computes,
-        # u+1 and u+2 stream from HBM — one prefetch cannot hide the HBM
-        # latency behind the ~1 us per-unit epilogue.
-        u0 = first(key0)
-        key1 = jnp.where(lane == u0, inf, key0)
-        u1 = first(key1)
-        key1 = jnp.where(lane == u1, inf, key1)
+        def ikey_of(ws, removed):
+            return jnp.where(eligible(ws) & ~removed, dist_ikey, imax)
 
-        @pl.when(u0 < 128)
-        def _():
-            qn_dma(0, cl * UPC + u0).start()
+        def pick2(ikey):
+            p0 = jnp.min(ikey)
+            u0 = jnp.where(p0 < imax, jax.lax.bitwise_and(p0, 127), 128)
+            ikey = jnp.where(lane == u0, imax, ikey)
+            p1 = jnp.min(ikey)
+            u1 = jnp.where(p1 < imax, jax.lax.bitwise_and(p1, 127), 128)
+            ikey = jnp.where(lane == u1, imax, ikey)
+            return u0, u1, ikey
 
-        @pl.when(u1 < 128)
-        def _():
-            qn_dma(1, cl * UPC + u1).start()
+        # Wait for this cluster's resident q block (prefetched), then walk
+        # its eligible units two per iteration — all reads are VMEM slices,
+        # so the per-unit cost is picks + MXU/VPU only (no DMA machinery).
+        qblock_dma(cslot, ci).wait()
+        removed0 = lane >= 128   # nothing removed yet (all-False row)
+        u0, u1, ikey0 = pick2(ikey_of(worsts, removed0))
 
         def unit_body(st):
-            u, n1, uslot, key, bt, bn, ws = st
-            n2 = first(key)
-
-            @pl.when(n2 < 128)
-            def _():
-                qn_dma(jax.lax.rem(uslot + 2, 3), cl * UPC + n2).start()
-
-            qn_dma(uslot, cl * UPC + u).wait()
-            bt, bn = process_unit(uslot, bt, bn)
+            ua, ub, ikey, bt, bn, ws = st
+            bt, bn = process_unit(cslot, ua, bt, bn)
+            ub_safe = jnp.where(ub < 128, ub, ua)
+            # A dup slot recomputes ua (idempotent take); harmless.
+            bt, bn = process_unit(cslot, ub_safe, bt, bn)
             ws = worst_subs(bt)
-            # Prune what the improved worsts rule out — n1/n2's DMAs are
-            # already in flight, so they stay pinned via the carry and are
-            # always processed (a rare wasted matmul, never a leaked
-            # semaphore).
-            key_wo = jnp.where(lane == n2, inf, key)
-            key2 = jnp.where((key_wo < inf) & eligible(ws), key_wo, inf)
-            return (n1, n2, jax.lax.rem(uslot + 1, 3), key2, bt, bn, ws)
+            removed = ikey >= imax
+            na, nb, ikey2 = pick2(jnp.where(removed, imax,
+                                            ikey_of(ws, removed)))
+            return (na, nb, ikey2, bt, bn, ws)
 
         def unit_cond(st):
             return st[0] < 128
 
-        _, _, _, _, best_t, best_n, worsts = jax.lax.while_loop(
+        _, _, _, best_t, best_n, worsts = jax.lax.while_loop(
             unit_cond, unit_body,
-            (u0, u1, jnp.int32(0), key1, best_t, best_n, worsts))
+            (u0, u1, ikey0, best_t, best_n, worsts))
         return ci + 1, best_t, best_n, worsts
 
     def cluster_cond(carry):
@@ -337,6 +339,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     @pl.when(c_final < ccnt)
     def _():
         cmeta_dma(jax.lax.rem(c_final, 2), c_final).wait()
+        qblock_dma(jax.lax.rem(c_final, 2), c_final).wait()
 
     if fused_cfg is None:
         t_out[0, b] = best_t[0]
@@ -428,9 +431,9 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, q_frame: jax.Array,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((tb, 2, 8, 128), jnp.float32),
-            pltpu.VMEM((3, 8, 4 * lpu + 128), jnp.float32),
+            pltpu.VMEM((2, UPC, 8, 4 * lpu + 128), jnp.float32),
             pltpu.SemaphoreType.DMA((tb, 2)),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(*args)

@@ -365,3 +365,33 @@ def _xla_window(scene, fi, cfg):
         return jax.lax.fori_loop(0, c_max, body, (best_t, best_n))
 
     return trace_window
+
+
+class InstancedRenderer:
+    """jit-compiled two-level (TLAS-style) frame renderer: N instances of
+    one shared object-space scene, O(scene + N) HBM."""
+
+    def __init__(self, scene: DeviceScene, instances: list[Instance], cfg):
+        import functools
+
+        self.scene = scene
+        self.cfg = cfg
+        self.rot = jnp.asarray(np.stack([i.rotation for i in instances]),
+                               jnp.float32)
+        self.trn = jnp.asarray(np.stack([i.translation for i in instances]),
+                               jnp.float32)
+        self.scl = jnp.asarray(np.asarray([i.scale for i in instances]),
+                               jnp.float32)
+        interpret = jax.devices()[0].platform == "cpu"
+        self._fn = jax.jit(functools.partial(
+            _render_instanced, cfg=cfg, interpret=interpret),
+            keep_unused=True)
+
+    def render(self, inv_view_proj: np.ndarray) -> jax.Array:
+        return self._fn(self.scene, self.rot, self.trn, self.scl,
+                        jnp.asarray(inv_view_proj, jnp.float32))
+
+    def render_u8(self, inv_view_proj: np.ndarray) -> np.ndarray:
+        img = self.render(inv_view_proj)
+        return np.asarray((jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5
+                           ).astype(jnp.uint8))
