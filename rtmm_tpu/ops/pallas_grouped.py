@@ -136,24 +136,21 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                & (t >= t_min) & (t <= t_max))
         t = jnp.where(ok, t, 1e30)
         tb = t.min(axis=0, keepdims=True)         # (1, GROUP)
+        oh_b = ((t <= tb) & ok).astype(jnp.bfloat16)
+        # hi/lo normal split fused into one K=2*LPU matmul (lax.cond-gating
+        # this measured slower: the cond's carry copies cost more).
+        nrm_v = nrm_buf[uslot][:, :lpu]
+        n_hi = nrm_v.astype(jnp.bfloat16)
+        n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        n_cat = jnp.concatenate([n_hi, n_lo], axis=1)   # (8, 2*LPU)
+        oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, GROUP)
+        nsel = jax.lax.dot_general(
+            n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         take = tb < best_t
-
-        def improve():
-            oh_b = ((t <= tb) & ok).astype(jnp.bfloat16)
-            nrm_v = nrm_buf[uslot][:, :lpu]
-            n_hi = nrm_v.astype(jnp.bfloat16)
-            n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            n_cat = jnp.concatenate([n_hi, n_lo], axis=1)   # (8, 2*LPU)
-            oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, GROUP)
-            nsel = jax.lax.dot_general(
-                n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            bt2 = jnp.where(take, tb, best_t)
-            return (bt2, jnp.where(take, nsel, best_n),
-                    jnp.max(jnp.where(bt2 < 1e30, bt2, 1e30)))
-
-        return jax.lax.cond(jnp.any(take), improve,
-                            lambda: (best_t, best_n, w))
+        bt2 = jnp.where(take, tb, best_t)
+        return (bt2, jnp.where(take, nsel, best_n),
+                jnp.max(jnp.where(bt2 < 1e30, bt2, 1e30)))
 
     def cluster_body(carry):
         ci, best_t, best_n, worst = carry
@@ -216,31 +213,7 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
             for d in unit_dmas(uslot, cl * UPC + u):
                 d.wait()
 
-            # Per-ray slab gate: skip the MT epilogue unless some ray's
-            # interval with THIS unit's AABB can still beat its best (the
-            # group reach box is very conservative for incoherent rays).
-            def ext(row):
-                return jnp.sum(jnp.where(lane == u, row, 0.0))
-
-            ue = [ext(r) for r in (mnx, mny, mnz, mxx, mxy, mxz)]
-            t1x = (ue[0] - o_rows[0:1]) * inv_d[0:1]
-            t2x = (ue[3] - o_rows[0:1]) * inv_d[0:1]
-            t1y = (ue[1] - o_rows[1:2]) * inv_d[1:2]
-            t2y = (ue[4] - o_rows[1:2]) * inv_d[1:2]
-            t1z = (ue[2] - o_rows[2:3]) * inv_d[2:3]
-            t2z = (ue[5] - o_rows[2:3]) * inv_d[2:3]
-            enter = jnp.maximum(jnp.maximum(
-                jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                jnp.minimum(t1z, t2z))
-            exit_ = jnp.minimum(jnp.minimum(
-                jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                jnp.maximum(t1z, t2z))
-            gate = ((enter <= exit_) & (exit_ >= t_min)
-                    & (enter < jnp.minimum(bt, t_max)))
-            bt, bn, w = jax.lax.cond(
-                jnp.any(gate),
-                lambda: process_unit(uslot, bt, bn, w),
-                lambda: (bt, bn, w))
+            bt, bn, w = process_unit(uslot, bt, bn, w)
             key_wo = jnp.where(lane == n2, inf, key)
             key2 = jnp.where(key_wo <= w, key_wo, inf)
             return (n1, n2, jax.lax.rem(uslot + 1, 3), key2, bt, bn, w)
@@ -296,7 +269,7 @@ def _grouped_cluster_window(scene: DeviceScene, omin, omax, remaining,
 def trace_grouped_pallas(scene: DeviceScene, origins: jax.Array,
                          directions: jax.Array, alive: jax.Array,
                          cfg: RenderConfig, interpret: bool | None = None,
-                         groups_per_block: int = 4):
+                         groups_per_block: int = 8):
     """Drop-in for grouped.trace_grouped with the Pallas cluster-walk
     engine. Returns (t (N,), normal (N, 3), hit (N,), windows (scalar int32
     — extra cluster windows beyond the first; 0 means every group fit))."""
@@ -313,14 +286,20 @@ def trace_grouped_pallas(scene: DeviceScene, origins: jax.Array,
     g = total // GROUP
 
     # Compaction/sorting: dead rays last, live rays clustered by direction
-    # octant + origin cell (as the XLA engine).
+    # octant + origin cell (as the XLA engine). One multi-operand lax.sort
+    # carries the ray data through the permutation — per-row gathers (as in
+    # argsort + o[perm]) run at ~50k rows/ms on TPU and dominated the
+    # per-trace cost.
     key = jnp.where(alive, _sort_key(origins, directions, scene),
                     DEAD_KEY)
-    perm = jnp.argsort(key, stable=True)
-    inv_perm = jnp.argsort(perm)
-    o = origins[perm].reshape(g, GROUP, 3)
-    d = directions[perm].reshape(g, GROUP, 3)
-    live = alive[perm].reshape(g, GROUP)
+    idx = jnp.arange(total, dtype=jnp.int32)
+    (key_s, ox, oy, oz, dx_, dy_, dz_, idx_s) = jax.lax.sort(
+        (key, origins[:, 0], origins[:, 1], origins[:, 2],
+         directions[:, 0], directions[:, 1], directions[:, 2], idx),
+        num_keys=1, is_stable=True)
+    o = jnp.stack([ox, oy, oz], axis=-1).reshape(g, GROUP, 3)
+    d = jnp.stack([dx_, dy_, dz_], axis=-1).reshape(g, GROUP, 3)
+    live = (key_s < DEAD_KEY).reshape(g, GROUP)
 
     omin = jnp.where(live[..., None], o, BIG).min(axis=1)     # (g, 3)
     omax = jnp.where(live[..., None], o, -BIG).max(axis=1)
@@ -374,10 +353,15 @@ def trace_grouped_pallas(scene: DeviceScene, origins: jax.Array,
         cond, body, (active0, cl_hit & active0[:, None], init_t, init_n,
                      jnp.int32(0)))
 
-    bt = best_t.reshape(-1)[inv_perm][:n]
-    bn = best_n[:, 0:3].transpose(0, 2, 1).reshape(-1, 3)[inv_perm][:n]
-    live_out = live.reshape(-1)[inv_perm][:n]
-    hit = live_out & (bt < BIG) & (bt > 0.0)
+    # Un-sort by the carried ray index (again a multi-operand sort, no
+    # gathers); liveness in original order is just the caller's `alive`.
+    bn3 = best_n[:, 0:3].transpose(0, 2, 1).reshape(-1, 3)
+    (_, bt, bnx, bny, bnz) = jax.lax.sort(
+        (idx_s, best_t.reshape(-1), bn3[:, 0], bn3[:, 1], bn3[:, 2]),
+        num_keys=1, is_stable=True)
+    bt = bt[:n]
+    bn = jnp.stack([bnx, bny, bnz], axis=-1)[:n]
+    hit = alive[:n] & (bt < BIG) & (bt > 0.0)
     nrm = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True),
                            1e-20)
     return jnp.where(hit, bt, cfg.t_max), nrm, hit, windows

@@ -43,6 +43,11 @@ class PathTraceConfig:
     seed: int = 0
     ray_chunk: int = 8192
     compaction: bool = True
+    # t_max for bounce rays (>= the scene diagonal is lossless: bounce
+    # origins lie on scene geometry, so no hit can be farther). PathTracer
+    # fills it from the scene bounds; it shrinks the conservative reach
+    # boxes of incoherent ray groups from t_max-sized to scene-sized.
+    bounce_t_max: float | None = None
     # "pallas": in-kernel cluster-walk groups (ops/pallas_grouped.py, the
     # TPU production engine; interpreted on CPU); "grouped": octant-sorted
     # ray groups + generalized MXU Möller-Trumbore in XLA (ops/grouped.py);
@@ -112,6 +117,8 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
     o0, d0 = raygen.generate_rays(
         jnp.asarray(inv_view_proj, jnp.float32), width, height)
     n = o0.shape[0]
+    cfg_bounce = (dataclasses.replace(cfg, t_max=pt.bounce_t_max)
+                  if pt.bounce_t_max else cfg)
     albedo = shading._vec3(cfg.mesh_color)
     bg = shading._vec3(cfg.background)
     key0 = jax.random.key(pt.seed)
@@ -125,14 +132,15 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
         live_counts = []
         overflow_counts = []
         for bounce in range(pt.bounces + 1):
+            cfg_b = cfg if bounce == 0 else cfg_bounce
             if engine == "pallas":
                 t, nrm, hit, overflow = pallas_grouped.trace_grouped_pallas(
-                    scene, origins, dirs, alive, cfg)
+                    scene, origins, dirs, alive, cfg_b)
             elif engine == "grouped":
                 t, nrm, hit, overflow = grouped.trace_grouped(
-                    scene, origins, dirs, alive, cfg)
+                    scene, origins, dirs, alive, cfg_b)
             else:
-                t, nrm, hit = _trace_chunked(scene, origins, dirs, cfg,
+                t, nrm, hit = _trace_chunked(scene, origins, dirs, cfg_b,
                                              pt.ray_chunk)
                 overflow = jnp.int32(0)
             overflow_counts.append(overflow)
@@ -161,9 +169,12 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
             dirs = jnp.where(alive[:, None], new_dir, dirs)
             throughput = throughput * jnp.where(
                 alive[:, None], albedo, 1.0)
-            if pt.compaction:
+            if pt.compaction and engine == "perray":
                 # Sort live rays to the buffer front (stable) so the trace's
-                # candidate search touches coherent memory.
+                # candidate search touches coherent memory. The grouped
+                # engines sort internally (octant + origin cell, dead rays
+                # last), so an outer compaction pass would only re-pay the
+                # 262k-row permutation cost per bounce.
                 perm = jnp.argsort(~alive, stable=True)
                 origins = origins[perm]
                 dirs = dirs[perm]
@@ -202,6 +213,14 @@ class PathTracer:
         self.scene = scene
         self.cfg = cfg or RenderConfig()
         self.pt = pt or PathTraceConfig()
+        if self.pt.bounce_t_max is None:
+            lo = np.asarray(scene.cluster_aabb_min)
+            hi = np.asarray(scene.cluster_aabb_max)
+            valid = np.asarray(scene.cluster_valid)
+            diag = float(np.linalg.norm(hi[valid].max(0) - lo[valid].min(0)))
+            self.pt = dataclasses.replace(
+                self.pt,
+                bounce_t_max=min(self.cfg.t_max, diag * 1.05 + 1e-3))
         self._fn = jax.jit(functools.partial(path_trace, cfg=self.cfg,
                                              pt=self.pt))
 
