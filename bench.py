@@ -28,6 +28,14 @@ import numpy as np
 FRAMES_PER_CALL = 8
 
 
+def _frames_per_call(cfg) -> int:
+    """Orbit length per device invocation. Small frames render in ~1-2 ms,
+    so the host relay's ~23 ms per-call latency would dominate an 8-frame
+    orbit; longer orbits keep the measurement about the chip. 1080p keeps
+    the established 8-frame orbit."""
+    return FRAMES_PER_CALL if cfg.width * cfg.height >= 2**20 else 64
+
+
 def _build_config(n: int):
     """Returns (metric_name, scene, render_cfg, rays_per_frame_factor)."""
     from rtmm_tpu.config import RenderConfig
@@ -111,14 +119,17 @@ def _bench_render(scene, cfg, metric, dist: float = 3.0):
     from rtmm_tpu.utils import camera
 
     width, height = cfg.width, cfg.height
+    frames_per_call = _frames_per_call(cfg)
 
     def make_ivps(offset: float):
         out = []
-        for k in range(FRAMES_PER_CALL):
+        for k in range(frames_per_call):
             tb = camera.Trackball()
             tb.set_camera(
                 [0.0, 0.0, 0.0],
-                [np.radians(-30.0), np.radians(offset + 4.0 * k), 0.0], dist)
+                [np.radians(-30.0),
+                 np.radians(offset + 360.0 / frames_per_call * k), 0.0],
+                dist)
             out.append(camera.inv_view_proj(tb, width, height))
         return jnp.asarray(np.stack(out))
 
@@ -156,7 +167,7 @@ def _bench_render(scene, cfg, metric, dist: float = 3.0):
             time.sleep(2.0)
     if not times:
         raise SystemExit(3)   # backend soured; parent retries a fresh process
-    dt = float(np.median(times)) / FRAMES_PER_CALL
+    dt = float(np.median(times)) / frames_per_call
     return width * height / dt / 1e6
 
 
@@ -177,12 +188,15 @@ def _bench_pathtrace(scene, cfg, metric):
         return camera.inv_view_proj(tb, cfg.width, cfg.height)
 
     img, stats = tracer.render(ivp_at(25.0))            # warmup
-    # Rays actually traced: the primaries plus, per bounce b >= 1, the rays
-    # still alive after bounce b-1. Rays alive after the FINAL bounce are
-    # never traced again, so live[-1] is excluded.
+    # Rays actually traced: the primaries ONCE per frame (bounce 0 is
+    # deterministic and shared across samples) plus, per sample and per
+    # bounce b >= 1, the rays still alive after bounce b-1. Rays alive
+    # after the FINAL bounce are never traced again, so live[-1] is
+    # excluded. (live counts are per-sample means.)
     live = np.asarray(stats["live_rays_per_bounce"])
     rays_per_frame = int(
-        (live[:-1].sum() + cfg.width * cfg.height) * pt.samples_per_pixel)
+        cfg.width * cfg.height
+        + live[:-1].sum() * pt.samples_per_pixel)
 
     times = []
     attempts = 0

@@ -84,12 +84,37 @@ def trace_grouped(scene: DeviceScene, origins: jax.Array,
     d = directions[perm].reshape(g, GROUP, 3)
     live = alive[perm].reshape(g, GROUP)
 
+    best_t, best_n, overflow = trace_sorted(scene, o, d, live, cfg,
+                                            max_group_candidates)
+
+    # un-sort back to caller order
+    bt = best_t.reshape(-1)[inv_perm][:n]
+    bn = best_n.reshape(-1, 3)[inv_perm][:n]
+    hit = bt < BIG
+    nrm = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True),
+                           1e-20)
+    return jnp.where(hit, bt, cfg.t_max), nrm, hit, overflow
+
+
+def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
+                 live: jax.Array, cfg: RenderConfig,
+                 max_group_candidates: int = 96):
+    """Trace pre-grouped rays: o/d (g, GROUP, 3), live (g, GROUP).
+
+    The caller owns the grouping (sort by _sort_key for coherence; the
+    path tracer keeps its whole per-ray state in sorted order across
+    bounces so each bounce pays ONE multi-operand sort instead of a
+    sort + unsort per trace). Returns (best_t (g, GROUP) with BIG = miss,
+    best_n (g, GROUP, 3) unnormalized, overflow_groups scalar).
+    """
+    g = o.shape[0]
+    t_max = jnp.float32(cfg.t_max)
+
     # --- conservative per-group reach boxes -> candidate lists ---
     omin = jnp.where(live[..., None], o, BIG).min(axis=1)     # (g, 3)
     omax = jnp.where(live[..., None], o, -BIG).max(axis=1)
     dmin = jnp.where(live[..., None], d, BIG).min(axis=1)
     dmax = jnp.where(live[..., None], d, -BIG).max(axis=1)
-    t_max = jnp.float32(cfg.t_max)
     reach_min = omin + t_max * jnp.minimum(dmin, 0.0)
     reach_max = omax + t_max * jnp.maximum(dmax, 0.0)
     any_live = live.any(axis=1)
@@ -166,13 +191,5 @@ def trace_grouped(scene: DeviceScene, origins: jax.Array,
         trace_group_chunk,
         (rv.reshape(-1, chunk, GROUP, 16), cand.reshape(-1, chunk, c),
          cvalid.reshape(-1, chunk, c), live.reshape(-1, chunk, GROUP)))
-    best_t = best_t.reshape(g, GROUP)
-    best_n = best_n.reshape(g, GROUP, 3)
-
-    # un-sort back to caller order
-    bt = best_t.reshape(-1)[inv_perm][:n]
-    bn = best_n.reshape(-1, 3)[inv_perm][:n]
-    hit = bt < BIG
-    nrm = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True),
-                           1e-20)
-    return jnp.where(hit, bt, cfg.t_max), nrm, hit, overflow
+    return (best_t.reshape(g, GROUP), best_n.reshape(g, GROUP, 3),
+            overflow)

@@ -301,6 +301,37 @@ def trace_grouped_pallas(scene: DeviceScene, origins: jax.Array,
     d = jnp.stack([dx_, dy_, dz_], axis=-1).reshape(g, GROUP, 3)
     live = (key_s < DEAD_KEY).reshape(g, GROUP)
 
+    best_t, bn3, windows = trace_sorted(scene, o, d, live, cfg,
+                                        interpret, groups_per_block)
+
+    # Un-sort by the carried ray index (again a multi-operand sort, no
+    # gathers); liveness in original order is just the caller's `alive`.
+    bn3 = bn3.reshape(-1, 3)
+    (_, bt, bnx, bny, bnz) = jax.lax.sort(
+        (idx_s, best_t.reshape(-1), bn3[:, 0], bn3[:, 1], bn3[:, 2]),
+        num_keys=1, is_stable=True)
+    bt = bt[:n]
+    bn = jnp.stack([bnx, bny, bnz], axis=-1)[:n]
+    hit = alive[:n] & (bt < BIG) & (bt > 0.0)
+    nrm = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True),
+                           1e-20)
+    return jnp.where(hit, bt, cfg.t_max), nrm, hit, windows
+
+
+def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
+                 live: jax.Array, cfg: RenderConfig,
+                 interpret: bool | None = None,
+                 groups_per_block: int = 8):
+    """Trace pre-grouped rays through the in-kernel cluster walk.
+
+    o/d: (g, GROUP, 3); live: (g, GROUP). The caller owns the grouping
+    (see grouped.trace_sorted). Returns (best_t (g, GROUP) with BIG =
+    miss, best_n (g, GROUP, 3) unnormalized, windows scalar int32).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    g = o.shape[0]
+
     omin = jnp.where(live[..., None], o, BIG).min(axis=1)     # (g, 3)
     omax = jnp.where(live[..., None], o, -BIG).max(axis=1)
     dmin = jnp.where(live[..., None], d, BIG).min(axis=1)
@@ -353,18 +384,7 @@ def trace_grouped_pallas(scene: DeviceScene, origins: jax.Array,
         cond, body, (active0, cl_hit & active0[:, None], init_t, init_n,
                      jnp.int32(0)))
 
-    # Un-sort by the carried ray index (again a multi-operand sort, no
-    # gathers); liveness in original order is just the caller's `alive`.
-    bn3 = best_n[:, 0:3].transpose(0, 2, 1).reshape(-1, 3)
-    (_, bt, bnx, bny, bnz) = jax.lax.sort(
-        (idx_s, best_t.reshape(-1), bn3[:, 0], bn3[:, 1], bn3[:, 2]),
-        num_keys=1, is_stable=True)
-    bt = bt[:n]
-    bn = jnp.stack([bnx, bny, bnz], axis=-1)[:n]
-    hit = alive[:n] & (bt < BIG) & (bt > 0.0)
-    nrm = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True),
-                           1e-20)
-    return jnp.where(hit, bt, cfg.t_max), nrm, hit, windows
+    return best_t, best_n[:, 0:3].transpose(0, 2, 1), windows
 
 
 def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,

@@ -54,13 +54,13 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
     plus the separate XLA shading pass)."""
     if fused_cfg is None:
         (ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
-         t_in, n_in, meta_hbm, q_hbm, t_out, n_out,
-         meta_buf, q_buf, msem, usem) = refs
+         t_in, n_in, meta_hbm, q_hbm, tnum_hbm, t_out, n_out,
+         meta_buf, q_buf, tnum_buf, msem, usem, tsem) = refs
         outs = (t_in, n_in, t_out, n_out, None)
     else:
         (ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
-         meta_hbm, q_hbm, c_out,
-         meta_buf, q_buf, msem, usem) = refs
+         meta_hbm, q_hbm, tnum_hbm, c_out,
+         meta_buf, q_buf, tnum_buf, msem, usem, tsem) = refs
         outs = (None, None, None, None, c_out)
     # Several tiles per grid step amortize the per-program overhead (the
     # frame is mostly empty tiles whose only cost is grid machinery).
@@ -79,15 +79,15 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
 
     for b in range(tiles_per_block):
         _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref,
-                    raymat_ref, outs, meta_hbm, q_hbm,
-                    meta_buf, q_buf, msem, usem,
+                    raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
+                    meta_buf, q_buf, tnum_buf, msem, usem, tsem,
                     lpu=lpu, t_min=t_min, t_max=t_max,
                     fused_cfg=fused_cfg)
 
 
 def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
-                outs, meta_hbm, q_hbm,
-                meta_buf, q_buf, msem, usem,
+                outs, meta_hbm, q_hbm, tnum_hbm,
+                meta_buf, q_buf, tnum_buf, msem, usem, tsem,
                 *, lpu, t_min, t_max, fused_cfg):
     t_in, n_in, t_out, n_out, c_out = outs
     # count can exceed the cluster-list capacity (overflowing tiles keep
@@ -112,14 +112,15 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
     def _():
         _trace_tile_nonempty(
             b, ccnt, ccand_ref, centry_ref, frus_ref, raymat_ref, outs,
-            meta_hbm, q_hbm, meta_buf, q_buf, msem, usem,
+            meta_hbm, q_hbm, tnum_hbm, meta_buf, q_buf, tnum_buf,
+            msem, usem, tsem,
             lpu=lpu, t_min=t_min, t_max=t_max,
             fused_cfg=fused_cfg)
 
 
 def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
-                         raymat_ref, outs, meta_hbm, q_hbm,
-                         meta_buf, q_buf, msem, usem,
+                         raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
+                         meta_buf, q_buf, tnum_buf, msem, usem, tsem,
                          *, lpu, t_min, t_max, fused_cfg):
     t_in, n_in, t_out, n_out, c_out = outs
     rm = raymat_ref[0, b]                         # (8, TILE)
@@ -129,9 +130,13 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # passes and the matmul dominates the kernel).
     rm_hi = rm.astype(jnp.bfloat16)
     rm_lo = (rm - rm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    # One K=24 matmul instead of three K=8 passes: each extra pass re-pays
-    # the MXU's per-output-tile overheads, which dominate at tiny K.
-    rm_cat = jnp.concatenate([rm_hi, rm_lo, rm_hi], axis=0)   # (24, TILE)
+    # One K=26 matmul instead of three K=8 passes: each extra pass re-pays
+    # the MXU's per-output-tile overheads, which dominate at tiny K. The
+    # last two rows are all-ones: they pair with the per-frame t_num hi/lo
+    # rows on the q side (t_num = a.n - e2.w2 depends on the camera apex;
+    # folding it here keeps unit_qn static — no whole-table copy per frame).
+    rm_cat = jnp.concatenate(
+        [rm_hi, rm_lo, rm_hi, jnp.ones((2, TILE), jnp.bfloat16)], axis=0)
 
     # Frustum scalars: [apex xyz, SUB_FRUSTA sub-cones x 4 planes x xyz].
     ax = frus_ref[0, b, 0]
@@ -152,13 +157,24 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
     def qblock_dma(slot, ci):
         cl0 = ccand_ref[0, b, ci]
-        return pltpu.make_async_copy(
-            q_hbm.at[pl.ds(cl0 * UPC, UPC)], q_buf.at[slot],
-            usem.at[slot])
+        return (pltpu.make_async_copy(
+                    q_hbm.at[pl.ds(cl0 * UPC, UPC)], q_buf.at[slot],
+                    usem.at[slot]),
+                pltpu.make_async_copy(
+                    tnum_hbm.at[pl.ds(cl0 * UPC, UPC)], tnum_buf.at[slot],
+                    tsem.at[slot]))
+
+    def qblock_start(slot, ci):
+        for dma in qblock_dma(slot, ci):
+            dma.start()
+
+    def qblock_wait(slot, ci):
+        for dma in qblock_dma(slot, ci):
+            dma.wait()
 
     @pl.when(ccnt > 0)
     def _():
-        qblock_dma(0, 0).start()
+        qblock_start(0, 0)
 
     # (this tile's first cluster metadata DMA was started by _kernel's
     # block-level prefetch loop)
@@ -177,7 +193,18 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         # which dominate at tiny contraction depth).
         q_hi = q.astype(jnp.bfloat16)
         q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        q_cat = jnp.concatenate([q_hi, q_hi, q_lo], axis=0)   # (24, 4*LPU)
+        # Per-frame t_num rows (hi/lo vs all-ones ray rows): only the
+        # t-block columns carry t_num; det/u/v columns get zeros. Same
+        # precision as the old f32-row-7 scheme (t_hi*1 + t_lo*1). The
+        # table's lane dim is padded to 128 (Mosaic DMA slices must be
+        # lane-aligned); slice back to the LPU columns here.
+        tn_row = tnum_buf[qslot, pl.ds(u, 1)][:, :lpu]     # (1, LPU)
+        tn_hi = tn_row.astype(jnp.bfloat16)
+        tn_lo = (tn_row - tn_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        t_rows = jnp.concatenate(
+            [jnp.zeros((2, 3 * lpu), jnp.bfloat16),
+             jnp.concatenate([tn_hi, tn_lo], axis=0)], axis=1)  # (2, 4*LPU)
+        q_cat = jnp.concatenate([q_hi, q_hi, q_lo, t_rows], axis=0)
         out = jax.lax.dot_general(
             q_cat, rm_cat, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -223,7 +250,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         @pl.when(ci + 1 < ccnt)
         def _():
             cmeta_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
-            qblock_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+            qblock_start(jax.lax.rem(ci + 1, 2), ci + 1)
 
         cmeta_dma(cslot, ci).wait()
         meta = meta_buf[b, cslot]                 # (8, 128)
@@ -285,7 +312,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         # Wait for this cluster's resident q block (prefetched), then walk
         # its eligible units two per iteration — all reads are VMEM slices,
         # so the per-unit cost is picks + MXU/VPU only (no DMA machinery).
-        qblock_dma(cslot, ci).wait()
+        qblock_wait(cslot, ci)
         removed0 = lane >= 128   # nothing removed yet (all-False row)
         u0, u1, ikey0 = pick2(ikey_of(worsts, removed0))
 
@@ -339,7 +366,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     @pl.when(c_final < ccnt)
     def _():
         cmeta_dma(jax.lax.rem(c_final, 2), c_final).wait()
-        qblock_dma(jax.lax.rem(c_final, 2), c_final).wait()
+        qblock_wait(jax.lax.rem(c_final, 2), c_final)
 
     if fused_cfg is None:
         t_out[0, b] = best_t[0]
@@ -358,14 +385,15 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             [r, g, bl, jnp.zeros((5, TILE), jnp.float32)], axis=0)
 
 
-def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, q_frame: jax.Array,
+def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
                  frus: jax.Array, ccand: jax.Array, ccount: jax.Array,
                  centry: jax.Array, t_in: jax.Array | None,
                  n_in: jax.Array | None, cfg: RenderConfig,
                  interpret: bool = False, tiles_per_block: int = 8,
                  fused: bool = False):
     """One cluster window (normally the whole frame). raymat_t:
-    (tiles, 8, TILE); q_frame: (U, 8, 4*LPU); frus: (tiles, 16) frustum
+    (tiles, 8, TILE); t_num: (U, LPU) per-frame apex.n - e2.w2 (the q table
+    itself, scene.unit_qn, stays static); frus: (tiles, 16) frustum
     scalars; ccand/ccount/centry: per-tile front-to-back cluster lists.
 
     Windowed mode (fused=False): t_in (tiles, TILE) / n_in
@@ -376,6 +404,12 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, q_frame: jax.Array,
     """
     n_tiles = raymat_t.shape[0]
     lpu = scene.leaves_per_unit
+    # Mosaic DMA slice shapes must be 128-aligned along lanes: pad the
+    # (U, LPU) t_num table's lane dim (tiny — still ~50x smaller than
+    # re-materializing the whole q table per frame).
+    tn_pad = -(-lpu // 128) * 128
+    if t_num.shape[1] != tn_pad:
+        t_num = jnp.pad(t_num, ((0, 0), (0, tn_pad - t_num.shape[1])))
     kc = ccand.shape[1]
     tb = tiles_per_block
     pad = (-n_tiles) % tb
@@ -400,13 +434,14 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, q_frame: jax.Array,
     vmem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
+    frusp = tiled.frustum_pack_len()
     head_specs = [smem((tb, kc)), smem((tb, 1)), smem((tb, kc)),
-                  smem((tb, 64)), vmem((tb, 8, TILE))]
-    tail_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+                  smem((tb, frusp)), vmem((tb, 8, TILE))]
+    tail_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     head_args = (ccand.reshape(nb, tb, kc), ccount.reshape(nb, tb, 1),
-                 centry.reshape(nb, tb, kc), frus.reshape(nb, tb, 64),
+                 centry.reshape(nb, tb, kc), frus.reshape(nb, tb, frusp),
                  raymat_t.reshape(nb, tb, 8, TILE))
-    tail_args = (scene.cluster_unit_meta, q_frame)
+    tail_args = (scene.cluster_unit_meta, scene.unit_qn, t_num)
     if fused:
         in_specs = head_specs + tail_specs
         args = head_args + tail_args
@@ -432,7 +467,9 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, q_frame: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((tb, 2, 8, 128), jnp.float32),
             pltpu.VMEM((2, UPC, 8, 4 * lpu + 128), jnp.float32),
+            pltpu.VMEM((2, UPC, tn_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((tb, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -454,7 +491,8 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
     tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
     n_tiles = tx * ty
 
-    fi = tiled.build_frame_inputs(scene, inv_view_proj, cfg)
+    fi = tiled.build_frame_inputs(scene, inv_view_proj, cfg,
+                                  need_q_frame=False)
     raymat_t = fi.raymat.transpose(0, 2, 1)         # (tiles, 8, TILE)
     frus = tiled.frustum_scalars(fi)
     kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
@@ -469,7 +507,7 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
         negd, cidx = jax.lax.top_k(key, kc)
         sel = negd > -jnp.inf
         centry = jnp.where(sel, -negd, jnp.inf).astype(jnp.float32)
-        rows = trace_pallas(scene, raymat_t, fi.q_frame, frus,
+        rows = trace_pallas(scene, raymat_t, fi.t_num, frus,
                             cidx.astype(jnp.int32),
                             sel.sum(axis=1).astype(jnp.int32), centry,
                             None, None, cfg, interpret=interpret,
@@ -477,7 +515,7 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
         colors = rows[:, 0:3].transpose(0, 2, 1)     # (tiles, TILE, 3)
     else:
         def trace_window(ccand, ccount, centry, best_t, best_n):
-            return trace_pallas(scene, raymat_t, fi.q_frame, frus,
+            return trace_pallas(scene, raymat_t, fi.t_num, frus,
                                 ccand, ccount, centry, best_t, best_n, cfg,
                                 interpret=interpret)
 

@@ -52,7 +52,11 @@ class FrameInputs(NamedTuple):
     """Per-frame inputs shared by the XLA and Pallas backends."""
 
     raymat: jax.Array       # (tiles, TILE, 8) rows [d, apex x d, s, 1]
-    q_frame: jax.Array      # (U, 8, 4*LPU+128) unit_qn w/ per-frame t_num row
+    # (U, 8, 4*LPU+128) unit_qn with the per-frame t_num row materialized —
+    # only the XLA backend needs it (it gathers whole q blocks per
+    # candidate); None on the Pallas path, which keeps unit_qn static and
+    # folds fi.t_num in-kernel (two extra matmul K-rows).
+    q_frame: jax.Array | None
     dirs: jax.Array         # (tiles, TILE, 3)
     apex: jax.Array         # (3,)
     normals: jax.Array      # (tiles, 4, 3) tile frustum planes
@@ -60,10 +64,12 @@ class FrameInputs(NamedTuple):
     # (tiles, SUB_FRUSTA, 4, 3) sub-cone planes for the kernel's per-unit
     # cull, or None on paths that never reach the Pallas kernel.
     sub_normals: jax.Array | None = None
+    t_num: jax.Array | None = None  # (U, LPU) per-frame a.n - e2.w2
 
 
 def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
-                       cfg: RenderConfig) -> FrameInputs:
+                       cfg: RenderConfig,
+                       need_q_frame: bool = True) -> FrameInputs:
     """Raygen + per-frame tables + the coarse (cluster-level) cull."""
     width, height = cfg.width, cfg.height
     pw, ph = padded_size(width, height)
@@ -94,9 +100,12 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
     # t_num = a.n - e2.w2 — ray-independent, apex-dependent (once per frame).
     t_num = (scene.unit_n * apex).sum(-1) - scene.unit_e2w2    # (U, LPU)
     lpu = scene.leaves_per_unit
-    q_frame = scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
+    # Materializing the full q table is a whole-table HBM copy per frame;
+    # only the XLA backend needs it (the Pallas kernel folds t_num itself).
+    q_frame = (scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
+               if need_q_frame else None)
     return FrameInputs(raymat, q_frame, dirs, apex, normals, cluster_hit,
-                       sub_normals)
+                       sub_normals, t_num)
 
 
 def candidate_window(scene: DeviceScene, apex: jax.Array, normals: jax.Array,
@@ -168,15 +177,22 @@ def cluster_window(scene: DeviceScene, apex: jax.Array,
             centry.astype(jnp.float32), new_remaining, next_bound)
 
 
+def frustum_pack_len() -> int:
+    """Length of the per-tile frustum scalar pack (rounded up to 64)."""
+    return -(-(3 + culling.SUB_FRUSTA * 12) // 64) * 64
+
+
 def frustum_scalars(fi: FrameInputs) -> jax.Array:
-    """(tiles, 64) f32 per-tile frustum pack for the kernel's SMEM:
-    [apex xyz, then SUB_FRUSTA sub-cones x 4 planes x xyz, pad]."""
+    """(tiles, frustum_pack_len()) f32 per-tile frustum pack for the
+    kernel's SMEM: [apex xyz, then SUB_FRUSTA sub-cones x 4 planes x xyz,
+    pad]."""
     n_tiles = fi.normals.shape[0]
     ns = culling.SUB_FRUSTA * 12
     apex = jnp.broadcast_to(fi.apex, (n_tiles, 3))
     return jnp.concatenate(
         [apex, fi.sub_normals.reshape(n_tiles, ns),
-         jnp.zeros((n_tiles, 61 - ns), jnp.float32)], axis=1)
+         jnp.zeros((n_tiles, frustum_pack_len() - 3 - ns), jnp.float32)],
+        axis=1)
 
 
 def trace_windowed_clusters(scene: DeviceScene, fi: FrameInputs,
@@ -310,15 +326,12 @@ def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg):
     return tb, nb
 
 
-def render_tiled(scene: DeviceScene, inv_view_proj: jax.Array,
-                 cfg: RenderConfig) -> jax.Array:
-    """Render one frame. Returns (H, W, 3) float32."""
-    width, height = cfg.width, cfg.height
-    pw, ph = padded_size(width, height)
-    tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
-    n_tiles = tx * ty
+def xla_trace_frame(scene: DeviceScene, fi: FrameInputs, cfg: RenderConfig):
+    """Trace one frame's primary rays with the XLA windowed tracer.
 
-    fi = build_frame_inputs(scene, inv_view_proj, cfg)
+    Returns (best_t (tiles, TILE) with BIG = miss, best_n (tiles, TILE, 3)
+    unnormalized one-hot normal pick)."""
+    n_tiles = fi.raymat.shape[0]
     q_frame = fi.q_frame
 
     tile_chunk = max(1, min(n_tiles, cfg.tile_chunk))
@@ -353,7 +366,18 @@ def render_tiled(scene: DeviceScene, inv_view_proj: jax.Array,
 
     init = (jnp.full((n_tiles, TILE), BIG, jnp.float32),
             jnp.zeros((n_tiles, TILE, 3), jnp.float32))
-    best_t, best_n = trace_windowed(scene, fi, cfg, trace_window, *init)
+    return trace_windowed(scene, fi, cfg, trace_window, *init)
+
+
+def render_tiled(scene: DeviceScene, inv_view_proj: jax.Array,
+                 cfg: RenderConfig) -> jax.Array:
+    """Render one frame. Returns (H, W, 3) float32."""
+    width, height = cfg.width, cfg.height
+    pw, ph = padded_size(width, height)
+    tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
+
+    fi = build_frame_inputs(scene, inv_view_proj, cfg)
+    best_t, best_n = xla_trace_frame(scene, fi, cfg)
 
     hit_mask = best_t < BIG
     nrm = best_n / jnp.maximum(

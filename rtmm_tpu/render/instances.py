@@ -299,9 +299,12 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
             apex_o, normals_o, scene.cluster_aabb_min,
             scene.cluster_aabb_max, scene.cluster_valid)
         t_num = (scene.unit_n * apex_o).sum(-1) - scene.unit_e2w2
-        q_frame = scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
+        # Only the XLA correctness path gathers whole q blocks; the Pallas
+        # branch keeps unit_qn static and folds t_num in-kernel.
+        q_frame = (scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
+                   if interpret else None)
         fi = tiled.FrameInputs(raymat, q_frame, dirs_o, apex_o, normals_o,
-                               cluster_hit, sub_normals_o)
+                               cluster_hit, sub_normals_o, t_num)
         kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
 
         # Carry converts world -> object (t scales, normal rows rotate) so
@@ -326,7 +329,7 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
 
             def trace_window(ccand, ccount, centry, bt, bn):
                 return pallas_tiled.trace_pallas(
-                    scene, raymat_t, q_frame, frus, ccand, ccount, centry,
+                    scene, raymat_t, t_num, frus, ccand, ccount, centry,
                     bt, bn, cfg, interpret=False)
 
             bt_o, bn_rows = tiled.trace_windowed_clusters(

@@ -7,18 +7,26 @@ traversal to a Monte-Carlo path tracer the TPU way:
   * Lambertian surface with the reference's material color, lit by the
     reference's four directional lights plus the miss color as a constant
     environment term;
-  * cosine-weighted hemisphere sampling (jax.random, counter-based keys:
-    deterministic per pixel/bounce);
-  * per-bounce ray *compaction*: rays are sorted so live rays cluster at
-    the buffer front and dead lanes carry zero throughput — on TPU this
-    keeps the trace's candidate search memory-coherent; per-bounce live
-    counts are reported as stats.
+  * cosine-weighted hemisphere sampling with **pixel-indexed** randoms
+    (drawn in raster order per (sample, bounce) and carried through every
+    permutation), so the estimator is identical no matter how rays are
+    sorted — all engines produce the same image;
+  * bounce 0 is camera rays: they are coherent by construction, so they
+    ride the PRIMARY pipeline (the tiled/Pallas frustum renderer) instead
+    of the grouped engine, and — being deterministic — run ONCE per frame
+    with their shading shared by every sample;
+  * secondary bounces keep the whole per-ray state (origin, direction,
+    throughput, radiance, pixel index, pending randoms) in *sorted order*
+    across bounces: each bounce pays ONE multi-operand lax.sort into
+    direction-octant/origin-cell groups (dead rays sinking to the back),
+    and only the final radiance is un-permuted, once per sample. The old
+    shape (sort + unsort inside every trace) paid ~2x the permutation
+    traffic.
 
-Secondary bounces are incoherent, so the primary renderer's tile-frustum
-path does not apply; the default engine (ops/grouped.py) octant-sorts rays
-into groups and runs the generalized arbitrary-origin MXU Möller-Trumbore
-per group. The per-ray pipeline (ops/traversal.py) remains available as
-the reference engine.
+Secondary engines: "pallas" = in-kernel cluster walk
+(ops/pallas_grouped.py, the TPU production engine; interpret-mode on
+CPU); "grouped" = octant-sorted groups + generalized MXU Möller-Trumbore
+in XLA; "perray" = the per-ray reference pipeline.
 """
 from __future__ import annotations
 
@@ -31,9 +39,11 @@ import numpy as np
 
 from ..config import RenderConfig
 from ..models.scene import DeviceScene
-from ..ops import grouped, pallas_grouped, raygen, shading, traversal
+from ..ops import (culling, grouped, pallas_grouped, pallas_tiled, raygen,
+                   shading, tiled, traversal)
 
 BIG = jnp.float32(1e30)
+GROUP = grouped.GROUP
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,9 +80,11 @@ def _direct_light(normal: jax.Array, albedo: jax.Array,
     return lo / (lo + 1.0)
 
 
-def _cosine_sample(key: jax.Array, normal: jax.Array) -> jax.Array:
-    """Cosine-weighted hemisphere direction around `normal`."""
-    u = jax.random.uniform(key, normal.shape[:-1] + (2,))
+def _cosine_dir(u: jax.Array, normal: jax.Array) -> jax.Array:
+    """Cosine-weighted hemisphere direction around `normal` from uniform
+    u (..., 2). u is drawn pixel-indexed (raster order) and permuted along
+    with the ray it belongs to, so the sampled direction of a given pixel
+    does not depend on ray ordering."""
     r = jnp.sqrt(u[..., 0])
     phi = 2.0 * np.pi * u[..., 1]
     x = r * jnp.cos(phi)
@@ -86,6 +98,14 @@ def _cosine_sample(key: jax.Array, normal: jax.Array) -> jax.Array:
     t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-20)
     b = jnp.cross(normal, t)
     return (x[..., None] * t + y[..., None] * b + z[..., None] * normal)
+
+
+def _normalize_flip(bn: jax.Array, dirs: jax.Array) -> jax.Array:
+    """Normalize an (unnormalized, reference-style) geometric normal and
+    flip it toward the incoming ray for bounce bookkeeping."""
+    nrm = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True),
+                           1e-20)
+    return jnp.where(((nrm * dirs).sum(-1) > 0.0)[:, None], -nrm, nrm)
 
 
 def _trace_chunked(scene, origins, directions, cfg, chunk):
@@ -103,6 +123,56 @@ def _trace_chunked(scene, origins, directions, cfg, chunk):
             hit.reshape(-1)[:n])
 
 
+def _trace_primary(scene: DeviceScene, inv_view_proj: jax.Array,
+                   cfg: RenderConfig, engine: str):
+    """Bounce-0 trace through the primary (tile-frustum) pipeline.
+
+    Camera rays are coherent by construction — exactly what the tiled
+    renderer is built for — so tracing them with the grouped secondary-ray
+    engine wastes its generality. Returns (t (n,), hit (n,), normal (n, 3)
+    unnormalized) in raster order; t is relative to the raygen near-plane
+    origins, matching traversal.trace / grouped conventions.
+    """
+    width, height = cfg.width, cfg.height
+    pw, ph = tiled.padded_size(width, height)
+    tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
+    n_tiles = tx * ty
+    tile = culling.TILE_H * culling.TILE_W
+
+    if engine == "pallas":
+        interpret = jax.devices()[0].platform == "cpu"
+        fi = tiled.build_frame_inputs(scene, inv_view_proj, cfg,
+                                      need_q_frame=False)
+        raymat_t = fi.raymat.transpose(0, 2, 1)
+        frus = tiled.frustum_scalars(fi)
+        kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
+
+        def trace_window(ccand, ccount, centry, bt, bn):
+            return pallas_tiled.trace_pallas(
+                scene, raymat_t, fi.t_num, frus, ccand, ccount, centry,
+                bt, bn, cfg, interpret=interpret)
+
+        init = (jnp.full((n_tiles, tile), BIG, jnp.float32),
+                jnp.zeros((n_tiles, 8, tile), jnp.float32))
+        best_t, rows = tiled.trace_windowed_clusters(
+            scene, fi, cfg, trace_window, *init, kc=kc)
+        best_n = rows[:, 0:3].transpose(0, 2, 1)       # (tiles, TILE, 3)
+    else:
+        fi = tiled.build_frame_inputs(scene, inv_view_proj, cfg)
+        best_t, best_n = tiled.xla_trace_frame(scene, fi, cfg)
+
+    def from_tiles(x):
+        k = x.shape[-1]
+        return (x.reshape(ty, tx, culling.TILE_H, culling.TILE_W, k)
+                .transpose(0, 2, 1, 3, 4).reshape(ph, pw, k)
+                [:height, :width].reshape(-1, k))
+
+    t = from_tiles(best_t[..., None])[:, 0]
+    bn = from_tiles(best_n)
+    hit = t < BIG
+    return jnp.where(hit, t, cfg.t_max), hit, bn
+
+
 def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
                cfg: RenderConfig, pt: PathTraceConfig):
     """Returns (image (H, W, 3), stats dict with per-bounce live counts)."""
@@ -117,92 +187,147 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
     o0, d0 = raygen.generate_rays(
         jnp.asarray(inv_view_proj, jnp.float32), width, height)
     n = o0.shape[0]
+    n_bounce = pt.bounces
     cfg_bounce = (dataclasses.replace(cfg, t_max=pt.bounce_t_max)
                   if pt.bounce_t_max else cfg)
     albedo = shading._vec3(cfg.mesh_color)
     bg = shading._vec3(cfg.background)
     key0 = jax.random.key(pt.seed)
 
-    def one_sample(key):
-        origins, dirs = o0, d0
-        order = jnp.arange(n)
-        throughput = jnp.ones((n, 3), jnp.float32)
-        radiance = jnp.zeros((n, 3), jnp.float32)
-        alive = jnp.ones((n,), bool)
+    # ---- bounce 0: deterministic, shared by every sample ----
+    if engine == "perray":
+        t0, bn0, hit0 = _trace_chunked(scene, o0, d0, cfg, pt.ray_chunk)
+    else:
+        t0, hit0, bn0 = _trace_primary(scene, inv_view_proj, cfg, engine)
+    nrm0 = _normalize_flip(bn0, d0)
+    radiance0 = jnp.where(hit0[:, None], _direct_light(nrm0, albedo, cfg),
+                          bg)                          # throughput = 1
+    live0 = hit0.sum()
+    borigin0 = o0 + t0[:, None] * d0 + 1e-4 * nrm0
+
+    # Pad the per-ray state once to a GROUP multiple (dead pad lanes).
+    pad = (-n) % GROUP
+    total = n + pad
+
+    def pad_to(x, value=0.0):
+        widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=value)
+
+    borigin0p = pad_to(borigin0)
+    d0p = pad_to(d0, 1.0)
+    nrm0p = pad_to(nrm0)
+    hit0p = pad_to(hit0)
+
+    def secondary_sample(key):
+        """Bounces 1..N for one sample. Returns (radiance (n, 3) in raster
+        order, live counts (N,), overflow counts (N,))."""
+        # Pixel-indexed randoms: drawn in raster order per bounce event and
+        # permuted along with their rays below.
+        rs = [jax.random.uniform(jax.random.fold_in(key, b), (total, 2))
+              for b in range(n_bounce)]
+        d1 = _cosine_dir(rs[0], nrm0p)
+        o = borigin0p
+        d = jnp.where(hit0p[:, None], d1, d0p)
+        alive = hit0p
+        tp = jnp.where(alive[:, None], albedo, 0.0)
+        rad = jnp.zeros((total, 3), jnp.float32)
+        idx = jnp.arange(total, dtype=jnp.int32)
         live_counts = []
         overflow_counts = []
-        for bounce in range(pt.bounces + 1):
-            cfg_b = cfg if bounce == 0 else cfg_bounce
-            if engine == "pallas":
-                t, nrm, hit, overflow = pallas_grouped.trace_grouped_pallas(
-                    scene, origins, dirs, alive, cfg_b)
-            elif engine == "grouped":
-                t, nrm, hit, overflow = grouped.trace_grouped(
-                    scene, origins, dirs, alive, cfg_b)
+        for bounce in range(1, n_bounce + 1):
+            if engine in ("pallas", "grouped"):
+                skey = jnp.where(alive, grouped._sort_key(o, d, scene),
+                                 grouped.DEAD_KEY)
+                do_sort = True
+            elif pt.compaction:
+                # perray compaction: live rays to the front, stable.
+                skey = jnp.where(alive, 0, 1)
+                do_sort = True
             else:
-                t, nrm, hit = _trace_chunked(scene, origins, dirs, cfg_b,
-                                             pt.ray_chunk)
+                do_sort = False
+            if do_sort:
+                pending = [c for r in rs[bounce:] for c in (r[:, 0],
+                                                            r[:, 1])]
+                ops = jax.lax.sort(
+                    (skey, o[:, 0], o[:, 1], o[:, 2],
+                     d[:, 0], d[:, 1], d[:, 2],
+                     tp[:, 0], tp[:, 1], tp[:, 2],
+                     rad[:, 0], rad[:, 1], rad[:, 2], idx, *pending),
+                    num_keys=1, is_stable=True)
+                o = jnp.stack(ops[1:4], axis=-1)
+                d = jnp.stack(ops[4:7], axis=-1)
+                tp = jnp.stack(ops[7:10], axis=-1)
+                rad = jnp.stack(ops[10:13], axis=-1)
+                idx = ops[13]
+                rs = rs[:bounce] + [
+                    jnp.stack(ops[14 + 2 * i:16 + 2 * i], axis=-1)
+                    for i in range(n_bounce - bounce)]
+                if engine in ("pallas", "grouped"):
+                    alive = ops[0] < grouped.DEAD_KEY
+                else:
+                    alive = ops[0] == 0
+
+            if engine == "pallas":
+                bt, bn3, overflow = pallas_grouped.trace_sorted(
+                    scene, o.reshape(-1, GROUP, 3), d.reshape(-1, GROUP, 3),
+                    alive.reshape(-1, GROUP), cfg_bounce)
+                bt = bt.reshape(-1)
+                bn3 = bn3.reshape(-1, 3)
+                hit = alive & (bt < BIG) & (bt > 0.0)
+            elif engine == "grouped":
+                bt, bn3, overflow = grouped.trace_sorted(
+                    scene, o.reshape(-1, GROUP, 3), d.reshape(-1, GROUP, 3),
+                    alive.reshape(-1, GROUP), cfg_bounce)
+                bt = bt.reshape(-1)
+                bn3 = bn3.reshape(-1, 3)
+                hit = alive & (bt < BIG) & (bt > 0.0)
+            else:
+                bt, bn3, hit = _trace_chunked(scene, o, d, cfg_bounce,
+                                              pt.ray_chunk)
+                hit = hit & alive
                 overflow = jnp.int32(0)
             overflow_counts.append(overflow)
-            hit &= alive
-            # Flip the (unflipped, reference-style) geometric normal toward
-            # the incoming ray for bounce bookkeeping.
-            nrm = jnp.where(((nrm * dirs).sum(-1) > 0.0)[:, None],
-                            -nrm, nrm)
-            # Escaped rays collect the constant environment (miss color).
+            nrm = _normalize_flip(bn3, d)
             escaped = alive & ~hit
-            radiance = radiance + jnp.where(
-                escaped[:, None], throughput * bg, 0.0)
-            # Surface hit: direct lighting x throughput.
+            rad = rad + jnp.where(escaped[:, None], tp * bg, 0.0)
             direct = _direct_light(nrm, albedo, cfg)
-            radiance = radiance + jnp.where(
-                hit[:, None], throughput * direct, 0.0)
+            rad = rad + jnp.where(hit[:, None], tp * direct, 0.0)
             alive = hit
             live_counts.append(alive.sum())
-            if bounce == pt.bounces:
+            if bounce == n_bounce:
                 break
-            # Next bounce.
-            key, sub = jax.random.split(key)
-            hit_pos = origins + t[:, None] * dirs
-            new_dir = _cosine_sample(sub, nrm)
-            origins = hit_pos + 1e-4 * nrm
-            dirs = jnp.where(alive[:, None], new_dir, dirs)
-            throughput = throughput * jnp.where(
-                alive[:, None], albedo, 1.0)
-            if pt.compaction and engine == "perray":
-                # Sort live rays to the buffer front (stable) so the trace's
-                # candidate search touches coherent memory. The grouped
-                # engines sort internally (octant + origin cell, dead rays
-                # last), so an outer compaction pass would only re-pay the
-                # 262k-row permutation cost per bounce.
-                perm = jnp.argsort(~alive, stable=True)
-                origins = origins[perm]
-                dirs = dirs[perm]
-                throughput = throughput[perm]
-                radiance = radiance[perm]
-                alive = alive[perm]
-                order = order[perm]
-        # Undo the compaction permutation(s).
-        inv = jnp.argsort(order)
-        return (radiance[inv], jnp.stack(live_counts),
-                jnp.stack(overflow_counts))
+            hit_pos = o + jnp.where(hit, bt, 0.0)[:, None] * d
+            new_dir = _cosine_dir(rs[bounce], nrm)
+            o = hit_pos + 1e-4 * nrm
+            d = jnp.where(alive[:, None], new_dir, d)
+            tp = tp * jnp.where(alive[:, None], albedo, 1.0)
+        # Undo the permutation(s): idx is a permutation of [0, total), so
+        # one sort keyed on it restores raster order.
+        (_, r0, r1, r2) = jax.lax.sort(
+            (idx, rad[:, 0], rad[:, 1], rad[:, 2]), num_keys=1)
+        rad = jnp.stack([r0, r1, r2], axis=-1)[:n]
+        return rad, jnp.stack(live_counts), jnp.stack(overflow_counts)
 
     keys = jax.random.split(key0, pt.samples_per_pixel)
     radiance = jnp.zeros((n, 3), jnp.float32)
-    counts = jnp.zeros((pt.bounces + 1,), jnp.int32)
-    overflows = jnp.zeros((pt.bounces + 1,), jnp.int32)
+    counts = jnp.zeros((n_bounce,), jnp.int32)
+    overflows = jnp.zeros((n_bounce,), jnp.int32)
     for k in keys:
-        r, c, ov = one_sample(k)
+        r, c, ov = secondary_sample(k)
         radiance = radiance + r
         counts = counts + c
         overflows = overflows + ov
-    image = (radiance / pt.samples_per_pixel).reshape(height, width, 3)
+    spp = pt.samples_per_pixel
+    image = (radiance0 + radiance / spp).reshape(height, width, 3)
+    live = jnp.concatenate(
+        [jnp.broadcast_to(live0 * spp, (1,)).astype(jnp.int32), counts])
     stats = {
-        "live_rays_per_bounce": counts / pt.samples_per_pixel,
+        "live_rays_per_bounce": live / spp,
         # Candidate-list saturation observability: groups whose candidate
-        # count exceeded the list capacity this bounce (summed over samples).
-        # Non-zero means geometry may be culled from some secondary rays.
-        "overflow_groups_per_bounce": overflows,
+        # count exceeded the list capacity this bounce (summed over samples;
+        # bounce 0 rides the windowed primary pipeline — exact, no cap).
+        "overflow_groups_per_bounce": jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), overflows]),
     }
     return image, stats
 

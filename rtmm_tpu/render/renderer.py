@@ -103,6 +103,20 @@ class Renderer:
                           * 255.0 + 0.5).astype(jnp.uint8),
             keep_unused=True)
 
+    def resize(self, width: int, height: int) -> None:
+        """Recreate the pipeline for a new framebuffer size — the analog of
+        the reference's WM_SIZE path (framework/src/window.cpp:173-182:
+        swapchain ResizeBuffers + render-target recreate + new SBT with the
+        new dispatch dimensions). Re-jitting compiles a fresh executable
+        for the new static shape on first render."""
+        import dataclasses
+
+        if (width, height) == (self.cfg.width, self.cfg.height):
+            return
+        self.__init__(self.scene,
+                      dataclasses.replace(self.cfg, width=width,
+                                          height=height))
+
     def render(self, inv_view_proj: np.ndarray) -> jax.Array:
         """Returns the (H, W, 3) float32 framebuffer (device array)."""
         return self._fn(self.scene, jnp.asarray(inv_view_proj, jnp.float32))

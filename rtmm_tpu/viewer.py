@@ -25,6 +25,53 @@ class Viewer:
         self.trackball = trackball or camera.Trackball()
         self._drag_button = None
         self._prev = (0.0, 0.0)
+        # Callback fan-out, mirroring the reference Window's registration
+        # model (framework/include/framework/window.h:17-83: key / mouse
+        # callbacks registered by the app, dispatched from WndProc).
+        self._key_callbacks: list = []
+        self._home = (np.array(self.trackball.look_at, np.float64).copy(),
+                      np.array(self.trackball.rotation_euler,
+                               np.float64).copy(),
+                      float(self.trackball.distance))
+
+    def register_key_callback(self, fn) -> None:
+        """fn(key: str) is invoked on every key press (the analog of
+        Window::registerKeyCallback, framework/src/window.cpp:122-146)."""
+        self._key_callbacks.append(fn)
+
+    def on_key(self, key: str) -> bool:
+        """Built-in key bindings + registered callback fan-out. Returns
+        False when the key requests closing the viewer ('q'/'escape')."""
+        for fn in self._key_callbacks:
+            fn(key)
+        step = np.radians(5.0)
+        if key in ("q", "escape"):
+            return False
+        if key == "r":                     # reset camera to start pose
+            look, rot, dist = self._home
+            self.trackball.set_camera(look.copy(), rot.copy(), dist)
+        elif key == "left":
+            self.trackball.rotation_euler[1] += step
+        elif key == "right":
+            self.trackball.rotation_euler[1] -= step
+        elif key == "up":
+            self.trackball.rotation_euler[0] += step
+        elif key == "down":
+            self.trackball.rotation_euler[0] -= step
+        elif key in ("+", "="):
+            self.trackball.zoom(1.0)
+        elif key == "-":
+            self.trackball.zoom(-1.0)
+        return True
+
+    def on_resize(self, width: int, height: int) -> None:
+        """Swapchain-resize analog (framework/src/window.cpp:173-182):
+        recreate the render pipeline at the new dimensions. Zero-area
+        resizes (minimized window) are ignored, as the reference's
+        getRenderDimension clamps (window.cpp:220-227)."""
+        if width < 1 or height < 1:
+            return
+        self.renderer.resize(int(width), int(height))
 
     def _frame(self) -> np.ndarray:
         cfg = self.renderer.cfg
@@ -86,10 +133,28 @@ class Viewer:
             self.trackball.zoom(event.step)        # trackball.cpp:159-163
             redraw()
 
+        def on_key(event):                         # window.cpp:122-146
+            if event.key is None:
+                return
+            if not self.on_key(event.key):
+                plt.close(fig)
+                return
+            redraw()
+
+        def on_resize(event):                      # window.cpp:173-182
+            # Figure inches * dpi -> framebuffer pixels.
+            w = int(event.width)
+            h = int(event.height)
+            if (w, h) != (self.renderer.cfg.width, self.renderer.cfg.height):
+                self.on_resize(w, h)
+                redraw()
+
         fig.canvas.mpl_connect("button_press_event", on_press)
         fig.canvas.mpl_connect("button_release_event", on_release)
         fig.canvas.mpl_connect("motion_notify_event", on_move)
         fig.canvas.mpl_connect("scroll_event", on_scroll)
+        fig.canvas.mpl_connect("key_press_event", on_key)
+        fig.canvas.mpl_connect("resize_event", on_resize)
         plt.show()
 
 
