@@ -52,6 +52,11 @@ class RenderConfig:
     # kernel walks clusters -> units internally; >1 launch per frame only
     # when some tile's frustum hits more clusters than this).
     kernel_clusters_per_window: int = 128
+    # Sub-cones per 8x128 tile for the kernel's per-unit cull (must divide
+    # 128). 4 wins for coherent primary frames; 8 wins (~14%) on
+    # silhouette-heavy secondary-ray frames and costs primaries ~5% — the
+    # path tracer (bench config 5) sets 8. Measured on v5e; see PERF.md.
+    sub_frusta: int = 4
     tile_chunk: int = 256         # "tile" path: tiles per lax.map step
     compute_dtype: str = "float32"
 

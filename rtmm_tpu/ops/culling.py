@@ -94,14 +94,22 @@ def tile_frustums(inv_view_proj: jax.Array, width: int, height: int,
     return apex, normals
 
 
-SUB_FRUSTA = 4   # sub-cones per tile along the 128-px width (32 px each)
+# Default sub-cones per tile along the 128-px width (32 px each). Measured
+# tradeoff (v5e, RenderConfig.sub_frusta): 8 is ~14% faster on
+# silhouette-heavy secondary-ray frames (a sub-tile straddling an object
+# edge never fills, so its worst-hit bound stays +inf and it walks every
+# back-surface unit — narrower cones shrink the straddling set) but ~5%
+# slower on coherent primary frames (twice the plane tests per unit
+# visit). 4 is the primary-ray default; the path tracer uses 8.
+SUB_FRUSTA = 4
 
 
 def tile_sub_frustums(inv_view_proj: jax.Array, width: int, height: int,
                       render_width: int | None = None,
-                      render_height: int | None = None) -> jax.Array:
-    """Per-tile SUB-frustum planes: each 8x128 tile split into SUB_FRUSTA
-    8x32 cones along the width.
+                      render_height: int | None = None,
+                      n_sub: int = SUB_FRUSTA) -> jax.Array:
+    """Per-tile SUB-frustum planes: each 8x128 tile split into n_sub
+    equal-width cones along the width.
 
     Narrow cones let the trace kernel prune per sub-tile: a unit is a
     candidate only for sub-tiles whose cone reaches it AND whose own worst
@@ -109,15 +117,17 @@ def tile_sub_frustums(inv_view_proj: jax.Array, width: int, height: int,
     blow-up (a wide tile straddling an object edge otherwise keeps every
     back-surface unit alive because some of its rays miss).
 
-    Returns normals (tiles, SUB_FRUSTA, 4, 3) with the same orientation
+    Returns normals (tiles, n_sub, 4, 3) with the same orientation
     convention as tile_frustums.
     """
+    if TILE_W % n_sub:
+        raise ValueError(f"n_sub={n_sub} must divide the {TILE_W}-px tile")
     m = inv_view_proj.astype(jnp.float32)
     rw = render_width or width
     rh = render_height or height
     tx = rw // TILE_W
     ty = rh // TILE_H
-    sw = TILE_W // SUB_FRUSTA
+    sw = TILE_W // n_sub
 
     cx = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 1) * TILE_W
     cy = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 0) * TILE_H
@@ -137,11 +147,11 @@ def tile_sub_frustums(inv_view_proj: jax.Array, width: int, height: int,
         d = far - near
         return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
-    top = [corner_dir(cx + k * sw, cy) for k in range(SUB_FRUSTA + 1)]
+    top = [corner_dir(cx + k * sw, cy) for k in range(n_sub + 1)]
     bot = [corner_dir(cx + k * sw, cy + TILE_H)
-           for k in range(SUB_FRUSTA + 1)]
+           for k in range(n_sub + 1)]
     subs = []
-    for k in range(SUB_FRUSTA):
+    for k in range(n_sub):
         dc = corner_dir(cx + (k + 0.5) * sw, cy + TILE_H / 2)
         planes = []
         for a, b in ((top[k], top[k + 1]), (top[k + 1], bot[k + 1]),
@@ -151,7 +161,7 @@ def tile_sub_frustums(inv_view_proj: jax.Array, width: int, height: int,
             sign = jnp.where(sign == 0.0, 1.0, sign)
             planes.append(n * sign)
         subs.append(jnp.stack(planes, axis=2))     # (ty, tx, 4, 3)
-    return jnp.stack(subs, axis=2).reshape(ty * tx, SUB_FRUSTA, 4, 3)
+    return jnp.stack(subs, axis=2).reshape(ty * tx, n_sub, 4, 3)
 
 
 def _ray_closest_point(o1, d1, o2, d2):

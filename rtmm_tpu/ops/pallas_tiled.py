@@ -43,11 +43,10 @@ from .intersect import MT_DET_EPS, MT_UV_EPS
 BIG = jnp.float32(1e30)
 TILE = culling.TILE_H * culling.TILE_W
 UPC = culling.UNITS_PER_CLUSTER
-NSUB = culling.SUB_FRUSTA
 
 
 def _kernel(*refs, lpu: int, t_min: float, t_max: float,
-            tiles_per_block: int, fused_cfg):
+            tiles_per_block: int, nsub: int, fused_cfg):
     """fused_cfg: None = windowed mode (carry t/n in and out); a
     RenderConfig = single-window fused mode (shade in-kernel, write color
     rows, no carry inputs — saves one full (tiles, 8, TILE) HBM round-trip
@@ -81,14 +80,14 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
         _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref,
                     raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
                     meta_buf, q_buf, tnum_buf, msem, usem, tsem,
-                    lpu=lpu, t_min=t_min, t_max=t_max,
+                    lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub,
                     fused_cfg=fused_cfg)
 
 
 def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
                 outs, meta_hbm, q_hbm, tnum_hbm,
                 meta_buf, q_buf, tnum_buf, msem, usem, tsem,
-                *, lpu, t_min, t_max, fused_cfg):
+                *, lpu, t_min, t_max, nsub, fused_cfg):
     t_in, n_in, t_out, n_out, c_out = outs
     # count can exceed the cluster-list capacity (overflowing tiles keep
     # their true count; the host window loop re-runs them); clamp — reading
@@ -114,14 +113,14 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
             b, ccnt, ccand_ref, centry_ref, frus_ref, raymat_ref, outs,
             meta_hbm, q_hbm, tnum_hbm, meta_buf, q_buf, tnum_buf,
             msem, usem, tsem,
-            lpu=lpu, t_min=t_min, t_max=t_max,
+            lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub,
             fused_cfg=fused_cfg)
 
 
 def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                          raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
                          meta_buf, q_buf, tnum_buf, msem, usem, tsem,
-                         *, lpu, t_min, t_max, fused_cfg):
+                         *, lpu, t_min, t_max, nsub, fused_cfg):
     t_in, n_in, t_out, n_out, c_out = outs
     rm = raymat_ref[0, b]                         # (8, TILE)
     s_row = rm[6:7]                               # (1, TILE)
@@ -138,17 +137,17 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     rm_cat = jnp.concatenate(
         [rm_hi, rm_lo, rm_hi, jnp.ones((2, TILE), jnp.bfloat16)], axis=0)
 
-    # Frustum scalars: [apex xyz, SUB_FRUSTA sub-cones x 4 planes x xyz].
+    # Frustum scalars: [apex xyz, nsub sub-cones x 4 planes x xyz].
     ax = frus_ref[0, b, 0]
     ay = frus_ref[0, b, 1]
     az = frus_ref[0, b, 2]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     # Sub-tile ray masks: pixel (r, c) sits at ray index r*128 + c, so the
-    # j-th 8x32 sub-cone owns columns [32j, 32j+32).
+    # j-th sub-cone owns columns [sw*j, sw*(j+1)).
     col = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1), 128)
-    sw = 128 // NSUB
-    smask = [(col >= j * sw) & (col < (j + 1) * sw) for j in range(NSUB)]
+    sw = 128 // nsub
+    smask = [(col >= j * sw) & (col < (j + 1) * sw) for j in range(nsub)]
 
     def cmeta_dma(slot, ci):
         return pltpu.make_async_copy(
@@ -241,7 +240,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         sub-tile still misses)."""
         v = jnp.where(bt < 1e30, bt + s_row, 1e30)
         return tuple(jnp.max(jnp.where(smask[j], v, 0.0))
-                     for j in range(NSUB))
+                     for j in range(nsub))
 
     def cluster_body(carry):
         ci, best_t, best_n, worsts = carry
@@ -264,7 +263,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         # still beat (the per-sub bound is what prunes back-surface units
         # on silhouette tiles, where some full-tile rays miss everything).
         insides = []
-        for j in range(NSUB):
+        for j in range(nsub):
             inside_j = valid
             for p in range(4):
                 base = 3 + 12 * j + 3 * p
@@ -283,7 +282,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
         def eligible(ws):
             e = insides[0] & (dist <= ws[0])
-            for j in range(1, NSUB):
+            for j in range(1, nsub):
                 e |= insides[j] & (dist <= ws[j])
             return e
 
@@ -339,7 +338,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     def cluster_cond(carry):
         ci, _bt, _bn, worsts = carry
         wmax = worsts[0]
-        for j in range(1, NSUB):
+        for j in range(1, nsub):
             wmax = jnp.maximum(wmax, worsts[j])
         cidx = jnp.minimum(ci, centry_ref.shape[2] - 1)
         return (ci < ccnt) & (wmax >= centry_ref[0, b, cidx])
@@ -426,7 +425,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
 
     kernel = functools.partial(_kernel, lpu=lpu,
                                t_min=cfg.t_min, t_max=cfg.t_max,
-                               tiles_per_block=tb,
+                               tiles_per_block=tb, nsub=cfg.sub_frusta,
                                fused_cfg=cfg if fused else None)
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
@@ -434,7 +433,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
     vmem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    frusp = tiled.frustum_pack_len()
+    frusp = tiled.frustum_pack_len(cfg.sub_frusta)
     head_specs = [smem((tb, kc)), smem((tb, 1)), smem((tb, kc)),
                   smem((tb, frusp)), vmem((tb, 8, TILE))]
     tail_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3

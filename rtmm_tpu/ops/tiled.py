@@ -61,8 +61,8 @@ class FrameInputs(NamedTuple):
     apex: jax.Array         # (3,)
     normals: jax.Array      # (tiles, 4, 3) tile frustum planes
     cluster_hit: jax.Array  # (tiles, C) bool — coarse-level cull result
-    # (tiles, SUB_FRUSTA, 4, 3) sub-cone planes for the kernel's per-unit
-    # cull, or None on paths that never reach the Pallas kernel.
+    # (tiles, cfg.sub_frusta, 4, 3) sub-cone planes for the kernel's
+    # per-unit cull, or None on paths that never reach the Pallas kernel.
     sub_normals: jax.Array | None = None
     t_num: jax.Array | None = None  # (U, LPU) per-frame a.n - e2.w2
 
@@ -79,7 +79,7 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
     apex, normals = culling.tile_frustums(inv_view_proj, width, height,
                                           pw, ph)
     sub_normals = culling.tile_sub_frustums(inv_view_proj, width, height,
-                                            pw, ph)
+                                            pw, ph, n_sub=cfg.sub_frusta)
     cluster_hit = culling.cull_units(apex, normals, scene.cluster_aabb_min,
                                      scene.cluster_aabb_max,
                                      scene.cluster_valid)
@@ -177,21 +177,23 @@ def cluster_window(scene: DeviceScene, apex: jax.Array,
             centry.astype(jnp.float32), new_remaining, next_bound)
 
 
-def frustum_pack_len() -> int:
+def frustum_pack_len(n_sub: int) -> int:
     """Length of the per-tile frustum scalar pack (rounded up to 64)."""
-    return -(-(3 + culling.SUB_FRUSTA * 12) // 64) * 64
+    return -(-(3 + n_sub * 12) // 64) * 64
 
 
 def frustum_scalars(fi: FrameInputs) -> jax.Array:
-    """(tiles, frustum_pack_len()) f32 per-tile frustum pack for the
-    kernel's SMEM: [apex xyz, then SUB_FRUSTA sub-cones x 4 planes x xyz,
-    pad]."""
+    """(tiles, frustum_pack_len(n_sub)) f32 per-tile frustum pack for the
+    kernel's SMEM: [apex xyz, then n_sub sub-cones x 4 planes x xyz, pad];
+    n_sub comes from fi.sub_normals (set by cfg.sub_frusta)."""
     n_tiles = fi.normals.shape[0]
-    ns = culling.SUB_FRUSTA * 12
+    n_sub = fi.sub_normals.shape[1]
+    ns = n_sub * 12
     apex = jnp.broadcast_to(fi.apex, (n_tiles, 3))
     return jnp.concatenate(
         [apex, fi.sub_normals.reshape(n_tiles, ns),
-         jnp.zeros((n_tiles, frustum_pack_len() - 3 - ns), jnp.float32)],
+         jnp.zeros((n_tiles, frustum_pack_len(n_sub) - 3 - ns),
+                   jnp.float32)],
         axis=1)
 
 

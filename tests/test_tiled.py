@@ -236,3 +236,16 @@ def test_candidate_counts_match_dense_cull():
         apex, normals, ds.unit_aabb_min, ds.unit_aabb_max,
         ds.unit_valid).sum(axis=1))
     np.testing.assert_array_equal(counts, dense)
+
+
+def test_pallas_sub_frusta_8_matches_default(sphere_scene):
+    """cfg.sub_frusta only changes pruning granularity, never the image:
+    the 8-cone variant must reproduce the default 4-cone render exactly."""
+    ivp = _ivp(128, 64)
+    base = np.asarray(render_pallas(
+        sphere_scene, jnp.asarray(ivp),
+        RenderConfig(width=128, height=64), interpret=True))
+    eight = np.asarray(render_pallas(
+        sphere_scene, jnp.asarray(ivp),
+        RenderConfig(width=128, height=64, sub_frusta=8), interpret=True))
+    np.testing.assert_array_equal(base, eight)
