@@ -10,9 +10,11 @@ configs:
   5  path-traced multi-bounce, subdivision-level-5 micro-mesh, compaction
   6  (extra) 51,200-base-triangle scene through the cluster hierarchy
 
-Renders an 8-frame orbit per device invocation (the realistic animation
-workload; also amortizes the ~23 ms per-call latency of this host's
-remote-execution relay). Prints ONE JSON line:
+Renders a multi-frame orbit per device invocation (the realistic
+animation workload; also amortizes the ~25 ms per-call latency of this
+host's remote-execution relay — measured per-frame differentials show a
+single 1080p call is ~17% relay latency, a single 512^2 path-trace call
+~50%). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
 vs_baseline is measured against the 100 Mrays/s/chip north-star target
 (BASELINE.md — the reference publishes no numbers of its own).
@@ -25,14 +27,14 @@ import time
 
 import numpy as np
 
-FRAMES_PER_CALL = 8
+FRAMES_PER_CALL = 32
 
 
 def _frames_per_call(cfg) -> int:
     """Orbit length per device invocation. Small frames render in ~1-2 ms,
-    so the host relay's ~23 ms per-call latency would dominate an 8-frame
-    orbit; longer orbits keep the measurement about the chip. 1080p keeps
-    the established 8-frame orbit."""
+    so the host relay's ~25 ms per-call latency would dominate a short
+    orbit; longer orbits keep the measurement about the chip (32 x ~17 ms
+    at 1080p leaves the relay <5% of a call)."""
     return FRAMES_PER_CALL if cfg.width * cfg.height >= 2**20 else 64
 
 
@@ -175,29 +177,55 @@ def _bench_render(scene, cfg, metric, dist: float = 3.0):
     return width * height / dt / 1e6
 
 
-def _bench_pathtrace(scene, cfg, metric):
-    """Config 5: total rays traced per second across bounces + samples."""
-    import jax
+def _bench_pathtrace(scene, cfg, metric, frames: int = 8):
+    """Config 5: total rays traced per second across bounces + samples.
 
-    from rtmm_tpu.render.pathtrace import PathTraceConfig, PathTracer
+    Times an `frames`-frame orbit inside ONE jit call (a single 512^2
+    path-trace frame is ~28 ms on-device — timing it per-call would be
+    ~50% relay latency)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtmm_tpu.render.pathtrace import (PathTraceConfig, PathTracer,
+                                           path_trace)
     from rtmm_tpu.utils import camera
 
     pt = PathTraceConfig(bounces=3, samples_per_pixel=2, ray_chunk=16384)
-    tracer = PathTracer(scene, cfg, pt)
+    # PathTracer only to resolve bounce_t_max from the scene bounds.
+    pt = PathTracer(scene, cfg, pt).pt
 
-    def ivp_at(yaw):
-        tb = camera.Trackball()
-        tb.set_camera([0, 0, 0],
-                      [np.radians(-30.0), np.radians(yaw), 0.0], 3.0)
-        return camera.inv_view_proj(tb, cfg.width, cfg.height)
+    def make_ivps(offset: float):
+        out = []
+        for k in range(frames):
+            tb = camera.Trackball()
+            tb.set_camera(
+                [0.0, 0.0, 0.0],
+                [np.radians(-30.0),
+                 np.radians(offset + 360.0 / frames * k), 0.0], 3.0)
+            out.append(camera.inv_view_proj(tb, cfg.width, cfg.height))
+        return jnp.asarray(np.stack(out))
 
-    img, stats = tracer.render(ivp_at(25.0))            # warmup
+    @jax.jit
+    def orbit(ms):
+        def one(m):
+            img, stats = path_trace(scene, m, cfg, pt)
+            frame = (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5
+                     ).astype(jnp.uint8)
+            return frame[::64, ::64, :].sum(dtype=jnp.int32), \
+                stats["live_rays_per_bounce"]
+        checks, live = jax.lax.map(one, ms)
+        return checks.sum(), live.mean(axis=0)
+
+    check, live = orbit(make_ivps(25.0))                # warmup / compile
+    live = np.asarray(live)
+    assert int(np.asarray(check)) > 0
     # Rays actually traced: the primaries ONCE per frame (bounce 0 is
     # deterministic and shared across samples) plus, per sample and per
     # bounce b >= 1, the rays still alive after bounce b-1. Rays alive
     # after the FINAL bounce are never traced again, so live[-1] is
     # excluded. (live counts are per-sample means.)
-    live = np.asarray(stats["live_rays_per_bounce"])
     rays_per_frame = int(
         cfg.width * cfg.height
         + live[:-1].sum() * pt.samples_per_pixel)
@@ -208,17 +236,17 @@ def _bench_pathtrace(scene, cfg, metric):
         attempts += 1
         try:
             t0 = time.perf_counter()
-            img, stats = tracer.render(ivp_at(25.0 + attempts))
-            live = np.asarray(stats["live_rays_per_bounce"])
+            check, lv = orbit(make_ivps(25.0 + attempts * 0.9))
+            check = int(np.asarray(check))
             times.append(time.perf_counter() - t0)
-            assert np.isfinite(live).all()
+            assert np.isfinite(np.asarray(lv)).all()
         except Exception as exc:
             print(f"bench attempt {attempts} failed: {str(exc)[:160]}",
                   file=sys.stderr)
             time.sleep(2.0)
     if not times:
         raise SystemExit(3)
-    dt = float(np.median(times))
+    dt = float(np.median(times)) / frames
     return rays_per_frame / dt / 1e6
 
 

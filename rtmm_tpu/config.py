@@ -50,8 +50,10 @@ class RenderConfig:
     clusters_per_window: int = 4
     # Pallas path: per-tile cluster-list capacity per kernel launch (the
     # kernel walks clusters -> units internally; >1 launch per frame only
-    # when some tile's frustum hits more clusters than this).
-    kernel_clusters_per_window: int = 128
+    # when some tile's frustum hits more clusters than this). 256 keeps
+    # a 200-cluster (51k-tri) scene on the fused single-launch path:
+    # measured +2.6% over the windowed fallback (v5e, 1080p).
+    kernel_clusters_per_window: int = 256
     # Sub-cones per 8x128 tile for the kernel's per-unit cull (must divide
     # 128). 4 wins for coherent primary frames; 8 wins (~14%) on
     # silhouette-heavy secondary-ray frames and costs primaries ~5% — the

@@ -37,6 +37,14 @@ from .intersect import MT_DET_EPS, MT_UV_EPS
 
 BIG = jnp.float32(1e30)
 UPC = culling.UNITS_PER_CLUSTER
+# Sub-groups of 128 consecutive (sorted, hence coherent) rays per GROUP:
+# each carries its own origin/reach box and worst-hit bound so units are
+# culled per sub-group — the grouped analog of the tile kernel's
+# sub-frusta. A whole group's union reach box is near-useless for
+# incoherent secondary rays (it spans most of the scene); the 128-ray
+# boxes stay tight because the sort packs similar octant+cell rays
+# together.
+NS = GROUP // 128
 
 
 def _kernel(ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
@@ -90,16 +98,15 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
     # One K=48 matmul instead of three K=16 passes (per-pass MXU overheads
     # dominate at tiny contraction depth; see pallas_tiled).
     rv_cat = jnp.concatenate([rv_hi, rv_lo, rv_hi], axis=0)   # (48, GROUP)
-    # Per-ray inverse directions + origins for the unit slab gate
-    # (rv rows: d = 0..2, o = 6..8).
-    inv_d = 1.0 / jnp.where(jnp.abs(rv[0:3]) < 1e-12, 1e-12, rv[0:3])
-    o_rows = rv[6:9]
 
-    # Group box scalars: [omin xyz, omax xyz, reach_min xyz, reach_max xyz].
-    def bx(i):
-        return box_ref[0, b, i]
+    # Per-SUB-group box scalars, NS x [omin xyz, omax xyz, reach_min xyz,
+    # reach_max xyz, pad] (j-th sub-group owns ray lanes [128j, 128j+128)).
+    def bx(j, i):
+        return box_ref[0, b, j * 16 + i]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
+    smask = [(col >= j * 128) & (col < (j + 1) * 128) for j in range(NS)]
 
     def cmeta_dma(slot, ci):
         return pltpu.make_async_copy(
@@ -114,7 +121,14 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                                   usem.at[slot, 1]),
         )
 
-    def process_unit(uslot, best_t, best_n, w):
+    def worst_subs(bt):
+        """Per-sub-group worst hit (1e30 while any live ray of the sub
+        still misses; dead lanes carry bt=0 so they never block)."""
+        v = jnp.where(bt < 1e30, bt, 1e30)
+        return tuple(jnp.max(jnp.where(smask[j], v, 0.0))
+                     for j in range(NS))
+
+    def process_unit(uslot, best_t, best_n):
         q = q_buf[uslot]                          # (16, 4*LPU)
         q_hi = q.astype(jnp.bfloat16)
         q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -148,12 +162,11 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
             n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         take = tb < best_t
-        bt2 = jnp.where(take, tb, best_t)
-        return (bt2, jnp.where(take, nsel, best_n),
-                jnp.max(jnp.where(bt2 < 1e30, bt2, 1e30)))
+        return (jnp.where(take, tb, best_t),
+                jnp.where(take, nsel, best_n))
 
     def cluster_body(carry):
-        ci, best_t, best_n, worst = carry
+        ci, best_t, best_n, worsts = carry
         cslot = jax.lax.rem(ci, 2)
 
         @pl.when(ci + 1 < ccnt)
@@ -166,29 +179,53 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
 
         mnx, mny, mnz = meta[0:1], meta[1:2], meta[2:3]
         mxx, mxy, mxz = meta[3:4], meta[4:5], meta[5:6]
-        # Reach-box overlap test (the group analog of the tile frustum).
-        inside = meta[6:7] > 0.0
-        inside &= (mnx <= bx(9)) & (mxx >= bx(6))
-        inside &= (mny <= bx(10)) & (mxy >= bx(7))
-        inside &= (mnz <= bx(11)) & (mxz >= bx(8))
-        # Conservative entry distance: gap(origin box, unit AABB) <= any
-        # live ray's t to reach the unit (directions are unit length).
-        dx = jnp.maximum(jnp.maximum(mnx - bx(3), bx(0) - mxx), 0.0)
-        dy = jnp.maximum(jnp.maximum(mny - bx(4), bx(1) - mxy), 0.0)
-        dz = jnp.maximum(jnp.maximum(mnz - bx(5), bx(2) - mxz), 0.0)
-        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        valid = meta[6:7] > 0.0
+        # Per-sub-group reach overlap + conservative entry distance: a
+        # unit is a candidate only for sub-groups whose reach box touches
+        # it AND whose own worst hit its entry gap could still beat
+        # (directions are unit length, so gap(origin box, unit AABB) is a
+        # lower bound on any sub ray's t into the unit). The whole-group
+        # union box spans most of the scene for incoherent bounce rays;
+        # the 128-lane boxes are what makes the cull bite.
+        insides = []
+        dists = []
+        for j in range(NS):
+            inside_j = valid
+            inside_j &= (mnx <= bx(j, 9)) & (mxx >= bx(j, 6))
+            inside_j &= (mny <= bx(j, 10)) & (mxy >= bx(j, 7))
+            inside_j &= (mnz <= bx(j, 11)) & (mxz >= bx(j, 8))
+            dx = jnp.maximum(jnp.maximum(mnx - bx(j, 3), bx(j, 0) - mxx),
+                             0.0)
+            dy = jnp.maximum(jnp.maximum(mny - bx(j, 4), bx(j, 1) - mxy),
+                             0.0)
+            dz = jnp.maximum(jnp.maximum(mnz - bx(j, 5), bx(j, 2) - mxz),
+                             0.0)
+            insides.append(inside_j)
+            dists.append(jnp.sqrt(dx * dx + dy * dy + dz * dz))
         inf = jnp.float32(jnp.inf)
-        key0 = jnp.where(inside & (dist <= worst), dist, inf)
+
+        def elig_key(ws, removed):
+            """Nearest-eligible distance per unit lane (+inf = ineligible
+            or removed; `removed` is a float row, 0 = present, inf =
+            consumed — Mosaic can't carry boolean vectors)."""
+            k = inf + jnp.zeros((1, 128), jnp.float32)
+            for j in range(NS):
+                kj = jnp.where(insides[j] & (dists[j] <= ws[j]),
+                               dists[j], inf)
+                k = jnp.minimum(k, kj)
+            return k + removed
 
         def first(key):
             kmin = jnp.min(key)
             return jnp.min(jnp.where((key <= kmin) & (key < inf), lane, 128))
 
         # Two-deep unit DMA pipeline (3-slot ring), as in pallas_tiled.
+        removed0 = jnp.zeros((1, 128), jnp.float32)
+        key0 = elig_key(worsts, removed0)
         u0 = first(key0)
-        key1 = jnp.where(lane == u0, inf, key0)
-        u1 = first(key1)
-        key1 = jnp.where(lane == u1, inf, key1)
+        removed0 = jnp.where(lane == u0, inf, removed0)
+        u1 = first(key0 + removed0)
+        removed0 = jnp.where(lane == u1, inf, removed0)
 
         @pl.when(u0 < 128)
         def _():
@@ -201,8 +238,9 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                 d.start()
 
         def unit_body(st):
-            u, n1, uslot, key, bt, bn, w = st
-            n2 = first(key)
+            u, n1, uslot, removed, bt, bn, ws = st
+            n2 = first(elig_key(ws, removed))
+            removed = jnp.where(lane == n2, inf, removed)
 
             @pl.when(n2 < 128)
             def _():
@@ -213,29 +251,31 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
             for d in unit_dmas(uslot, cl * UPC + u):
                 d.wait()
 
-            bt, bn, w = process_unit(uslot, bt, bn, w)
-            key_wo = jnp.where(lane == n2, inf, key)
-            key2 = jnp.where(key_wo <= w, key_wo, inf)
-            return (n1, n2, jax.lax.rem(uslot + 1, 3), key2, bt, bn, w)
+            bt, bn = process_unit(uslot, bt, bn)
+            ws = worst_subs(bt)
+            return (n1, n2, jax.lax.rem(uslot + 1, 3), removed, bt, bn, ws)
 
         def unit_cond(st):
             return st[0] < 128
 
-        _, _, _, _, best_t, best_n, worst = jax.lax.while_loop(
+        _, _, _, _, best_t, best_n, worsts = jax.lax.while_loop(
             unit_cond, unit_body,
-            (u0, u1, jnp.int32(0), key1, best_t, best_n, worst))
-        return ci + 1, best_t, best_n, worst
+            (u0, u1, jnp.int32(0), removed0, best_t, best_n, worsts))
+        return ci + 1, best_t, best_n, worsts
 
     def cluster_cond(carry):
-        ci, _bt, _bn, worst = carry
+        ci, _bt, _bn, worsts = carry
+        wmax = worsts[0]
+        for j in range(1, NS):
+            wmax = jnp.maximum(wmax, worsts[j])
         cidx = jnp.minimum(ci, centry_ref.shape[2] - 1)
-        return (ci < ccnt) & (worst >= centry_ref[0, b, cidx])
+        return (ci < ccnt) & (wmax >= centry_ref[0, b, cidx])
 
     bt0 = t_in[0, b].reshape(1, GROUP)
     bn0 = n_in[0, b]                              # (8, GROUP)
-    worst0 = jnp.max(jnp.where(bt0 < 1e30, bt0, 1e30))
     c_final, best_t, best_n, _ = jax.lax.while_loop(
-        cluster_cond, cluster_body, (jnp.int32(0), bt0, bn0, worst0))
+        cluster_cond, cluster_body,
+        (jnp.int32(0), bt0, bn0, worst_subs(bt0)))
 
     @pl.when(c_final < ccnt)
     def _():
@@ -332,13 +372,23 @@ def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
         interpret = jax.devices()[0].platform == "cpu"
     g = o.shape[0]
 
-    omin = jnp.where(live[..., None], o, BIG).min(axis=1)     # (g, 3)
-    omax = jnp.where(live[..., None], o, -BIG).max(axis=1)
-    dmin = jnp.where(live[..., None], d, BIG).min(axis=1)
-    dmax = jnp.where(live[..., None], d, -BIG).max(axis=1)
     t_max = jnp.float32(cfg.t_max)
-    reach_min = omin + t_max * jnp.minimum(dmin, 0.0)
-    reach_max = omax + t_max * jnp.maximum(dmax, 0.0)
+    # Per-SUB-group (128 sorted lanes) origin/reach boxes — the kernel
+    # culls units per sub-group; whole-group boxes only feed the
+    # cluster-window build below.
+    os = o.reshape(g, NS, 128, 3)
+    ds_ = d.reshape(g, NS, 128, 3)
+    ls = live.reshape(g, NS, 128, 1)
+    omin_s = jnp.where(ls, os, BIG).min(axis=2)               # (g, NS, 3)
+    omax_s = jnp.where(ls, os, -BIG).max(axis=2)
+    dmin_s = jnp.where(ls, ds_, BIG).min(axis=2)
+    dmax_s = jnp.where(ls, ds_, -BIG).max(axis=2)
+    reach_min_s = omin_s + t_max * jnp.minimum(dmin_s, 0.0)
+    reach_max_s = omax_s + t_max * jnp.maximum(dmax_s, 0.0)
+    omin = omin_s.min(axis=1)                                 # (g, 3)
+    omax = omax_s.max(axis=1)
+    reach_min = reach_min_s.min(axis=1)
+    reach_max = reach_max_s.max(axis=1)
     any_live = live.any(axis=1)
     cl_hit = ((reach_min[:, None, :] <= scene.cluster_aabb_max[None])
               & (reach_max[:, None, :] >= scene.cluster_aabb_min[None])
@@ -352,8 +402,9 @@ def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
          jnp.zeros((g, GROUP, 6), jnp.float32)], axis=-1)
     rv_t = rv.transpose(0, 2, 1)                              # (g, 16, GROUP)
     box = jnp.concatenate(
-        [omin, omax, reach_min, reach_max,
-         jnp.zeros((g, 4), jnp.float32)], axis=1)             # (g, 16)
+        [omin_s, omax_s, reach_min_s, reach_max_s,
+         jnp.zeros((g, NS, 4), jnp.float32)],
+        axis=2).reshape(g, NS * 16)                           # (g, NS*16)
 
     kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
     # Dead lanes start "hit at 0" so they never block early exit; their
@@ -419,7 +470,7 @@ def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, gb, kc), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, gb, 16), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, gb, NS * 16), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, gb, 16, GROUP), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -452,7 +503,7 @@ def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
         ],
         interpret=interpret,
     )(ccand.reshape(nb, gb, kc), ccount.reshape(nb, gb, 1),
-      centry.reshape(nb, gb, kc), box.reshape(nb, gb, 16),
+      centry.reshape(nb, gb, kc), box.reshape(nb, gb, NS * 16),
       rv_t.reshape(nb, gb, 16, GROUP),
       t_in.reshape(nb, gb, GROUP), n_in.reshape(nb, gb, 8, GROUP),
       scene.cluster_unit_meta, scene.unit_q16, scene.unit_nrm_pad)

@@ -213,6 +213,9 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         tn_b = out[3 * lpu:4 * lpu]
         ok = jnp.abs(det) >= MT_DET_EPS
         inv = 1.0 / jnp.where(ok, det, 1.0)
+        # (bf16 u/v epsilon compares were tried for half-width VPU ops:
+        # Mosaic rejects bf16 vector cmpf on v5e — "Target does not
+        # support this comparison" — so the epilogue stays f32.)
         uu = u_num * inv
         vv = v_num * inv
         t = tn_b * inv - s_row                    # (LPU, TILE)

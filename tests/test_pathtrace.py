@@ -127,3 +127,28 @@ def test_pallas_grouped_closed_surface_no_loss():
     diff = np.abs(np.asarray(a) - np.asarray(b)).max(-1)
     npix = int((diff > 1e-4).sum())
     assert npix <= 5, f"{npix} pixels diverge between engines"
+
+
+def test_pallas_grouped_multi_cluster():
+    """A >64-unit scene (2 clusters): the per-sub-group reach culling and
+    cluster-window early exit must stay exact across cluster boundaries.
+
+    Compared against the XLA grouped engine (identical MT expressions —
+    isolates the in-kernel cluster walk; perray differs from BOTH grouped
+    engines on a few epsilon-boundary silhouette pixels by design). A
+    pruning bug would lose whole hits (diff ~0.8 vs background); equal-t
+    epsilon flips only move shading by <0.01."""
+    import dataclasses
+    mesh = procedural.make_plane(grid=(12, 12), level=2, amplitude=0.2)
+    ds = scene_mod.build_device_scene(mesh)
+    assert ds.num_clusters >= 2          # the point of this test
+    base = PathTraceConfig(bounces=1, samples_per_pixel=1, ray_chunk=1536,
+                           compaction=False)
+    a, _ = PathTracer(ds, CFG, dataclasses.replace(
+        base, engine="pallas")).render(_ivp())
+    b, _ = PathTracer(ds, CFG, dataclasses.replace(
+        base, engine="grouped")).render(_ivp())
+    diff = np.abs(np.asarray(a) - np.asarray(b)).max(-1)
+    npix = int((diff > 1e-4).sum())
+    assert npix <= 5, f"{npix} pixels diverge between engines"
+    assert float(diff.max()) < 0.05, f"hit lost (maxdiff {diff.max():.3f})"
