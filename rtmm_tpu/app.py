@@ -149,8 +149,14 @@ def main(argv=None) -> int:
         return 0 if rmse <= 1e-3 else 2
 
     if args.pathtrace > 0:
+        import dataclasses
+
         from .render.pathtrace import PathTraceConfig, PathTracer
-        renderer = PathTracer(ds, cfg, PathTraceConfig(
+        # 8 sub-frusta measured ~14% faster for path tracing (silhouette
+        # sub-tiles dominate the primary trace there); 4 stays the
+        # primary-render default. See PERF.md.
+        renderer = PathTracer(ds, dataclasses.replace(cfg, sub_frusta=8),
+                              PathTraceConfig(
             bounces=args.pathtrace, samples_per_pixel=args.spp))
     elif instance_ring is not None:
         from .render import instances as inst_mod

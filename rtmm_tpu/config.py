@@ -59,6 +59,9 @@ class RenderConfig:
     # silhouette-heavy secondary-ray frames and costs primaries ~5% — the
     # path tracer (bench config 5) sets 8. Measured on v5e; see PERF.md.
     sub_frusta: int = 4
+    # Pallas path: tiles traced per grid program (amortizes per-program
+    # overhead over the ~85% empty tiles of a typical frame).
+    tiles_per_block: int = 8
     tile_chunk: int = 256         # "tile" path: tiles per lax.map step
     compute_dtype: str = "float32"
 

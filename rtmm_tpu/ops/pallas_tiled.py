@@ -391,7 +391,8 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
                  frus: jax.Array, ccand: jax.Array, ccount: jax.Array,
                  centry: jax.Array, t_in: jax.Array | None,
                  n_in: jax.Array | None, cfg: RenderConfig,
-                 interpret: bool = False, tiles_per_block: int = 8,
+                 interpret: bool = False,
+                 tiles_per_block: int | None = None,
                  fused: bool = False):
     """One cluster window (normally the whole frame). raymat_t:
     (tiles, 8, TILE); t_num: (U, LPU) per-frame apex.n - e2.w2 (the q table
@@ -413,7 +414,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
     if t_num.shape[1] != tn_pad:
         t_num = jnp.pad(t_num, ((0, 0), (0, tn_pad - t_num.shape[1])))
     kc = ccand.shape[1]
-    tb = tiles_per_block
+    tb = tiles_per_block or cfg.tiles_per_block
     pad = (-n_tiles) % tb
     if pad:
         raymat_t = jnp.pad(raymat_t, ((0, pad), (0, 0), (0, 0)))
