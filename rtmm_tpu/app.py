@@ -193,6 +193,18 @@ def main(argv=None) -> int:
             hm_path = os.path.join(args.out, f"heatmap_{frame:04d}.png")
             stats_mod.heatmap_to_png(hm_path, hm)
             print(f"  heatmap: max {int(hm.max())} steps/ray -> {hm_path}")
+            if args.instances <= 1:
+                # Exact in-kernel (tile, unit) MXU-step counts (row-3
+                # counter of the Pallas trace kernel).
+                import jax.numpy as jnp
+
+                from .ops.pallas_tiled import render_pallas
+                _img, kst = render_pallas(ds, jnp.asarray(ivp), cfg,
+                                          with_stats=True)
+                kv = np.asarray(kst["kernel_unit_visits"])
+                print(f"  kernel visits: {int(kv.sum())} (tile,unit) steps,"
+                      f" max/tile {int(kv.max())},"
+                      f" nonempty tiles {int((kv > 0).sum())}")
         elif args.stats:
             print("  live rays/bounce:",
                   np.asarray(pt_stats["live_rays_per_bounce"]).tolist())

@@ -59,6 +59,10 @@ class RenderConfig:
     # silhouette-heavy secondary-ray frames and costs primaries ~5% — the
     # path tracer (bench config 5) sets 8. Measured on v5e; see PERF.md.
     sub_frusta: int = 4
+    # Rows in the sub-cone grid (1 = vertical strips; 2 with sub_frusta=8
+    # gives squarer 4x32-px cones). Must divide sub_frusta and the 8-px
+    # tile height.
+    sub_rows: int = 1
     # Pallas path: tiles traced per grid program (amortizes per-program
     # overhead over the ~85% empty tiles of a typical frame).
     tiles_per_block: int = 8

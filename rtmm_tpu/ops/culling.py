@@ -107,27 +107,37 @@ SUB_FRUSTA = 4
 def tile_sub_frustums(inv_view_proj: jax.Array, width: int, height: int,
                       render_width: int | None = None,
                       render_height: int | None = None,
-                      n_sub: int = SUB_FRUSTA) -> jax.Array:
-    """Per-tile SUB-frustum planes: each 8x128 tile split into n_sub
-    equal-width cones along the width.
+                      n_sub: int = SUB_FRUSTA,
+                      n_rows: int = 1) -> jax.Array:
+    """Per-tile SUB-frustum planes: each 8x128 tile split into an
+    n_rows x (n_sub // n_rows) grid of cones (n_rows=1: vertical strips).
 
     Narrow cones let the trace kernel prune per sub-tile: a unit is a
     candidate only for sub-tiles whose cone reaches it AND whose own worst
     hit it could still beat — which is what kills the silhouette-tile
     blow-up (a wide tile straddling an object edge otherwise keeps every
-    back-surface unit alive because some of its rays miss).
+    back-surface unit alive because some of its rays miss). A 2-row grid
+    makes the cones squarer in screen space (4x32 px instead of 8x16 at
+    n_sub=8), bounding arbitrary silhouette orientations better at the
+    same plane-test cost.
 
-    Returns normals (tiles, n_sub, 4, 3) with the same orientation
-    convention as tile_frustums.
+    Returns normals (tiles, n_sub, 4, 3), sub index j = row * cols + col,
+    with the same orientation convention as tile_frustums.
     """
-    if TILE_W % n_sub:
-        raise ValueError(f"n_sub={n_sub} must divide the {TILE_W}-px tile")
+    if n_sub % n_rows or TILE_H % n_rows:
+        raise ValueError(f"n_rows={n_rows} must divide n_sub={n_sub} and "
+                         f"the {TILE_H}-px tile height")
+    n_cols = n_sub // n_rows
+    if TILE_W % n_cols:
+        raise ValueError(f"{n_cols} columns must divide the {TILE_W}-px "
+                         "tile")
     m = inv_view_proj.astype(jnp.float32)
     rw = render_width or width
     rh = render_height or height
     tx = rw // TILE_W
     ty = rh // TILE_H
-    sw = TILE_W // n_sub
+    sw = TILE_W // n_cols
+    sh = TILE_H // n_rows
 
     cx = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 1) * TILE_W
     cy = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 0) * TILE_H
@@ -147,20 +157,21 @@ def tile_sub_frustums(inv_view_proj: jax.Array, width: int, height: int,
         d = far - near
         return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
-    top = [corner_dir(cx + k * sw, cy) for k in range(n_sub + 1)]
-    bot = [corner_dir(cx + k * sw, cy + TILE_H)
-           for k in range(n_sub + 1)]
+    corners = [[corner_dir(cx + k * sw, cy + r * sh)
+                for k in range(n_cols + 1)] for r in range(n_rows + 1)]
     subs = []
-    for k in range(n_sub):
-        dc = corner_dir(cx + (k + 0.5) * sw, cy + TILE_H / 2)
-        planes = []
-        for a, b in ((top[k], top[k + 1]), (top[k + 1], bot[k + 1]),
-                     (bot[k + 1], bot[k]), (bot[k], top[k])):
-            n = jnp.cross(a, b)
-            sign = jnp.sign((n * dc).sum(-1, keepdims=True))
-            sign = jnp.where(sign == 0.0, 1.0, sign)
-            planes.append(n * sign)
-        subs.append(jnp.stack(planes, axis=2))     # (ty, tx, 4, 3)
+    for r in range(n_rows):
+        top, bot = corners[r], corners[r + 1]
+        for k in range(n_cols):
+            dc = corner_dir(cx + (k + 0.5) * sw, cy + (r + 0.5) * sh)
+            planes = []
+            for a, b in ((top[k], top[k + 1]), (top[k + 1], bot[k + 1]),
+                         (bot[k + 1], bot[k]), (bot[k], top[k])):
+                n = jnp.cross(a, b)
+                sign = jnp.sign((n * dc).sum(-1, keepdims=True))
+                sign = jnp.where(sign == 0.0, 1.0, sign)
+                planes.append(n * sign)
+            subs.append(jnp.stack(planes, axis=2))     # (ty, tx, 4, 3)
     return jnp.stack(subs, axis=2).reshape(ty * tx, n_sub, 4, 3)
 
 

@@ -46,7 +46,7 @@ UPC = culling.UNITS_PER_CLUSTER
 
 
 def _kernel(*refs, lpu: int, t_min: float, t_max: float,
-            tiles_per_block: int, nsub: int, fused_cfg):
+            tiles_per_block: int, nsub: int, nrows: int, fused_cfg):
     """fused_cfg: None = windowed mode (carry t/n in and out); a
     RenderConfig = single-window fused mode (shade in-kernel, write color
     rows, no carry inputs — saves one full (tiles, 8, TILE) HBM round-trip
@@ -81,13 +81,13 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
                     raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
                     meta_buf, q_buf, tnum_buf, msem, usem, tsem,
                     lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub,
-                    fused_cfg=fused_cfg)
+                    nrows=nrows, fused_cfg=fused_cfg)
 
 
 def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
                 outs, meta_hbm, q_hbm, tnum_hbm,
                 meta_buf, q_buf, tnum_buf, msem, usem, tsem,
-                *, lpu, t_min, t_max, nsub, fused_cfg):
+                *, lpu, t_min, t_max, nsub, nrows, fused_cfg):
     t_in, n_in, t_out, n_out, c_out = outs
     # count can exceed the cluster-list capacity (overflowing tiles keep
     # their true count; the host window loop re-runs them); clamp — reading
@@ -113,14 +113,14 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
             b, ccnt, ccand_ref, centry_ref, frus_ref, raymat_ref, outs,
             meta_hbm, q_hbm, tnum_hbm, meta_buf, q_buf, tnum_buf,
             msem, usem, tsem,
-            lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub,
+            lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub, nrows=nrows,
             fused_cfg=fused_cfg)
 
 
 def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                          raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
                          meta_buf, q_buf, tnum_buf, msem, usem, tsem,
-                         *, lpu, t_min, t_max, nsub, fused_cfg):
+                         *, lpu, t_min, t_max, nsub, nrows, fused_cfg):
     t_in, n_in, t_out, n_out, c_out = outs
     rm = raymat_ref[0, b]                         # (8, TILE)
     s_row = rm[6:7]                               # (1, TILE)
@@ -143,11 +143,17 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     az = frus_ref[0, b, 2]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    # Sub-tile ray masks: pixel (r, c) sits at ray index r*128 + c, so the
-    # j-th sub-cone owns columns [sw*j, sw*(j+1)).
-    col = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1), 128)
-    sw = 128 // nsub
-    smask = [(col >= j * sw) & (col < (j + 1) * sw) for j in range(nsub)]
+    # Sub-tile ray masks: pixel (r, c) sits at ray index r*128 + c; the
+    # sub-cone grid is nrows x ncols with j = row * ncols + col.
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    col = jax.lax.rem(idx, 128)
+    row = jax.lax.div(idx, 128)
+    ncols = nsub // nrows
+    sw = 128 // ncols
+    sh = 8 // nrows
+    smask = [((row >= (j // ncols) * sh) & (row < (j // ncols + 1) * sh)
+              & (col >= (j % ncols) * sw) & (col < (j % ncols + 1) * sw))
+             for j in range(nsub)]
 
     def cmeta_dma(slot, ci):
         return pltpu.make_async_copy(
@@ -246,7 +252,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                      for j in range(nsub))
 
     def cluster_body(carry):
-        ci, best_t, best_n, worsts = carry
+        ci, best_t, best_n, worsts, nvis = carry
         cslot = jax.lax.rem(ci, 2)
 
         @pl.when(ci + 1 < ccnt)
@@ -319,7 +325,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         u0, u1, ikey0 = pick2(ikey_of(worsts, removed0))
 
         def unit_body(st):
-            ua, ub, ikey, bt, bn, ws = st
+            ua, ub, ikey, bt, bn, ws, nv = st
             bt, bn = process_unit(cslot, ua, bt, bn)
             ub_safe = jnp.where(ub < 128, ub, ua)
             # A dup slot recomputes ua (idempotent take); harmless.
@@ -328,18 +334,19 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             removed = ikey >= imax
             na, nb, ikey2 = pick2(jnp.where(removed, imax,
                                             ikey_of(ws, removed)))
-            return (na, nb, ikey2, bt, bn, ws)
+            nv = nv + 1 + (ub < 128).astype(jnp.int32)
+            return (na, nb, ikey2, bt, bn, ws, nv)
 
         def unit_cond(st):
             return st[0] < 128
 
-        _, _, _, best_t, best_n, worsts = jax.lax.while_loop(
+        _, _, _, best_t, best_n, worsts, nvis = jax.lax.while_loop(
             unit_cond, unit_body,
-            (u0, u1, ikey0, best_t, best_n, worsts))
-        return ci + 1, best_t, best_n, worsts
+            (u0, u1, ikey0, best_t, best_n, worsts, nvis))
+        return ci + 1, best_t, best_n, worsts, nvis
 
     def cluster_cond(carry):
-        ci, _bt, _bn, worsts = carry
+        ci, _bt, _bn, worsts, _nv = carry
         wmax = worsts[0]
         for j in range(1, nsub):
             wmax = jnp.maximum(wmax, worsts[j])
@@ -348,16 +355,21 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
     # Carry in the running best from previous cluster windows; the early
     # exit bound then also skips whole windows this tile no longer needs.
-    # (Fused mode is single-window: start fresh.)
+    # (Fused mode is single-window: start fresh.) Row 3 of the normal
+    # carry holds the running exact (tile, unit)-visit counter — rows 3-7
+    # are otherwise unused (the nrm table pads them), and the observability
+    # is free.
     if fused_cfg is None:
         bt0 = t_in[0, b].reshape(1, TILE)
         bn0 = n_in[0, b]                          # (8, TILE)
+        nv0 = jnp.max(n_in[0, b, 3:4]).astype(jnp.int32)
     else:
         bt0 = jnp.full((1, TILE), 1e30, jnp.float32)
         bn0 = jnp.zeros((8, TILE), jnp.float32)
-    c_final, best_t, best_n, _ = jax.lax.while_loop(
+        nv0 = jnp.int32(0)
+    c_final, best_t, best_n, _, nvis = jax.lax.while_loop(
         cluster_cond, cluster_body,
-        (jnp.int32(0), bt0, bn0, worst_subs(bt0)))
+        (jnp.int32(0), bt0, bn0, worst_subs(bt0), nv0))
 
     # Drain: whenever the cluster loop stopped at c_final < ccnt (early-exit
     # bound, possibly before the first iteration), the metadata DMA for
@@ -370,9 +382,11 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         cmeta_dma(jax.lax.rem(c_final, 2), c_final).wait()
         qblock_wait(jax.lax.rem(c_final, 2), c_final)
 
+    nv_row = jnp.full((1, TILE), nvis.astype(jnp.float32))
     if fused_cfg is None:
         t_out[0, b] = best_t[0]
-        n_out[0, b] = best_n
+        n_out[0, b] = jnp.concatenate(
+            [best_n[0:3], nv_row, best_n[4:8]], axis=0)
     else:
         # Fused epilogue: normalize the selected normal, shade against the
         # view direction (-d = -rows 0..2 of the ray matrix), Reinhard — the
@@ -384,7 +398,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             nx / nn, ny / nn, nz / nn, -rm[0:1], -rm[1:2], -rm[2:3],
             hit, fused_cfg)
         c_out[0, b] = jnp.concatenate(
-            [r, g, bl, jnp.zeros((5, TILE), jnp.float32)], axis=0)
+            [r, g, bl, nv_row, jnp.zeros((4, TILE), jnp.float32)], axis=0)
 
 
 def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
@@ -430,6 +444,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
     kernel = functools.partial(_kernel, lpu=lpu,
                                t_min=cfg.t_min, t_max=cfg.t_max,
                                tiles_per_block=tb, nsub=cfg.sub_frusta,
+                               nrows=cfg.sub_rows,
                                fused_cfg=cfg if fused else None)
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
@@ -485,8 +500,12 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
 
 
 def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
-                  cfg: RenderConfig, interpret: bool | None = None) -> jax.Array:
-    """Render one frame with the Pallas backend. Returns (H, W, 3)."""
+                  cfg: RenderConfig, interpret: bool | None = None,
+                  with_stats: bool = False):
+    """Render one frame with the Pallas backend. Returns (H, W, 3), or
+    ((H, W, 3), stats) with stats["kernel_unit_visits"] = the exact
+    per-tile (ty, tx) count of (tile, unit) MXU steps the kernel executed
+    (its row-3 counter — free observability for tuning the culling)."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     width, height = cfg.width, cfg.height
@@ -516,6 +535,7 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
                             None, None, cfg, interpret=interpret,
                             fused=True)
         colors = rows[:, 0:3].transpose(0, 2, 1)     # (tiles, TILE, 3)
+        visits = rows[:, 3, 0]
     else:
         def trace_window(ccand, ccount, centry, best_t, best_n):
             return trace_pallas(scene, raymat_t, fi.t_num, frus,
@@ -528,11 +548,15 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
             scene, fi, cfg, trace_window, *init, kc=kc)
 
         best_n = nrm[:, 0:3].transpose(0, 2, 1)     # (tiles, TILE, 3)
+        visits = nrm[:, 3, 0]
         hit_mask = best_t < BIG
         n_unit = best_n / jnp.maximum(
             jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
         colors = shading.shade_or_miss(hit_mask, n_unit, -fi.dirs, cfg)
 
     img = (colors.reshape(ty, tx, culling.TILE_H, culling.TILE_W, 3)
-           .transpose(0, 2, 1, 3, 4).reshape(ph, pw, 3))
-    return img[:height, :width]
+           .transpose(0, 2, 1, 3, 4).reshape(ph, pw, 3))[:height, :width]
+    if with_stats:
+        return img, {"kernel_unit_visits":
+                     visits.reshape(ty, tx).astype(jnp.int32)}
+    return img

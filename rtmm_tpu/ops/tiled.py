@@ -79,7 +79,8 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
     apex, normals = culling.tile_frustums(inv_view_proj, width, height,
                                           pw, ph)
     sub_normals = culling.tile_sub_frustums(inv_view_proj, width, height,
-                                            pw, ph, n_sub=cfg.sub_frusta)
+                                            pw, ph, n_sub=cfg.sub_frusta,
+                                            n_rows=cfg.sub_rows)
     cluster_hit = culling.cull_units(apex, normals, scene.cluster_aabb_min,
                                      scene.cluster_aabb_max,
                                      scene.cluster_valid)

@@ -270,7 +270,8 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
 
     apex_w, normals_w = culling.tile_frustums(ivp, width, height, pw, ph)
     sub_normals_w = culling.tile_sub_frustums(ivp, width, height, pw, ph,
-                                              n_sub=cfg.sub_frusta)
+                                              n_sub=cfg.sub_frusta,
+                                              n_rows=cfg.sub_rows)
     origins_w, dirs_w = raygen.generate_rays(ivp, width, height, pw, ph)
 
     def to_tiles(x):

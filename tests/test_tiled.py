@@ -249,3 +249,38 @@ def test_pallas_sub_frusta_8_matches_default(sphere_scene):
         sphere_scene, jnp.asarray(ivp),
         RenderConfig(width=128, height=64, sub_frusta=8), interpret=True))
     np.testing.assert_array_equal(base, eight)
+
+
+def test_pallas_visit_counter(sphere_scene):
+    """Row-3 kernel visit counter: image identical to the plain render,
+    counts positive exactly on tiles whose frustum hits geometry."""
+    ivp = _ivp(128, 64)
+    cfg = RenderConfig(width=128, height=64)
+    plain = np.asarray(render_pallas(sphere_scene, jnp.asarray(ivp), cfg,
+                                     interpret=True))
+    img, st = render_pallas(sphere_scene, jnp.asarray(ivp), cfg,
+                            interpret=True, with_stats=True)
+    np.testing.assert_array_equal(plain, np.asarray(img))
+    visits = np.asarray(st["kernel_unit_visits"])
+    assert visits.shape == (64 // 8, 128 // 128)
+    assert visits.sum() > 0
+    # Any tile containing a non-background pixel must have visits > 0.
+    bg = np.asarray(RenderConfig().background)
+    nonbg = (np.abs(np.asarray(plain) - bg).max(-1) > 1e-3)
+    hit_tiles = nonbg.reshape(8, 8, 1, 128).any(axis=(1, 3))
+    assert hit_tiles.any()
+    assert (visits[hit_tiles] > 0).all()
+
+
+def test_pallas_sub_rows_2_matches_default(sphere_scene):
+    """The 2x4 sub-cone grid is pruning-only: image identical to the
+    default 4x1 strips."""
+    ivp = _ivp(128, 64)
+    base = np.asarray(render_pallas(
+        sphere_scene, jnp.asarray(ivp),
+        RenderConfig(width=128, height=64), interpret=True))
+    grid = np.asarray(render_pallas(
+        sphere_scene, jnp.asarray(ivp),
+        RenderConfig(width=128, height=64, sub_frusta=8, sub_rows=2),
+        interpret=True))
+    np.testing.assert_array_equal(base, grid)
