@@ -66,6 +66,12 @@ class RenderConfig:
     # Pallas path: tiles traced per grid program (amortizes per-program
     # overhead over the ~85% empty tiles of a typical frame).
     tiles_per_block: int = 8
+    # Fused single-window mode: generate primary rays INSIDE the kernel
+    # from the inv-view-proj scalars (per nonempty tile, ~45 VPU ops)
+    # instead of building and streaming the 66 MB/1080p ray-matrix table
+    # through HBM. Windowed/instanced/path-trace paths always take the
+    # ray-matrix input (their rays are not camera-projective).
+    kernel_raygen: bool = True
     tile_chunk: int = 256         # "tile" path: tiles per lax.map step
     compute_dtype: str = "float32"
 

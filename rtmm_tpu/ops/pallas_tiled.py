@@ -46,16 +46,25 @@ UPC = culling.UNITS_PER_CLUSTER
 
 
 def _kernel(*refs, lpu: int, t_min: float, t_max: float,
-            tiles_per_block: int, nsub: int, nrows: int, fused_cfg):
+            tiles_per_block: int, nsub: int, nrows: int, fused_cfg,
+            kraygen: bool):
     """fused_cfg: None = windowed mode (carry t/n in and out); a
     RenderConfig = single-window fused mode (shade in-kernel, write color
     rows, no carry inputs — saves one full (tiles, 8, TILE) HBM round-trip
-    plus the separate XLA shading pass)."""
+    plus the separate XLA shading pass). kraygen (fused only): the ray
+    matrix is generated in-kernel from the inv-view-proj scalars in the
+    frustum pack — no raymat input at all."""
     if fused_cfg is None:
         (ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
          t_in, n_in, meta_hbm, q_hbm, tnum_hbm, t_out, n_out,
          meta_buf, q_buf, tnum_buf, msem, usem, tsem) = refs
         outs = (t_in, n_in, t_out, n_out, None)
+    elif kraygen:
+        (ccand_ref, ccount_ref, centry_ref, frus_ref,
+         meta_hbm, q_hbm, tnum_hbm, c_out,
+         meta_buf, q_buf, tnum_buf, msem, usem, tsem) = refs
+        raymat_ref = None
+        outs = (None, None, None, None, c_out)
     else:
         (ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
          meta_hbm, q_hbm, tnum_hbm, c_out,
@@ -81,13 +90,13 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
                     raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
                     meta_buf, q_buf, tnum_buf, msem, usem, tsem,
                     lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub,
-                    nrows=nrows, fused_cfg=fused_cfg)
+                    nrows=nrows, fused_cfg=fused_cfg, kraygen=kraygen)
 
 
 def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
                 outs, meta_hbm, q_hbm, tnum_hbm,
                 meta_buf, q_buf, tnum_buf, msem, usem, tsem,
-                *, lpu, t_min, t_max, nsub, nrows, fused_cfg):
+                *, lpu, t_min, t_max, nsub, nrows, fused_cfg, kraygen):
     t_in, n_in, t_out, n_out, c_out = outs
     # count can exceed the cluster-list capacity (overflowing tiles keep
     # their true count; the host window loop re-runs them); clamp — reading
@@ -114,15 +123,65 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
             meta_hbm, q_hbm, tnum_hbm, meta_buf, q_buf, tnum_buf,
             msem, usem, tsem,
             lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub, nrows=nrows,
-            fused_cfg=fused_cfg)
+            fused_cfg=fused_cfg, kraygen=kraygen)
+
+
+def _raygen_rows(frus_ref, b, nsub, cfg):
+    """In-kernel primary raygen: the exact math of ops/raygen.py +
+    build_frame_inputs' ray-matrix assembly, from the 18 raygen scalars
+    appended to the frustum pack ([px0, py0, inv_view_proj (row-major
+    16)] at offset 3 + nsub*12). ~45 VPU ops on (1, TILE) per nonempty
+    tile — replaces streaming a (tiles, TILE, 8) HBM table. Explicit FMA
+    (not a matmul): the w component is a catastrophic cancellation that
+    needs f32 (see ops/raygen.py)."""
+    rg = 3 + nsub * 12
+    px0 = frus_ref[0, b, rg + 0]
+    py0 = frus_ref[0, b, rg + 1]
+
+    def m(i, j):
+        return frus_ref[0, b, rg + 2 + 4 * i + j]
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    col = jax.lax.rem(idx, 128).astype(jnp.float32)
+    row = jax.lax.div(idx, 128).astype(jnp.float32)
+    u = (px0 + col + 0.5) / jnp.float32(cfg.width)
+    v = (py0 + row + 0.5) / jnp.float32(cfg.height)
+    ndc_x = u * 2.0 - 1.0
+    ndc_y = -(v * 2.0 - 1.0)
+
+    pn = [m(i, 0) * ndc_x + m(i, 1) * ndc_y + m(i, 3) for i in range(4)]
+    pf = [m(i, 0) * ndc_x + m(i, 1) * ndc_y + (m(i, 2) + m(i, 3))
+          for i in range(4)]
+    # Divisions (not mul-by-reciprocal) to match ops/raygen.py's rounding
+    # bit-for-bit where possible.
+    ox, oy, oz = pn[0] / pn[3], pn[1] / pn[3], pn[2] / pn[3]  # near point
+    dx = pf[0] / pf[3] - ox
+    dy = pf[1] / pf[3] - oy
+    dz = pf[2] / pf[3] - oz
+    ln = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx / ln, dy / ln, dz / ln
+    ax = frus_ref[0, b, 0]
+    ay = frus_ref[0, b, 1]
+    az = frus_ref[0, b, 2]
+    mx = ay * dz - az * dy
+    my = az * dx - ax * dz
+    mz = ax * dy - ay * dx
+    s = (ox - ax) * dx + (oy - ay) * dy + (oz - az) * dz
+    return jnp.concatenate(
+        [dx, dy, dz, mx, my, mz, s, jnp.ones((1, TILE), jnp.float32)],
+        axis=0)
 
 
 def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                          raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
                          meta_buf, q_buf, tnum_buf, msem, usem, tsem,
-                         *, lpu, t_min, t_max, nsub, nrows, fused_cfg):
+                         *, lpu, t_min, t_max, nsub, nrows, fused_cfg,
+                         kraygen):
     t_in, n_in, t_out, n_out, c_out = outs
-    rm = raymat_ref[0, b]                         # (8, TILE)
+    if kraygen:
+        rm = _raygen_rows(frus_ref, b, nsub, fused_cfg)
+    else:
+        rm = raymat_ref[0, b]                     # (8, TILE)
     s_row = rm[6:7]                               # (1, TILE)
     # hi/lo bf16 split of the ray matrix (once per tile): emulates 3-pass
     # f32 matmuls (Mosaic supports only DEFAULT/HIGHEST; HIGHEST is 6
@@ -419,7 +478,8 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
     Fused mode (fused=True, single window): shades in-kernel and returns
     one (tiles, 8, TILE) array with rgb in rows 0..2.
     """
-    n_tiles = raymat_t.shape[0]
+    kraygen = fused and cfg.kernel_raygen and raymat_t is None
+    n_tiles = frus.shape[0]
     lpu = scene.leaves_per_unit
     # Mosaic DMA slice shapes must be 128-aligned along lanes: pad the
     # (U, LPU) t_num table's lane dim (tiny — still ~50x smaller than
@@ -431,7 +491,8 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
     tb = tiles_per_block or cfg.tiles_per_block
     pad = (-n_tiles) % tb
     if pad:
-        raymat_t = jnp.pad(raymat_t, ((0, pad), (0, 0), (0, 0)))
+        if not kraygen:
+            raymat_t = jnp.pad(raymat_t, ((0, pad), (0, 0), (0, 0)))
         frus = jnp.pad(frus, ((0, pad), (0, 0)))
         ccand = jnp.pad(ccand, ((0, pad), (0, 0)))
         ccount = jnp.pad(ccount, ((0, pad),))
@@ -445,20 +506,23 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
                                t_min=cfg.t_min, t_max=cfg.t_max,
                                tiles_per_block=tb, nsub=cfg.sub_frusta,
                                nrows=cfg.sub_rows,
-                               fused_cfg=cfg if fused else None)
+                               fused_cfg=cfg if fused else None,
+                               kraygen=kraygen)
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.SMEM)
     vmem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    frusp = tiled.frustum_pack_len(cfg.sub_frusta)
+    frusp = tiled.frustum_pack_len(cfg.sub_frusta, with_raygen=kraygen)
     head_specs = [smem((tb, kc)), smem((tb, 1)), smem((tb, kc)),
-                  smem((tb, frusp)), vmem((tb, 8, TILE))]
-    tail_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+                  smem((tb, frusp))]
     head_args = (ccand.reshape(nb, tb, kc), ccount.reshape(nb, tb, 1),
-                 centry.reshape(nb, tb, kc), frus.reshape(nb, tb, frusp),
-                 raymat_t.reshape(nb, tb, 8, TILE))
+                 centry.reshape(nb, tb, kc), frus.reshape(nb, tb, frusp))
+    if not kraygen:
+        head_specs = head_specs + [vmem((tb, 8, TILE))]
+        head_args = head_args + (raymat_t.reshape(nb, tb, 8, TILE),)
+    tail_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     tail_args = (scene.cluster_unit_meta, scene.unit_qn, t_num)
     if fused:
         in_specs = head_specs + tail_specs
@@ -513,16 +577,26 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
     tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
     n_tiles = tx * ty
 
-    fi = tiled.build_frame_inputs(scene, inv_view_proj, cfg,
-                                  need_q_frame=False)
-    raymat_t = fi.raymat.transpose(0, 2, 1)         # (tiles, 8, TILE)
-    frus = tiled.frustum_scalars(fi)
     kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
+    fused_mode = scene.num_clusters <= kc
+    kraygen = fused_mode and cfg.kernel_raygen
 
-    if scene.num_clusters <= kc:
+    fi = tiled.build_frame_inputs(scene, inv_view_proj, cfg,
+                                  need_q_frame=False,
+                                  need_rays=not kraygen)
+    if kraygen:
+        raymat_t = None
+        frus = tiled.frustum_scalars(
+            fi, raygen_ivp=jnp.asarray(inv_view_proj, jnp.float32), tx=tx)
+    else:
+        raymat_t = fi.raymat.transpose(0, 2, 1)     # (tiles, 8, TILE)
+        frus = tiled.frustum_scalars(fi)
+
+    if fused_mode:
         # Single window covers the whole scene: trace + shade fused in one
         # kernel launch (no (tiles, 8, TILE) HBM round-trip, no separate
-        # shading pass, empty tiles write constant background in-kernel).
+        # shading pass, empty tiles write constant background in-kernel;
+        # with kernel_raygen the ray matrix never exists in HBM at all).
         cl_dist = culling.aabb_distance(fi.apex, scene.cluster_aabb_min,
                                         scene.cluster_aabb_max)
         key = jnp.where(fi.cluster_hit, -cl_dist[None, :], -jnp.inf)

@@ -69,8 +69,15 @@ class FrameInputs(NamedTuple):
 
 def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
                        cfg: RenderConfig,
-                       need_q_frame: bool = True) -> FrameInputs:
-    """Raygen + per-frame tables + the coarse (cluster-level) cull."""
+                       need_q_frame: bool = True,
+                       need_rays: bool = True) -> FrameInputs:
+    """Raygen + per-frame tables + the coarse (cluster-level) cull.
+
+    need_rays=False skips raygen and the ray-matrix build (raymat/dirs
+    come back None) — the in-kernel-raygen fused Pallas mode derives
+    both from the inv-view-proj scalars per tile instead of streaming a
+    (tiles, TILE, 8) table through HBM.
+    """
     width, height = cfg.width, cfg.height
     pw, ph = padded_size(width, height)
     tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
@@ -85,18 +92,21 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
                                      scene.cluster_aabb_max,
                                      scene.cluster_valid)
 
-    origins, dirs = raygen.generate_rays(inv_view_proj, width, height, pw, ph)
+    raymat = dirs = None
+    if need_rays:
+        origins, dirs = raygen.generate_rays(inv_view_proj, width, height,
+                                             pw, ph)
 
-    def to_tiles(x):
-        return (x.reshape(ty, culling.TILE_H, tx, culling.TILE_W, 3)
-                .transpose(0, 2, 1, 3, 4).reshape(n_tiles, TILE, 3))
+        def to_tiles(x):
+            return (x.reshape(ty, culling.TILE_H, tx, culling.TILE_W, 3)
+                    .transpose(0, 2, 1, 3, 4).reshape(n_tiles, TILE, 3))
 
-    dirs = to_tiles(dirs)
-    origins = to_tiles(origins)
-    m = jnp.cross(jnp.broadcast_to(apex, dirs.shape), dirs)
-    s = ((origins - apex) * dirs).sum(-1)
-    raymat = jnp.concatenate(
-        [dirs, m, s[..., None], jnp.ones_like(s)[..., None]], axis=-1)
+        dirs = to_tiles(dirs)
+        origins = to_tiles(origins)
+        m = jnp.cross(jnp.broadcast_to(apex, dirs.shape), dirs)
+        s = ((origins - apex) * dirs).sum(-1)
+        raymat = jnp.concatenate(
+            [dirs, m, s[..., None], jnp.ones_like(s)[..., None]], axis=-1)
 
     # t_num = a.n - e2.w2 — ray-independent, apex-dependent (once per frame).
     t_num = (scene.unit_n * apex).sum(-1) - scene.unit_e2w2    # (U, LPU)
@@ -178,24 +188,36 @@ def cluster_window(scene: DeviceScene, apex: jax.Array,
             centry.astype(jnp.float32), new_remaining, next_bound)
 
 
-def frustum_pack_len(n_sub: int) -> int:
+def frustum_pack_len(n_sub: int, with_raygen: bool = False) -> int:
     """Length of the per-tile frustum scalar pack (rounded up to 64)."""
-    return -(-(3 + n_sub * 12) // 64) * 64
+    return -(-(3 + n_sub * 12 + (18 if with_raygen else 0)) // 64) * 64
 
 
-def frustum_scalars(fi: FrameInputs) -> jax.Array:
-    """(tiles, frustum_pack_len(n_sub)) f32 per-tile frustum pack for the
-    kernel's SMEM: [apex xyz, then n_sub sub-cones x 4 planes x xyz, pad];
-    n_sub comes from fi.sub_normals (set by cfg.sub_frusta)."""
+def frustum_scalars(fi: FrameInputs,
+                    raygen_ivp: jax.Array | None = None,
+                    tx: int | None = None) -> jax.Array:
+    """(tiles, frustum_pack_len(...)) f32 per-tile frustum pack for the
+    kernel's SMEM: [apex xyz, n_sub sub-cones x 4 planes x xyz, then —
+    for the in-kernel-raygen fused mode — the tile's pixel origin (px0,
+    py0) and the 16 inv-view-proj scalars, pad]; n_sub comes from
+    fi.sub_normals (set by cfg.sub_frusta)."""
     n_tiles = fi.normals.shape[0]
     n_sub = fi.sub_normals.shape[1]
     ns = n_sub * 12
     apex = jnp.broadcast_to(fi.apex, (n_tiles, 3))
-    return jnp.concatenate(
-        [apex, fi.sub_normals.reshape(n_tiles, ns),
-         jnp.zeros((n_tiles, frustum_pack_len(n_sub) - 3 - ns),
-                   jnp.float32)],
-        axis=1)
+    parts = [apex, fi.sub_normals.reshape(n_tiles, ns)]
+    used = 3 + ns
+    if raygen_ivp is not None:
+        tile = jnp.arange(n_tiles, dtype=jnp.float32)
+        px0 = jnp.mod(tile, tx) * culling.TILE_W
+        py0 = jnp.floor_divide(tile, tx) * culling.TILE_H
+        m16 = jnp.broadcast_to(
+            raygen_ivp.astype(jnp.float32).reshape(16), (n_tiles, 16))
+        parts += [px0[:, None], py0[:, None], m16]
+        used += 18
+    pack = frustum_pack_len(n_sub, raygen_ivp is not None)
+    parts.append(jnp.zeros((n_tiles, pack - used), jnp.float32))
+    return jnp.concatenate(parts, axis=1)
 
 
 def trace_windowed_clusters(scene: DeviceScene, fi: FrameInputs,

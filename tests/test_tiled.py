@@ -284,3 +284,20 @@ def test_pallas_sub_rows_2_matches_default(sphere_scene):
         RenderConfig(width=128, height=64, sub_frusta=8, sub_rows=2),
         interpret=True))
     np.testing.assert_array_equal(base, grid)
+
+
+def test_pallas_kernel_raygen_matches_raymat(sphere_scene):
+    """In-kernel raygen (fused mode) reproduces the XLA ray matrix to
+    float ulps: same image as streaming the raymat table."""
+    ivp = _ivp(128, 64)
+    a = np.asarray(render_pallas(
+        sphere_scene, jnp.asarray(ivp),
+        RenderConfig(width=128, height=64, kernel_raygen=False),
+        interpret=True))
+    b = np.asarray(render_pallas(
+        sphere_scene, jnp.asarray(ivp),
+        RenderConfig(width=128, height=64, kernel_raygen=True),
+        interpret=True))
+    diff = np.abs(a - b).max(-1)
+    assert (diff > 1e-3).sum() == 0
+    assert float(np.sqrt(((a - b) ** 2).mean())) < 1e-6
