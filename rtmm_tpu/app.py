@@ -186,10 +186,12 @@ def main(argv=None) -> int:
         print(f"frame {frame}: {dt * 1e3:.1f} ms ({mrays:.1f} Mrays/s) -> {path}")
         if args.stats and args.pathtrace == 0:
             from .utils import stats as stats_mod
-            print("  stats:",
-                  stats_mod.collect_frame_stats(ds, ivp, cfg).as_dict())
-            # Traversal-divergence heatmap (SURVEY §5): per-pixel step counts.
+            # Traversal-divergence heatmap (SURVEY §5): per-pixel step
+            # counts (computed once; reused for the stats summary).
             hm = stats_mod.traversal_heatmap(ds, ivp, cfg)
+            print("  stats:",
+                  stats_mod.collect_frame_stats(ds, ivp, cfg,
+                                                heatmap=hm).as_dict())
             hm_path = os.path.join(args.out, f"heatmap_{frame:04d}.png")
             stats_mod.heatmap_to_png(hm_path, hm)
             print(f"  heatmap: max {int(hm.max())} steps/ray -> {hm_path}")

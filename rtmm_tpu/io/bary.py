@@ -348,7 +348,6 @@ def write_bary(path: str, content: BaryContent,
             content.value_layout, content.value_frequency,
             len(content.values), itemsize, itemsize)
         tri_offsets = elem_offsets
-        value_first_per_group = "elements"
 
     flags = content.tri_edge_flags
     if flags.shape[0] != n_tris:
@@ -445,7 +444,6 @@ def _identify_properties(raw_props: list[tuple[bytes, bytes]]
         "identification — register the true UUIDs with "
         "rtmm_tpu.io.bary.register_property_uuid for strict matching"
         % ", ".join(i.hex() for i, _ in unknown), stacklevel=3)
-    leftovers = []
     for ident, payload in unknown:
         if _looks_like_values(payload):
             named.setdefault("values", payload)
@@ -455,7 +453,9 @@ def _identify_properties(raw_props: list[tuple[bytes, bytes]]
                 and _looks_like_triangles(payload):
             named.setdefault("triangles", payload)
         else:
-            leftovers.append((ident, payload))
+            warnings.warn(
+                f"ignoring unidentified bary property {ident.hex()} "
+                f"({len(payload)} bytes)", stacklevel=3)
     return named
 
 

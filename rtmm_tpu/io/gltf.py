@@ -121,12 +121,20 @@ class Gltf:
         if dm is None:
             return None
         root_ext = self.doc.get("extensions", {})
+        # NV_micromaps is the primary list; NV_micromap_tooling carries
+        # auxiliary files and must only be consulted as a fallback.
         maps = None
         for key in ("NV_micromaps", "NV_micromap_tooling"):
-            maps = root_ext.get(key, {}).get("micromaps") or maps
+            maps = root_ext.get(key, {}).get("micromaps")
+            if maps:
+                break
         uri = None
         mi = int(dm.get("micromap", 0))
-        if maps and mi < len(maps):
+        if maps:
+            if mi >= len(maps):
+                raise ValueError(
+                    f"NV_displacement_micromap references micromap {mi} "
+                    f"but only {len(maps)} are defined")
             uri = maps[mi].get("uri")
         if uri is None:
             uri = dm.get("uri")  # legacy exporters inline the uri

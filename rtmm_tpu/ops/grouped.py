@@ -56,46 +56,6 @@ def _sort_key(o: jax.Array, d: jax.Array, scene: DeviceScene) -> jax.Array:
     return _octant(d) * N_CELLS**3 + cell_id
 
 
-def trace_grouped(scene: DeviceScene, origins: jax.Array,
-                  directions: jax.Array, alive: jax.Array,
-                  cfg: RenderConfig, max_group_candidates: int = 96):
-    """Trace N arbitrary rays (N padded to GROUP internally).
-
-    Returns (t (N,), normal (N, 3), hit (N,), overflow_groups (scalar)).
-    Dead rays (alive=False) return misses.
-    """
-    n = origins.shape[0]
-    pad = (-n) % GROUP
-    if pad:
-        origins = jnp.pad(origins, ((0, pad), (0, 0)))
-        directions = jnp.pad(directions, ((0, pad), (0, 0)),
-                             constant_values=1.0)
-        alive = jnp.pad(alive, ((0, pad),))
-    total = origins.shape[0]
-    g = total // GROUP
-
-    # --- compaction/sorting: dead rays last, live rays clustered by
-    # direction octant + origin cell ---
-    key = jnp.where(alive, _sort_key(origins, directions, scene),
-                    DEAD_KEY)
-    perm = jnp.argsort(key, stable=True)
-    inv_perm = jnp.argsort(perm)
-    o = origins[perm].reshape(g, GROUP, 3)
-    d = directions[perm].reshape(g, GROUP, 3)
-    live = alive[perm].reshape(g, GROUP)
-
-    best_t, best_n, overflow = trace_sorted(scene, o, d, live, cfg,
-                                            max_group_candidates)
-
-    # un-sort back to caller order
-    bt = best_t.reshape(-1)[inv_perm][:n]
-    bn = best_n.reshape(-1, 3)[inv_perm][:n]
-    hit = bt < BIG
-    nrm = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True),
-                           1e-20)
-    return jnp.where(hit, bt, cfg.t_max), nrm, hit, overflow
-
-
 def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
                  live: jax.Array, cfg: RenderConfig,
                  max_group_candidates: int = 96):

@@ -306,58 +306,6 @@ def _grouped_cluster_window(scene: DeviceScene, omin, omax, remaining,
             centry.astype(jnp.float32), new_remaining, next_bound)
 
 
-def trace_grouped_pallas(scene: DeviceScene, origins: jax.Array,
-                         directions: jax.Array, alive: jax.Array,
-                         cfg: RenderConfig, interpret: bool | None = None,
-                         groups_per_block: int = 8):
-    """Drop-in for grouped.trace_grouped with the Pallas cluster-walk
-    engine. Returns (t (N,), normal (N, 3), hit (N,), windows (scalar int32
-    — extra cluster windows beyond the first; 0 means every group fit))."""
-    if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
-    n = origins.shape[0]
-    pad = (-n) % GROUP
-    if pad:
-        origins = jnp.pad(origins, ((0, pad), (0, 0)))
-        directions = jnp.pad(directions, ((0, pad), (0, 0)),
-                             constant_values=1.0)
-        alive = jnp.pad(alive, ((0, pad),))
-    total = origins.shape[0]
-    g = total // GROUP
-
-    # Compaction/sorting: dead rays last, live rays clustered by direction
-    # octant + origin cell (as the XLA engine). One multi-operand lax.sort
-    # carries the ray data through the permutation — per-row gathers (as in
-    # argsort + o[perm]) run at ~50k rows/ms on TPU and dominated the
-    # per-trace cost.
-    key = jnp.where(alive, _sort_key(origins, directions, scene),
-                    DEAD_KEY)
-    idx = jnp.arange(total, dtype=jnp.int32)
-    (key_s, ox, oy, oz, dx_, dy_, dz_, idx_s) = jax.lax.sort(
-        (key, origins[:, 0], origins[:, 1], origins[:, 2],
-         directions[:, 0], directions[:, 1], directions[:, 2], idx),
-        num_keys=1, is_stable=True)
-    o = jnp.stack([ox, oy, oz], axis=-1).reshape(g, GROUP, 3)
-    d = jnp.stack([dx_, dy_, dz_], axis=-1).reshape(g, GROUP, 3)
-    live = (key_s < DEAD_KEY).reshape(g, GROUP)
-
-    best_t, bn3, windows = trace_sorted(scene, o, d, live, cfg,
-                                        interpret, groups_per_block)
-
-    # Un-sort by the carried ray index (again a multi-operand sort, no
-    # gathers); liveness in original order is just the caller's `alive`.
-    bn3 = bn3.reshape(-1, 3)
-    (_, bt, bnx, bny, bnz) = jax.lax.sort(
-        (idx_s, best_t.reshape(-1), bn3[:, 0], bn3[:, 1], bn3[:, 2]),
-        num_keys=1, is_stable=True)
-    bt = bt[:n]
-    bn = jnp.stack([bnx, bny, bnz], axis=-1)[:n]
-    hit = alive[:n] & (bt < BIG) & (bt > 0.0)
-    nrm = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True),
-                           1e-20)
-    return jnp.where(hit, bt, cfg.t_max), nrm, hit, windows
-
-
 def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
                  live: jax.Array, cfg: RenderConfig,
                  interpret: bool | None = None,

@@ -114,10 +114,13 @@ def _trace_one_candidate(scene: DeviceScene, origins, directions, tri, cfg):
     if pad > 0:
         leaf_active = jnp.pad(leaf_active, ((0, 0), (0, pad)))
 
-    # Masked Möller-Trumbore over leaf blocks with a running min.
+    # Masked Möller-Trumbore over leaf blocks with a running min. Ceil
+    # division: nf need not be a blk multiple (a mixed-level tessellated
+    # scene has e.g. 1,008 slots) — the last block's dynamic_slice clamps
+    # its start, re-testing a few slots, which the min-reduce absorbs.
     nf = scene.num_leaf_slots
     blk = min(nf, 256)
-    num_blocks = nf // blk
+    num_blocks = -(-nf // blk)
     t_min = jnp.float32(cfg.t_min)
     t_max = jnp.float32(cfg.t_max)
 

@@ -96,7 +96,9 @@ def _pad_scene_for_scene_axis(scene: DeviceScene, s: int) -> DeviceScene:
         a = getattr(scene, name)
         n = pad_cl * (upc if name in _UNIT_FIELDS else 1)
         fill = (BIG if name.endswith("aabb_min")
-                else -BIG if name.endswith("aabb_max") else 0)
+                else -BIG if name.endswith("aabb_max")
+                else -1 if name == "unit_leaf_idx"   # -1 = no-leaf sentinel
+                else 0)
         pads = ((0, n),) + ((0, 0),) * (a.ndim - 1)
         updates[name] = jnp.pad(a, pads, constant_values=fill)
     return dataclasses.replace(scene, **updates)

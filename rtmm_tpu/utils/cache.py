@@ -16,7 +16,10 @@ import numpy as np
 
 from ..models.scene import DeviceScene
 
-FORMAT_VERSION = 3
+# Part of the cache key: bump whenever the DeviceScene schema changes so
+# stale files are orphaned instead of loaded into the new dataclass.
+# v4: unit_q -> unit_qn, cluster hierarchy tables, unit_leaf_idx.
+FORMAT_VERSION = 4
 
 
 def asset_cache_key(path: str, tessellated: bool) -> str:
@@ -56,7 +59,10 @@ def build_device_scene_cached(asset_path: str, tessellated: bool = False,
     key = asset_cache_key(asset_path, tessellated)
     cache_path = os.path.join(cache_dir, f"{key}.npz")
     if os.path.exists(cache_path):
-        return load_scene(cache_path)
+        try:
+            return load_scene(cache_path)
+        except (TypeError, KeyError, ValueError, OSError):
+            pass    # stale or corrupt cache file: rebuild it below
     mesh = loader.load_micromesh(asset_path)
     scene = build_device_scene(mesh, tessellated=tessellated)
     save_scene(scene, cache_path)

@@ -75,8 +75,12 @@ def heatmap_to_png(path: str, counts: np.ndarray) -> None:
     image.write_png(path, (img * 255.0 + 0.5).astype(np.uint8))
 
 
-def collect_frame_stats(scene, inv_view_proj, cfg) -> FrameStats:
-    """Render one frame with timing + traversal statistics."""
+def collect_frame_stats(scene, inv_view_proj, cfg,
+                        heatmap: np.ndarray | None = None) -> FrameStats:
+    """Render one frame with timing + traversal statistics.
+
+    Pass a precomputed `traversal_heatmap` result to avoid re-running the
+    per-ray reference trace (the slowest pipeline) twice per frame."""
     from ..ops import tiled as tiled_mod
     from ..render.renderer import render_image
 
@@ -91,7 +95,8 @@ def collect_frame_stats(scene, inv_view_proj, cfg) -> FrameStats:
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
 
-    steps = traversal_heatmap(scene, inv_view_proj, cfg)
+    steps = (heatmap if heatmap is not None
+             else traversal_heatmap(scene, inv_view_proj, cfg))
 
     img = np.asarray(img)
     bg = np.asarray(cfg.background, np.float32)

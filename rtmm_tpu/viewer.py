@@ -102,7 +102,15 @@ class Viewer:
     def _run_matplotlib(self) -> None:   # pragma: no cover - needs display
         import matplotlib.pyplot as plt
 
-        fig, ax = plt.subplots()
+        # Size the canvas to the configured render resolution and fill it
+        # with the image axes — otherwise the first resize_event (fired
+        # when the window maps at matplotlib's default ~640x480 figsize)
+        # would silently re-jit the pipeline at the canvas size.
+        cfg0 = self.renderer.cfg
+        dpi = 100.0
+        fig = plt.figure(figsize=(cfg0.width / dpi, cfg0.height / dpi),
+                         dpi=dpi)
+        ax = fig.add_axes((0.0, 0.0, 1.0, 1.0))
         im = ax.imshow(self._frame())
         ax.set_axis_off()
 

@@ -301,3 +301,23 @@ def test_pallas_kernel_raygen_matches_raymat(sphere_scene):
     diff = np.abs(a - b).max(-1)
     assert (diff > 1e-3).sum() == 0
     assert float(np.sqrt(((a - b) ** 2).mean())) < 1e-6
+
+
+def test_ray_pipeline_covers_leaf_slot_tail():
+    """Regression: num_leaf_slots need not be a 256 multiple (mixed-level
+    tessellated scenes, e.g. 1,008 slots at level 5) — the per-ray leaf
+    loop must ceil-divide, not floor-drop the tail block."""
+    mesh = procedural.make_plane(grid=(2, 2), level=5, amplitude=0.2,
+                                 mixed_levels=True)
+    ds = scene_mod.build_device_scene(mesh, tessellated=True)
+    assert ds.num_leaf_slots > 256 and ds.num_leaf_slots % 256 != 0, \
+        "scene no longer triggers the regression precondition"
+    w, h = 96, 48
+    ivp = _ivp(w, h, dist=2.2)
+    ray = np.asarray(Renderer(ds, RenderConfig(
+        width=w, height=h, pipeline="ray", max_candidates=8,
+        ray_chunk=1536)).render(ivp))
+    tile = np.asarray(Renderer(ds, RenderConfig(
+        width=w, height=h, pipeline="tile")).render(ivp))
+    npix = (np.abs(ray - tile).max(-1) > 1e-3).sum()
+    assert npix == 0, f"ray pipeline differs on {npix} pixels"
