@@ -73,6 +73,13 @@ def main(argv=None) -> int:
                         help="print per-frame traversal statistics")
     parser.add_argument("--cache", action="store_true",
                         help="cache scene precompute keyed by asset hash")
+    parser.add_argument("--compressed", action="store_true",
+                        help="direct-tracing scene: store only per-unit "
+                             "grid-vertex records (~32 B/micro-tri) and "
+                             "derive leaf geometry at trace time — the "
+                             "reference's memory model; required for "
+                             "assets that exceed HBM when pre-expanded "
+                             "(uniform-level assets, tile/pallas only)")
     parser.add_argument("--instances", type=int, default=1,
                         help="replicate the asset in a ring of N instances "
                              "(TLAS analog demo)")
@@ -97,17 +104,25 @@ def main(argv=None) -> int:
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        pipeline=args.pipeline)
+    # The per-node hierarchy tables feed only the per-ray reference backend
+    # (pipeline=ray) and the --stats step-count heatmap; production renders
+    # skip building/uploading them (~0.5 GiB HBM at 10^6 triangles).
+    hierarchy = args.pipeline == "ray" or args.stats
     t0 = time.perf_counter()
     if args.cache and not args.asset.startswith("proc:"):
         from .utils.cache import build_device_scene_cached
         ds = build_device_scene_cached(args.asset,
-                                       tessellated=args.tessellated)
+                                       tessellated=args.tessellated,
+                                       hierarchy=hierarchy,
+                                       compressed=args.compressed)
     else:
         mesh = load_asset(args.asset)
         print(f"loaded: {mesh.num_triangles} base triangles, "
               f"max subdivision level {mesh.max_level}, "
               f"uniform={mesh.has_uniform_subdivision_level()}")
-        ds = scene_mod.build_device_scene(mesh, tessellated=args.tessellated)
+        ds = scene_mod.build_device_scene(mesh, tessellated=args.tessellated,
+                                          hierarchy=hierarchy,
+                                          compressed=args.compressed)
     print(f"scene build: {time.perf_counter() - t0:.2f}s "
           f"(mode={'tessellated' if args.tessellated else 'micromesh'})")
 
@@ -195,9 +210,13 @@ def main(argv=None) -> int:
             hm_path = os.path.join(args.out, f"heatmap_{frame:04d}.png")
             stats_mod.heatmap_to_png(hm_path, hm)
             print(f"  heatmap: max {int(hm.max())} steps/ray -> {hm_path}")
-            if args.instances <= 1:
+            from .render.renderer import _resolve_pipeline
+            if args.instances <= 1 and _resolve_pipeline(cfg, ds) == "pallas":
                 # Exact in-kernel (tile, unit) MXU-step counts (row-3
-                # counter of the Pallas trace kernel).
+                # counter of the Pallas trace kernel). Only when the pallas
+                # pipeline is in use: on the ray/tile pipelines this would
+                # run a whole extra (interpret-mode on CPU — very slow)
+                # kernel trace per frame just for the counter.
                 import jax.numpy as jnp
 
                 from .ops.pallas_tiled import render_pallas

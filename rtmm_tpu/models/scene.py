@@ -34,10 +34,10 @@ BIG = np.float32(1e30)
                  "unit_aabb_min", "unit_aabb_max", "unit_valid",
                  "unit_leaf_idx",
                  "unit_qn", "unit_n", "unit_e2w2", "unit_nrm",
-                 "unit_nrm_pad", "unit_q16",
+                 "unit_nrm_pad", "unit_q16", "unit_grid",
                  "cluster_aabb_min", "cluster_aabb_max", "cluster_valid",
                  "cluster_unit_meta"],
-    meta_fields=["max_level"])
+    meta_fields=["max_level", "compressed", "sub_level"])
 @dataclasses.dataclass(frozen=True)
 class DeviceScene:
     """All arrays are padded to T triangles; NI = (4^L-1)/3, NF = 4^L.
@@ -55,9 +55,12 @@ class DeviceScene:
     plane_b: jax.Array     # (T, 3)
     plane_n: jax.Array     # (T, 3)
     plane_o: jax.Array     # (T, 3)
-    node_verts: jax.Array  # (T, NI, 3, 2)
-    node_minmax: jax.Array  # (T, NI, 2)
-    node_pass: jax.Array   # (T, NI) bool
+    # Hierarchy tables — read ONLY by the per-ray reference backend
+    # (ops/traversal.py); None when built with hierarchy=False (production
+    # tile/pallas renders never touch them).
+    node_verts: jax.Array | None   # (T, NI, 3, 2)
+    node_minmax: jax.Array | None  # (T, NI, 2)
+    node_pass: jax.Array | None    # (T, NI) bool
     leaf_verts: jax.Array  # (T, NF, 3, 3)
     leaf_mask: jax.Array   # (T, NF) bool
     tri_valid: jax.Array   # (T,) bool
@@ -86,6 +89,12 @@ class DeviceScene:
     unit_nrm: jax.Array       # (U, LPU, 3) normalized shading normals
     unit_nrm_pad: jax.Array   # (U, 8, >=128) DMA-aligned normal table
     unit_q16: jax.Array       # (U, 16, 4*LPU) arbitrary-origin MT table
+    # Compressed mode (compressed=True): the ONLY per-unit geometry — the
+    # unit's displaced grid-vertex positions, (U, GRID_ROWS, GRID_LANES)
+    # f32 (ops/compressed.py; 2 KiB/unit vs ~36 KiB for the qn/q16/leaf
+    # tables, which are all None). MT rows are derived at trace time, the
+    # reference's direct-tracing memory model (intersection.hlsl:465-470).
+    unit_grid: jax.Array | None
     # Scene-level hierarchy over units (the TLAS role): cluster c covers the
     # Morton-consecutive units [c*UNITS_PER_CLUSTER, (c+1)*UNITS_PER_CLUSTER).
     cluster_aabb_min: jax.Array  # (C, 3)
@@ -96,6 +105,8 @@ class DeviceScene:
     # lanes 0..UNITS_PER_CLUSTER-1.
     cluster_unit_meta: jax.Array  # (C, 8, 128) f32
     max_level: int         # static
+    compressed: bool = False   # static: unit_grid-only scene (see above)
+    sub_level: int = 0     # static: grid sub-level of a unit (compressed)
 
     @property
     def num_triangles(self) -> int:
@@ -107,6 +118,9 @@ class DeviceScene:
 
     @property
     def leaves_per_unit(self) -> int:
+        if self.unit_qn is None:
+            from ..ops.compressed import LPU as _LPU
+            return _LPU
         return (self.unit_qn.shape[2] - 128) // 4
 
     @property
@@ -129,7 +143,9 @@ class DeviceScene:
 
 
 def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
-                       pad_triangles_to: int = 8) -> DeviceScene:
+                       pad_triangles_to: int = 8,
+                       hierarchy: bool = True,
+                       compressed: bool = False) -> DeviceScene:
     """Run all host precompute and pack the padded device arrays.
 
     Mirrors GPUMesh::loadGLTFMeshGPU + the Application scene-build block
@@ -138,10 +154,35 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
     Uniform-level all-present meshes (every real asset baked at one level)
     take a batched NumPy path vectorized over triangles; mixed levels /
     stitched presence fall back to the per-triangle path.
+
+    hierarchy=False skips the per-node delta/min-max tables
+    (node_verts/node_minmax/node_pass come back None). Only the per-ray
+    reference backend (ops/traversal.py, pipeline="ray" / the --stats
+    heatmap) reads them; the production tile/pallas paths never do, and at
+    10^6 triangles the tables are ~0.5 GiB of HBM. Pass False for
+    production renders on large scenes.
+
+    compressed=True builds the direct-tracing scene (ops/compressed.py):
+    only per-unit grid-vertex records ship to the device (~32 B per
+    micro-triangle vs ~580 B for the precomputed MT tables); leaf MT rows
+    are derived at trace time, the reference's own memory model
+    (intersection.hlsl:465-470). Requires a uniform-level all-present
+    mesh and the tile/pallas pipelines.
     """
     t_real = mesh.num_triangles
     uniform = (mesh.has_uniform_subdivision_level()
                and all(t.u_present.all() for t in mesh.triangles))
+    if compressed:
+        if tessellated:
+            raise ValueError("compressed mode traces the micro-mesh "
+                             "directly; tessellated (-T) mode precomputes "
+                             "triangles by definition")
+        if not uniform:
+            raise ValueError(
+                "compressed mode requires a uniform-level all-present mesh "
+                "(mixed levels / decimated presence need the stitched leaf "
+                "tables; build with compressed=False)")
+        return build_compressed_scene(mesh)
     tables = None
     if not uniform:
         tables = [precompute.build_triangle_tables(t, mesh)
@@ -169,10 +210,13 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
     plane["n"][:, 2] = 1.0  # benign default frame for padding
     plane["t"][:, 0] = 1.0
     plane["b"][:, 1] = 1.0
-    node_verts = np.zeros((t_pad, ni, 3, 2), np.float32)
-    node_minmax = np.tile(np.asarray([[-BIG, BIG]], np.float32), (t_pad * ni, 1)
-                          ).reshape(t_pad, ni, 2)
-    node_pass = np.ones((t_pad, ni), bool)
+    if hierarchy:
+        node_verts = np.zeros((t_pad, ni, 3, 2), np.float32)
+        node_minmax = np.tile(np.asarray([[-BIG, BIG]], np.float32),
+                              (t_pad * ni, 1)).reshape(t_pad, ni, 2)
+        node_pass = np.ones((t_pad, ni), bool)
+    else:
+        node_verts = node_minmax = node_pass = None
     leaf_verts = np.zeros((t_pad, nf, 3, 3), np.float32)
     leaf_mask = np.zeros((t_pad, nf), bool)
     tri_valid = np.zeros((t_pad,), bool)
@@ -196,7 +240,7 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
                 leaf_mask[s:e, :f] = True
             else:
                 ni_t = bt["node_verts"].shape[1]
-                if ni_t:
+                if ni_t and hierarchy:
                     node_verts[s:e, :ni_t] = bt["node_verts"]
                     node_minmax[s:e, :ni_t] = bt["node_minmax"]
                     node_pass[s:e, :ni_t] = False
@@ -217,9 +261,10 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
                 leaf_mask[i, :f] = True
                 continue
             ni_t = tb.node_verts.shape[0]
-            node_verts[i, :ni_t] = tb.node_verts
-            node_minmax[i, :ni_t] = tb.node_minmax
-            node_pass[i, :ni_t] = False  # real nodes: use the test
+            if hierarchy:
+                node_verts[i, :ni_t] = tb.node_verts
+                node_minmax[i, :ni_t] = tb.node_minmax
+                node_pass[i, :ni_t] = False  # real nodes: use the test
             # Leaves: slot k (level level_t) -> flat slot k << 2*(L - level_t).
             shift = 4 ** (max_level - tb.level)
             flat = tb.leaf_slots * shift
@@ -228,7 +273,7 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
 
     units = pack_units(leaf_verts.reshape(-1, 3, 3), leaf_mask.reshape(-1))
 
-    dev = lambda x: jax.device_put(x)
+    dev = lambda x: None if x is None else jax.device_put(x)
     return DeviceScene(
         aabb_min=dev(aabb_min), aabb_max=dev(aabb_max),
         plane_t=dev(plane["t"]), plane_b=dev(plane["b"]),
@@ -326,7 +371,21 @@ def pack_units(leaf_verts_flat: np.ndarray, leaf_mask_flat: np.ndarray
     unit_q16[:, 6:9, 3 * lpu:4 * lpu] = nvec.transpose(0, 2, 1)
     unit_q16[:, 9, 3 * lpu:4 * lpu] = -unit_e2w2
 
-    n_cl = u_total // UNITS_PER_CLUSTER
+    return dict(
+        unit_aabb_min=unit_aabb_min, unit_aabb_max=unit_aabb_max,
+        unit_valid=unit_valid,
+        unit_leaf_idx=unit_leaf_idx.reshape(u_total, lpu).astype(np.int32),
+        unit_qn=unit_qn, unit_n=nvec.astype(np.float32),
+        unit_e2w2=unit_e2w2, unit_nrm=unit_nrm,
+        unit_nrm_pad=unit_nrm_pad, unit_q16=unit_q16, unit_grid=None,
+        **build_clusters(unit_aabb_min, unit_aabb_max, unit_valid))
+
+
+def build_clusters(unit_aabb_min: np.ndarray, unit_aabb_max: np.ndarray,
+                   unit_valid: np.ndarray) -> dict:
+    """Cluster tables over (already Morton-ordered, 64-multiple) units:
+    AABBs, validity, and the kernel's DMA-shaped per-unit metadata block."""
+    n_cl = unit_valid.shape[0] // UNITS_PER_CLUSTER
     cl_mask = unit_valid.reshape(n_cl, UNITS_PER_CLUSTER, 1)
     cluster_aabb_min = np.where(
         cl_mask, unit_aabb_min.reshape(n_cl, UNITS_PER_CLUSTER, 3),
@@ -343,16 +402,84 @@ def pack_units(leaf_verts_flat: np.ndarray, leaf_mask_flat: np.ndarray
         n_cl, UNITS_PER_CLUSTER, 3).transpose(0, 2, 1)
     meta[:, 6, :UNITS_PER_CLUSTER] = unit_valid.reshape(
         n_cl, UNITS_PER_CLUSTER).astype(np.float32)
+    return dict(cluster_aabb_min=cluster_aabb_min,
+                cluster_aabb_max=cluster_aabb_max,
+                cluster_valid=cluster_valid, cluster_unit_meta=meta)
 
-    return dict(
-        unit_aabb_min=unit_aabb_min, unit_aabb_max=unit_aabb_max,
-        unit_valid=unit_valid,
-        unit_leaf_idx=unit_leaf_idx.reshape(u_total, lpu).astype(np.int32),
-        unit_qn=unit_qn, unit_n=nvec.astype(np.float32),
-        unit_e2w2=unit_e2w2, unit_nrm=unit_nrm,
-        unit_nrm_pad=unit_nrm_pad, unit_q16=unit_q16,
-        cluster_aabb_min=cluster_aabb_min, cluster_aabb_max=cluster_aabb_max,
-        cluster_valid=cluster_valid, cluster_unit_meta=meta)
+
+def build_compressed_scene(mesh: mesh_mod.MicroMesh) -> DeviceScene:
+    """Build the compressed (derive-at-trace-time) DeviceScene.
+
+    Per unit (= one level-(L-3) subtree of one base triangle, 64 leaves):
+    a (GRID_ROWS, GRID_LANES) record of its displaced grid-vertex
+    positions plus an AABB — nothing else. Units are Morton-ordered by
+    AABB center and grouped into the same 64-unit clusters as the
+    standard build, so the culling stages and the kernel's cluster walk
+    are unchanged; only the per-unit MT tables are derived at trace time
+    (ops/compressed.py). Matches the reference's direct-tracing memory
+    model (intersection.hlsl:465-470; README.md:7-12).
+    """
+    from ..ops import compressed as comp
+    from ..ops import precompute
+
+    lvl = mesh.max_level
+    gcoords, su = comp.subtree_grid_coords(lvl)
+    spt, gpts = gcoords.shape[:2]
+    t_real = mesh.num_triangles
+    u_real = t_real * spt
+    u_pad = max(_round_up(u_real, UNITS_PER_CLUSTER), UNITS_PER_CLUSTER)
+
+    unit_grid = np.zeros((u_pad, comp.GRID_ROWS, comp.GRID_LANES),
+                         np.float32)
+    unit_aabb_min = np.full((u_pad, 3), BIG, np.float32)
+    unit_aabb_max = np.full((u_pad, 3), -BIG, np.float32)
+    t_pad = max(_round_up(t_real, 8), 8)
+    aabb_min = np.full((t_pad, 3), BIG, np.float32)
+    aabb_max = np.full((t_pad, 3), -BIG, np.float32)
+    tri_valid = np.zeros((t_pad,), bool)
+    tri_valid[:t_real] = True
+
+    chunk = max(1, 4_000_000 // max(spt * gpts, 1))
+    for s in range(0, t_real, chunk):
+        e = min(s + chunk, t_real)
+        v0, v1, v2, d0, d1, d2, scales = precompute.base_and_scales(
+            mesh, s, e)
+        pos = comp.grid_positions(v0, v1, v2, d0, d1, d2, scales,
+                                  gcoords, lvl)             # (n, spt, gp, 3)
+        n = e - s
+        unit_grid[s * spt:e * spt, 0:3, :gpts] = (
+            pos.reshape(n * spt, gpts, 3).transpose(0, 2, 1))
+        unit_aabb_min[s * spt:e * spt] = pos.min(axis=2).reshape(-1, 3)
+        unit_aabb_max[s * spt:e * spt] = pos.max(axis=2).reshape(-1, 3)
+        aabb_min[s:e] = pos.min(axis=(1, 2))
+        aabb_max[s:e] = pos.max(axis=(1, 2))
+
+    unit_valid = np.zeros((u_pad,), bool)
+    unit_valid[:u_real] = True
+
+    # Morton order over unit AABB centers (spatially coherent clusters —
+    # same role as pack_units' leaf-level Morton packing).
+    centers = 0.5 * (unit_aabb_min[:u_real] + unit_aabb_max[:u_real])
+    order = np.argsort(_morton_codes(centers), kind="stable")
+    perm = np.concatenate([order, np.arange(u_real, u_pad)])
+    unit_grid = unit_grid[perm]
+    unit_aabb_min = unit_aabb_min[perm]
+    unit_aabb_max = unit_aabb_max[perm]
+
+    clusters = build_clusters(unit_aabb_min, unit_aabb_max, unit_valid)
+
+    dev = lambda x: None if x is None else jax.device_put(x)  # noqa: E731
+    return DeviceScene(
+        aabb_min=dev(aabb_min), aabb_max=dev(aabb_max),
+        plane_t=None, plane_b=None, plane_n=None, plane_o=None,
+        node_verts=None, node_minmax=None, node_pass=None,
+        leaf_verts=None, leaf_mask=None, tri_valid=dev(tri_valid),
+        unit_aabb_min=dev(unit_aabb_min), unit_aabb_max=dev(unit_aabb_max),
+        unit_valid=dev(unit_valid), unit_leaf_idx=None,
+        unit_qn=None, unit_n=None, unit_e2w2=None, unit_nrm=None,
+        unit_nrm_pad=None, unit_q16=None, unit_grid=dev(unit_grid),
+        **{k: dev(v) for k, v in clusters.items()},
+        max_level=lvl, compressed=True, sub_level=su)
 
 
 def _part1by2(x: np.ndarray) -> np.ndarray:

@@ -1,0 +1,188 @@
+"""Compressed traversal units: leaf geometry derived at trace time.
+
+The reference's whole reason to exist is tracing micro-meshes WITHOUT
+pre-tessellating: its intersection shader reconstructs each displaced
+micro-triangle on the fly from base geometry + displacement scalars
+(/root/reference/shaders/intersection.hlsl:465-470, createDisplacedTriangle
+:193-202), so only scalars and small hierarchy tables live in GPU memory.
+
+The standard DeviceScene tables (unit_qn/unit_q16/leaf_verts) instead
+materialize every micro-triangle's Möller-Trumbore rows — ~580 B per
+micro-triangle, which caps one 16 GiB chip at ~25M micro-tris. Compressed
+mode restores the reference's memory model the TPU way:
+
+  * a traversal unit is one level-(L-3) subtree of one base triangle
+    (64 leaf micro-triangles, 45 shared grid vertices);
+  * the scene stores ONLY the unit's 45 displaced grid-vertex positions —
+    one (GRID_ROWS=4, 128)-f32 record, 2 KiB/unit = 32 B/micro-tri,
+    18x smaller;
+  * at trace time the 64 leaves' MT rows are derived from the record:
+    a one-hot gather matmul expands grid vertices to leaf corners
+    (v0|v1|v2), then edges/cross products/e2.w2 on the VPU — the exact
+    quantities pack_units precomputes on the host (models/scene.py),
+    bit-compatible up to fp reassociation.
+
+The micro-vertex positions themselves are barycentric-affine in the base
+triangle (pos = lerp(corners) + scale * lerp(directions), the closed form
+of ops/precompute._leaf_verts_3d), so the 45 stored positions are the
+minimal per-unit state; everything else is reconstructed, exactly as the
+reference reconstructs leaf vertices per ray.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from . import subdivision
+
+GRID_ROWS = 4       # record rows: 0-2 = grid-point xyz, 3 = spare
+GRID_LANES = 128    # lane-aligned record width (45 used at sub-level 3)
+SUB_LEVEL = 3       # unit = level-(L-3) subtree -> 64 leaves, 45 vertices
+LPU = 64            # leaf columns per unit (4^SUB_LEVEL)
+
+
+@functools.cache
+def local_grid(su: int) -> np.ndarray:
+    """(gpts, 2) local grid coords of a level-`su` subtree, storage order."""
+    return subdivision.grid_coords(su)
+
+
+@functools.cache
+def leaf_gather_matrix(su: int) -> np.ndarray:
+    """(GRID_LANES, 3*LPU) one-hot: grid-point lane -> leaf-corner column.
+
+    Column layout [v0 block | v1 block | v2 block] of LPU lanes each; leaf
+    k of the unit (emission order, matching the flat leaf table built by
+    models/scene.py) reads corner j from column j*LPU + k. Leaves beyond
+    4^su (sub-level < 3 scenes) and grid lanes beyond the grid size are
+    zero columns/rows — derived vertices come out 0 and the det==0 epsilon
+    rejects them, the same mechanism that masks absent leaves in the
+    standard tables.
+    """
+    corners = subdivision.enumerate_leaves(
+        su, lambda c: np.ones(c.shape[:-1], dtype=bool))[1]   # (4^su, 3, 2)
+    gidx = subdivision.grid_index(corners)                    # (4^su, 3)
+    g = np.zeros((GRID_LANES, 3 * LPU), np.float32)
+    for j in range(3):
+        g[gidx[:, j], j * LPU + np.arange(corners.shape[0])] = 1.0
+    return g
+
+
+def subtree_grid_coords(level: int) -> tuple[np.ndarray, int]:
+    """Global finest-grid coords of every subtree's local grid points.
+
+    Returns (coords (spt, gpts, 2) int64, su): subtree s (the level-(L-su)
+    node in hierarchical slot order, su = min(level, SUB_LEVEL)) covers
+    local grid point i at global coords coords[s, i]. Exact integer
+    arithmetic (subtree corners are multiples of 2^su on the finest grid).
+    """
+    su = min(level, SUB_LEVEL)
+    den = 2 ** su
+    sub_corners = subdivision.node_corner_table(level)[level - su]
+    local = local_grid(su)                                    # (gpts, 2)
+    wa = (den - local[:, 0])[None, :, None]
+    wb = (local[:, 0] - local[:, 1])[None, :, None]
+    wc = local[:, 1][None, :, None]
+    c = sub_corners[:, None]                                  # (spt, 1, 3, 2)
+    coords = (c[:, :, 0] * wa + c[:, :, 1] * wb + c[:, :, 2] * wc)
+    assert (coords % den == 0).all()
+    return coords // den, su
+
+
+def grid_positions(v0, v1, v2, d0, d1, d2, scales, gcoords, level):
+    """Displaced positions of every (triangle, subtree, grid point).
+
+    v0..d2: (N, 3) base corner positions/directions; scales: (N, M)
+    displacement scales; gcoords: (spt, gpts, 2) from subtree_grid_coords.
+    Returns (N, spt, gpts, 3) float32 — element-for-element the closed form
+    of ops/precompute.build_uniform_tables' leaf vertices (same arithmetic
+    at the same grid points, so values are bitwise identical to the
+    standard tables').
+    """
+    denom = max(2 ** level, 1)
+    u = gcoords[..., 0] / denom                               # (spt, gpts)
+    w = gcoords[..., 1] / denom
+    lbc = np.stack([1.0 - u, u - w, w], axis=-1).astype(np.float32)
+    base = (lbc[None, ..., 0:1] * v0[:, None, None]
+            + lbc[None, ..., 1:2] * v1[:, None, None]
+            + lbc[None, ..., 2:3] * v2[:, None, None])
+    dirs = (lbc[None, ..., 0:1] * d0[:, None, None]
+            + lbc[None, ..., 1:2] * d1[:, None, None]
+            + lbc[None, ..., 2:3] * d2[:, None, None])
+    gidx = subdivision.grid_index(gcoords)                    # (spt, gpts)
+    s = scales[:, gidx]                                       # (N, spt, gpts)
+    return (base + s[..., None] * dirs).astype(np.float32)
+
+
+def derive_unit_tables_np(grid: np.ndarray, apex: np.ndarray, su: int):
+    """NumPy reference of the trace-time derivation (tests + host oracle).
+
+    grid: (U, GRID_ROWS, GRID_LANES) unit records; apex: (3,).
+    Returns dict(q (U, 8, 4*LPU) with the per-frame t_num in row 7 of the
+    t block, nrm (U, LPU, 3)) — the layout of DeviceScene.unit_qn[:, :, :4*LPU]
+    with FrameInputs.t_num folded, as the XLA backend consumes it.
+    """
+    pos = grid[:, 0:3, :]                                     # (U, 3, GL)
+    g = leaf_gather_matrix(su)
+    v = pos @ g                                               # (U, 3, 3*LPU)
+    v0 = v[:, :, 0 * LPU:1 * LPU].transpose(0, 2, 1)          # (U, LPU, 3)
+    v1 = v[:, :, 1 * LPU:2 * LPU].transpose(0, 2, 1)
+    v2 = v[:, :, 2 * LPU:3 * LPU].transpose(0, 2, 1)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = np.cross(e1, e2)
+    w1 = np.cross(e2, v0)
+    w2 = np.cross(v0, e1)
+    e2w2 = (e2 * w2).sum(-1)
+    t_num = (n * apex).sum(-1) - e2w2                         # (U, LPU)
+    q = np.zeros((grid.shape[0], 8, 4 * LPU), np.float32)
+    q[:, 0:3, 0 * LPU:1 * LPU] = -n.transpose(0, 2, 1)
+    q[:, 0:3, 1 * LPU:2 * LPU] = -w1.transpose(0, 2, 1)
+    q[:, 3:6, 1 * LPU:2 * LPU] = e2.transpose(0, 2, 1)
+    q[:, 0:3, 2 * LPU:3 * LPU] = -w2.transpose(0, 2, 1)
+    q[:, 3:6, 2 * LPU:3 * LPU] = -e1.transpose(0, 2, 1)
+    q[:, 7, 3 * LPU:4 * LPU] = t_num
+    norm = np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    return dict(q=q, nrm=(n / norm).astype(np.float32))
+
+
+def derive_q_jnp(grid, apex, su: int):
+    """JAX derivation for the XLA tiled backend: per gathered candidate.
+
+    grid: (n, GRID_ROWS, GRID_LANES); apex: (3,).
+    Returns (q (n, 8, 4*LPU) with t_num folded into row 7 of the t block,
+    nrm (n, LPU, 3)) — drop-in for q_frame[unit] / scene.unit_nrm[unit].
+    """
+    import jax.numpy as jnp
+
+    pos = grid[:, 0:3, :]
+    g = jnp.asarray(leaf_gather_matrix(su))
+    v = jnp.einsum("nck,kl->ncl", pos, g,
+                   preferred_element_type=jnp.float32)        # (n, 3, 3*LPU)
+    v0 = v[:, :, 0 * LPU:1 * LPU]                             # (n, 3, LPU)
+    v1 = v[:, :, 1 * LPU:2 * LPU]
+    v2 = v[:, :, 2 * LPU:3 * LPU]
+    e1 = v1 - v0
+    e2 = v2 - v0
+
+    def cross_rows(a, b):
+        return jnp.stack([a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+                          a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+                          a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]], axis=1)
+
+    n = cross_rows(e1, e2)                                    # (n, 3, LPU)
+    w1 = cross_rows(e2, v0)
+    w2 = cross_rows(v0, e1)
+    e2w2 = (e2 * w2).sum(axis=1)                              # (n, LPU)
+    t_num = (n * apex[None, :, None]).sum(axis=1) - e2w2
+    z = jnp.zeros_like(n)
+    z1 = jnp.zeros_like(e2w2)[:, None]
+    rows03 = jnp.concatenate([-n, -w1, -w2, z], axis=2)       # (n, 3, 4*LPU)
+    rows35 = jnp.concatenate([z, e2, -e1, z], axis=2)
+    row7 = jnp.concatenate([z1, z1, z1, t_num[:, None]], axis=2)
+    q = jnp.concatenate(
+        [rows03, rows35, jnp.zeros_like(row7), row7], axis=1)  # (n, 8, 4LPU)
+    norm = jnp.maximum(
+        jnp.sqrt((n * n).sum(axis=1, keepdims=True)), 1e-20)
+    return q, (n / norm).transpose(0, 2, 1)

@@ -47,29 +47,55 @@ UPC = culling.UNITS_PER_CLUSTER
 
 def _kernel(*refs, lpu: int, t_min: float, t_max: float,
             tiles_per_block: int, nsub: int, nrows: int, fused_cfg,
-            kraygen: bool):
+            kraygen: bool, grid_su):
     """fused_cfg: None = windowed mode (carry t/n in and out); a
     RenderConfig = single-window fused mode (shade in-kernel, write color
     rows, no carry inputs — saves one full (tiles, 8, TILE) HBM round-trip
     plus the separate XLA shading pass). kraygen (fused only): the ray
     matrix is generated in-kernel from the inv-view-proj scalars in the
-    frustum pack — no raymat input at all."""
+    frustum pack — no raymat input at all. grid_su: None = standard scene
+    (q_hbm holds precomputed unit_qn MT tables + a t_num table input);
+    an int = compressed scene (q_hbm holds the per-unit grid-vertex
+    records; MT rows AND t_num are derived in-kernel — see _derive_unit)."""
+    compressed = grid_su is not None
+    it = list(refs)
+    ccand_ref, ccount_ref, centry_ref, frus_ref = it[:4]
+    i = 4
+    raymat_ref = None
+    if not kraygen:
+        raymat_ref = it[i]
+        i += 1
+    gmat_ref = None
+    if compressed:
+        gmat_ref = it[i]       # (GRID_LANES, 3*LPU) leaf gather matrix
+        i += 1
+    t_in = n_in = None
     if fused_cfg is None:
-        (ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
-         t_in, n_in, meta_hbm, q_hbm, tnum_hbm, t_out, n_out,
-         meta_buf, q_buf, tnum_buf, msem, usem, tsem) = refs
+        t_in, n_in = it[i:i + 2]
+        i += 2
+    meta_hbm, q_hbm = it[i:i + 2]
+    i += 2
+    tnum_hbm = None
+    if not compressed:
+        tnum_hbm = it[i]
+        i += 1
+    if fused_cfg is None:
+        t_out, n_out = it[i:i + 2]
+        i += 2
         outs = (t_in, n_in, t_out, n_out, None)
-    elif kraygen:
-        (ccand_ref, ccount_ref, centry_ref, frus_ref,
-         meta_hbm, q_hbm, tnum_hbm, c_out,
-         meta_buf, q_buf, tnum_buf, msem, usem, tsem) = refs
-        raymat_ref = None
-        outs = (None, None, None, None, c_out)
     else:
-        (ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
-         meta_hbm, q_hbm, tnum_hbm, c_out,
-         meta_buf, q_buf, tnum_buf, msem, usem, tsem) = refs
+        c_out = it[i]
+        i += 1
         outs = (None, None, None, None, c_out)
+    meta_buf, q_buf = it[i:i + 2]
+    i += 2
+    tnum_buf = None
+    if not compressed:
+        tnum_buf = it[i]
+        i += 1
+    msem, usem = it[i:i + 2]
+    i += 2
+    tsem = it[i] if not compressed else None
     # Several tiles per grid step amortize the per-program overhead (the
     # frame is mostly empty tiles whose only cost is grid machinery).
     # Kick off every tile's FIRST cluster-metadata DMA up front (per-tile
@@ -90,13 +116,15 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
                     raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
                     meta_buf, q_buf, tnum_buf, msem, usem, tsem,
                     lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub,
-                    nrows=nrows, fused_cfg=fused_cfg, kraygen=kraygen)
+                    nrows=nrows, fused_cfg=fused_cfg, kraygen=kraygen,
+                    grid_su=grid_su, gmat_ref=gmat_ref)
 
 
 def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
                 outs, meta_hbm, q_hbm, tnum_hbm,
                 meta_buf, q_buf, tnum_buf, msem, usem, tsem,
-                *, lpu, t_min, t_max, nsub, nrows, fused_cfg, kraygen):
+                *, lpu, t_min, t_max, nsub, nrows, fused_cfg, kraygen,
+                grid_su, gmat_ref):
     t_in, n_in, t_out, n_out, c_out = outs
     # count can exceed the cluster-list capacity (overflowing tiles keep
     # their true count; the host window loop re-runs them); clamp — reading
@@ -123,7 +151,8 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
             meta_hbm, q_hbm, tnum_hbm, meta_buf, q_buf, tnum_buf,
             msem, usem, tsem,
             lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub, nrows=nrows,
-            fused_cfg=fused_cfg, kraygen=kraygen)
+            fused_cfg=fused_cfg, kraygen=kraygen, grid_su=grid_su,
+            gmat_ref=gmat_ref)
 
 
 def _raygen_rows(frus_ref, b, nsub, cfg):
@@ -142,8 +171,8 @@ def _raygen_rows(frus_ref, b, nsub, cfg):
         return frus_ref[0, b, rg + 2 + 4 * i + j]
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-    col = jax.lax.rem(idx, 128).astype(jnp.float32)
-    row = jax.lax.div(idx, 128).astype(jnp.float32)
+    col = jax.lax.rem(idx, culling.TILE_W).astype(jnp.float32)
+    row = jax.lax.div(idx, culling.TILE_W).astype(jnp.float32)
     u = (px0 + col + 0.5) / jnp.float32(cfg.width)
     v = (py0 + row + 0.5) / jnp.float32(cfg.height)
     ndc_x = u * 2.0 - 1.0
@@ -172,11 +201,72 @@ def _raygen_rows(frus_ref, b, nsub, cfg):
         axis=0)
 
 
+def _derive_unit(grid_block, gmat, ax, ay, az, lpu):
+    """Derive one unit's MT table from its VMEM-resident grid-vertex
+    record (the compressed-scene analog of reading the precomputed
+    unit_qn block) — the reference's on-the-fly leaf reconstruction
+    (intersection.hlsl:465-470) in TPU form.
+
+    grid_block: (GRID_ROWS, GRID_LANES) f32, rows 0-2 = the unit's grid
+    vertex xyz. Returns (q (8, 4*lpu) MT rows, tn (1, lpu) per-frame
+    t_num = apex.n - e2.w2, nrm_v (8, lpu) rows 0-2 normalized normals).
+
+    One exact one-hot gather matmul (HIGHEST precision: the repo's
+    standard 6-pass f32 emulation — M=8 keeps it cheap) expands the <=45
+    grid vertices to the 64 leaves' corner columns [v0|v1|v2]; crosses /
+    dot products are VPU row arithmetic in the (3, lanes) layout the MT
+    matmul wants, so no transposes appear anywhere. Zero grid lanes
+    (padding units, sub-level < 3 leaves) derive zero rows -> det == 0 ->
+    rejected by the same epsilon that masks absent leaves in the
+    precomputed tables.
+    """
+    pos = grid_block[0:3, :]                        # (3, GRID_LANES)
+
+    def gather(j):
+        # One matmul per corner (not one (3, 3*LPU) matmul sliced after):
+        # slices of a matmul result carry their lane offset into every
+        # derived array, and Mosaic's tpu.concatenate cannot merge pieces
+        # whose non-concat-dim offsets differ ("result/input offset
+        # mismatch") — offset-0 operands keep the whole derivation legal.
+        return jax.lax.dot_general(
+            pos, gmat[:, j * lpu:(j + 1) * lpu],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)    # (3, lpu)
+
+    v0 = gather(0)
+    v1 = gather(1)
+    v2 = gather(2)
+    e1 = v1 - v0
+    e2 = v2 - v0
+
+    def cross(a, b):
+        return jnp.concatenate(
+            [a[1:2] * b[2:3] - a[2:3] * b[1:2],
+             a[2:3] * b[0:1] - a[0:1] * b[2:3],
+             a[0:1] * b[1:2] - a[1:2] * b[0:1]], axis=0)
+
+    n = cross(e1, e2)                               # (3, lpu)
+    w1 = cross(e2, v0)
+    w2 = cross(v0, e1)
+    e2w2 = (e2 * w2).sum(axis=0, keepdims=True)     # (1, lpu)
+    tn = ax * n[0:1] + ay * n[1:2] + az * n[2:3] - e2w2
+    z3 = jnp.zeros((3, lpu), jnp.float32)
+    rows02 = jnp.concatenate([-n, -w1, -w2, z3], axis=1)      # (3, 4*lpu)
+    rows35 = jnp.concatenate([z3, e2, -e1, z3], axis=1)
+    q = jnp.concatenate(
+        [rows02, rows35, jnp.zeros((2, 4 * lpu), jnp.float32)], axis=0)
+    nn = jnp.maximum(jnp.sqrt((n * n).sum(axis=0, keepdims=True)), 1e-20)
+    nrm_v = jnp.concatenate([n / nn, jnp.zeros((5, lpu), jnp.float32)],
+                            axis=0)
+    return q, tn, nrm_v
+
+
 def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                          raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
                          meta_buf, q_buf, tnum_buf, msem, usem, tsem,
                          *, lpu, t_min, t_max, nsub, nrows, fused_cfg,
-                         kraygen):
+                         kraygen, grid_su, gmat_ref):
     t_in, n_in, t_out, n_out, c_out = outs
     if kraygen:
         rm = _raygen_rows(frus_ref, b, nsub, fused_cfg)
@@ -202,14 +292,14 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     az = frus_ref[0, b, 2]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    # Sub-tile ray masks: pixel (r, c) sits at ray index r*128 + c; the
-    # sub-cone grid is nrows x ncols with j = row * ncols + col.
+    # Sub-tile ray masks: pixel (r, c) sits at ray index r*TILE_W + c;
+    # the sub-cone grid is nrows x ncols with j = row * ncols + col.
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-    col = jax.lax.rem(idx, 128)
-    row = jax.lax.div(idx, 128)
+    col = jax.lax.rem(idx, culling.TILE_W)
+    row = jax.lax.div(idx, culling.TILE_W)
     ncols = nsub // nrows
-    sw = 128 // ncols
-    sh = 8 // nrows
+    sw = culling.TILE_W // ncols
+    sh = culling.TILE_H // nrows
     smask = [((row >= (j // ncols) * sh) & (row < (j // ncols + 1) * sh)
               & (col >= (j % ncols) * sw) & (col < (j % ncols + 1) * sw))
              for j in range(nsub)]
@@ -221,12 +311,14 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
     def qblock_dma(slot, ci):
         cl0 = ccand_ref[0, b, ci]
-        return (pltpu.make_async_copy(
-                    q_hbm.at[pl.ds(cl0 * UPC, UPC)], q_buf.at[slot],
-                    usem.at[slot]),
-                pltpu.make_async_copy(
-                    tnum_hbm.at[pl.ds(cl0 * UPC, UPC)], tnum_buf.at[slot],
-                    tsem.at[slot]))
+        dmas = [pltpu.make_async_copy(
+            q_hbm.at[pl.ds(cl0 * UPC, UPC)], q_buf.at[slot],
+            usem.at[slot])]
+        if tnum_hbm is not None:
+            dmas.append(pltpu.make_async_copy(
+                tnum_hbm.at[pl.ds(cl0 * UPC, UPC)], tnum_buf.at[slot],
+                tsem.at[slot]))
+        return tuple(dmas)
 
     def qblock_start(slot, ci):
         for dma in qblock_dma(slot, ci):
@@ -247,8 +339,16 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         """MXU Möller-Trumbore for one unit's LPU leaves (read from the
         VMEM-resident cluster q block at lane u); returns updated
         (best_t (1, TILE), best_n (8, TILE))."""
-        qn = q_buf[qslot, u]                      # (8, 4*LPU + 128)
-        q = qn[:, :4 * lpu]
+        if grid_su is not None:
+            q, tn_row, nrm_v = _derive_unit(q_buf[qslot, u], gmat_ref[...],
+                                            ax, ay, az, lpu)
+        else:
+            qn = q_buf[qslot, u]                  # (8, 4*LPU + 128)
+            q = qn[:, :4 * lpu]
+            nrm_v = qn[:, 4 * lpu:4 * lpu + lpu]
+            # The table's lane dim is padded to 128 (Mosaic DMA slices
+            # must be lane-aligned); slice back to the LPU columns here.
+            tn_row = tnum_buf[qslot, pl.ds(u, 1)][:, :lpu]     # (1, LPU)
         # Single-pass bf16 speckles the image (the det/u/v epsilon tests
         # flip near edges), and HIGHEST costs 6 passes. Three bf16 products
         # with the hi/lo splits give ~21-bit mantissas — ample for the
@@ -259,10 +359,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         # Per-frame t_num rows (hi/lo vs all-ones ray rows): only the
         # t-block columns carry t_num; det/u/v columns get zeros. Same
-        # precision as the old f32-row-7 scheme (t_hi*1 + t_lo*1). The
-        # table's lane dim is padded to 128 (Mosaic DMA slices must be
-        # lane-aligned); slice back to the LPU columns here.
-        tn_row = tnum_buf[qslot, pl.ds(u, 1)][:, :lpu]     # (1, LPU)
+        # precision as the old f32-row-7 scheme (t_hi*1 + t_lo*1).
         tn_hi = tn_row.astype(jnp.bfloat16)
         tn_lo = (tn_row - tn_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         t_rows = jnp.concatenate(
@@ -291,7 +388,6 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         tb = t.min(axis=0, keepdims=True)         # (1, TILE)
         oh_b = ((t <= tb) & ok).astype(jnp.bfloat16)   # one-hot: bf16-exact
         # hi/lo normal split fused into one K=2*LPU matmul (as above).
-        nrm_v = qn[:, 4 * lpu:4 * lpu + lpu]
         n_hi = nrm_v.astype(jnp.bfloat16)
         n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         n_cat = jnp.concatenate([n_hi, n_lo], axis=1)  # (8, 2*LPU)
@@ -414,10 +510,13 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
     # Carry in the running best from previous cluster windows; the early
     # exit bound then also skips whole windows this tile no longer needs.
-    # (Fused mode is single-window: start fresh.) Row 3 of the normal
-    # carry holds the running exact (tile, unit)-visit counter — rows 3-7
-    # are otherwise unused (the nrm table pads them), and the observability
-    # is free.
+    # (Fused mode is single-window: start fresh.) The visit counter rides
+    # row 3 of the normal OUTPUT: during the loop, row 3 of the nrm-block
+    # carry is NOT zero (it holds e2w2-weighted picks — scene.py packs
+    # unit_e2w2 into row 3 of the qn normal block), but the epilogue below
+    # overwrites output row 3 wholesale with nv_row, and nv0 reads the
+    # previous window's already-overwritten row. Do not rely on row 3 of
+    # best_n being zero mid-loop.
     if fused_cfg is None:
         bt0 = t_in[0, b].reshape(1, TILE)
         bn0 = n_in[0, b]                          # (8, TILE)
@@ -479,14 +578,16 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
     one (tiles, 8, TILE) array with rgb in rows 0..2.
     """
     kraygen = fused and cfg.kernel_raygen and raymat_t is None
+    compressed = scene.compressed
     n_tiles = frus.shape[0]
     lpu = scene.leaves_per_unit
-    # Mosaic DMA slice shapes must be 128-aligned along lanes: pad the
-    # (U, LPU) t_num table's lane dim (tiny — still ~50x smaller than
-    # re-materializing the whole q table per frame).
-    tn_pad = -(-lpu // 128) * 128
-    if t_num.shape[1] != tn_pad:
-        t_num = jnp.pad(t_num, ((0, 0), (0, tn_pad - t_num.shape[1])))
+    if not compressed:
+        # Mosaic DMA slice shapes must be 128-aligned along lanes: pad the
+        # (U, LPU) t_num table's lane dim (tiny — still ~50x smaller than
+        # re-materializing the whole q table per frame).
+        tn_pad = -(-lpu // 128) * 128
+        if t_num.shape[1] != tn_pad:
+            t_num = jnp.pad(t_num, ((0, 0), (0, tn_pad - t_num.shape[1])))
     kc = ccand.shape[1]
     tb = tiles_per_block or cfg.tiles_per_block
     pad = (-n_tiles) % tb
@@ -507,7 +608,9 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
                                tiles_per_block=tb, nsub=cfg.sub_frusta,
                                nrows=cfg.sub_rows,
                                fused_cfg=cfg if fused else None,
-                               kraygen=kraygen)
+                               kraygen=kraygen,
+                               grid_su=(scene.sub_level if compressed
+                                        else None))
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.SMEM)
@@ -522,8 +625,19 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
     if not kraygen:
         head_specs = head_specs + [vmem((tb, 8, TILE))]
         head_args = head_args + (raymat_t.reshape(nb, tb, 8, TILE),)
-    tail_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
-    tail_args = (scene.cluster_unit_meta, scene.unit_qn, t_num)
+    if compressed:
+        from . import compressed as comp
+        gmat = jnp.asarray(comp.leaf_gather_matrix(scene.sub_level))
+        # The gather matrix is a per-call constant (kernels cannot capture
+        # array constants): one whole-array VMEM block shared by every
+        # grid program.
+        head_specs = head_specs + [pl.BlockSpec(
+            gmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        head_args = head_args + (gmat,)
+        tail_args = (scene.cluster_unit_meta, scene.unit_grid)
+    else:
+        tail_args = (scene.cluster_unit_meta, scene.unit_qn, t_num)
+    tail_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(tail_args)
     if fused:
         in_specs = head_specs + tail_specs
         args = head_args + tail_args
@@ -540,20 +654,31 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
         )
         out_specs = (vmem((tb, TILE)), vmem((tb, 8, TILE)))
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
+    if compressed:
+        from . import compressed as comp
+        scratch = [
+            pltpu.VMEM((tb, 2, 8, 128), jnp.float32),
+            pltpu.VMEM((2, UPC, comp.GRID_ROWS, comp.GRID_LANES),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((tb, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        scratch = [
             pltpu.VMEM((tb, 2, 8, 128), jnp.float32),
             pltpu.VMEM((2, UPC, 8, 4 * lpu + 128), jnp.float32),
             pltpu.VMEM((2, UPC, tn_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((tb, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
     if fused:

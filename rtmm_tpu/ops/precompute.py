@@ -176,6 +176,31 @@ def build_triangle_tables(tri: mesh_mod.MicroTriangle,
         leaf_slots=leaf_slots, leaf_verts=leaf_verts, tess_verts=tess_verts)
 
 
+def base_and_scales(mesh: mesh_mod.MicroMesh, start: int, stop: int):
+    """Base corner positions/directions + displacement scales for a slice
+    of a uniform all-present mesh (the inputs of the compressed-unit
+    build). Returns (v0, v1, v2, d0, d1, d2 (N, 3), scales (N, M)) — the
+    exact scale arithmetic of build_uniform_tables (mesh.cpp:398-416
+    robust dot-ratio form)."""
+    tris = mesh.triangles[start:stop]
+    bidx = np.stack([t.base_vertex_indices for t in tris])       # (N, 3)
+    u_pos = np.stack([t.u_positions for t in tris]).astype(np.float32)
+    u_disp = np.stack([t.u_displacements for t in tris]).astype(np.float32)
+    v0 = mesh.positions[bidx[:, 0]].astype(np.float32)
+    v1 = mesh.positions[bidx[:, 1]].astype(np.float32)
+    v2 = mesh.positions[bidx[:, 2]].astype(np.float32)
+    d0 = mesh.directions[bidx[:, 0]].astype(np.float32)
+    d1 = mesh.directions[bidx[:, 1]].astype(np.float32)
+    d2 = mesh.directions[bidx[:, 2]].astype(np.float32)
+    bc = _barycentric_batch(v0, v1, v2, u_pos)                   # (N, M, 3)
+    d = (bc[..., 0:1] * d0[:, None] + bc[..., 1:2] * d1[:, None]
+         + bc[..., 2:3] * d2[:, None]).astype(np.float32)
+    dd = (d * d).sum(-1)
+    scales = _safe_div((u_disp * d).sum(-1), dd).astype(np.float32)
+    scales = np.where(dd == 0.0, 0.0, scales).astype(np.float32)
+    return v0, v1, v2, d0, d1, d2, scales
+
+
 def build_uniform_tables(mesh: mesh_mod.MicroMesh, start: int, stop: int
                          ) -> dict:
     """Batched TriangleTables for a slice of a uniform-level, all-present

@@ -108,13 +108,20 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
         raymat = jnp.concatenate(
             [dirs, m, s[..., None], jnp.ones_like(s)[..., None]], axis=-1)
 
-    # t_num = a.n - e2.w2 — ray-independent, apex-dependent (once per frame).
-    t_num = (scene.unit_n * apex).sum(-1) - scene.unit_e2w2    # (U, LPU)
-    lpu = scene.leaves_per_unit
-    # Materializing the full q table is a whole-table HBM copy per frame;
-    # only the XLA backend needs it (the Pallas kernel folds t_num itself).
-    q_frame = (scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
-               if need_q_frame else None)
+    if scene.compressed:
+        # Compressed scenes have no precomputed MT tables at all: both
+        # backends derive them at trace time (t_num included — the kernel
+        # computes apex.n - e2.w2 from the derived n/e2w2).
+        t_num = q_frame = None
+    else:
+        # t_num = a.n - e2.w2 — ray-independent, apex-dependent (per frame).
+        t_num = (scene.unit_n * apex).sum(-1) - scene.unit_e2w2    # (U, LPU)
+        lpu = scene.leaves_per_unit
+        # Materializing the full q table is a whole-table HBM copy per
+        # frame; only the XLA backend needs it (the Pallas kernel folds
+        # t_num itself).
+        q_frame = (scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
+                   if need_q_frame else None)
     return FrameInputs(raymat, q_frame, dirs, apex, normals, cluster_hit,
                        sub_normals, t_num)
 
@@ -309,7 +316,8 @@ def candidate_counts(scene: DeviceScene, inv_view_proj: jax.Array,
     return total
 
 
-def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg):
+def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg,
+                    apex=None):
     """One candidate slot for a batch of tiles.
 
     raymat: (nt, TILE, 8); unit: (nt,) int32; in_range: (nt,) bool.
@@ -318,10 +326,20 @@ def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg):
     No per-ray gathers anywhere (they are pathological on TPU): the closest
     leaf's normal is selected with a one-hot min-mask matmul instead of
     argmin + take_along_axis.
+
+    Compressed scenes (q_frame None): the q rows are derived per candidate
+    from the unit's grid-vertex record (ops/compressed.py) — the gathered
+    HBM traffic per candidate drops from 12 KiB of precomputed table to
+    the 2 KiB record.
     """
     lpu = scene.leaves_per_unit
-    q = q_frame[unit][..., :4 * lpu]                   # (nt, 8, 4*LPU)
-    nrm = scene.unit_nrm[unit]                         # (nt, LPU, 3)
+    if scene.compressed:
+        from . import compressed as comp
+        q, nrm = comp.derive_q_jnp(scene.unit_grid[unit], apex,
+                                   scene.sub_level)    # (nt, 8, 4*LPU)
+    else:
+        q = q_frame[unit][..., :4 * lpu]               # (nt, 8, 4*LPU)
+        nrm = scene.unit_nrm[unit]                     # (nt, LPU, 3)
     out = jax.lax.dot_general(
         raymat, q,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -373,7 +391,7 @@ def xla_trace_frame(scene: DeviceScene, fi: FrameInputs, cfg: RenderConfig):
                 bt, bn = carry
                 unit = cnd[:, c]
                 tb, nb = trace_candidate(scene, rm, q_frame, unit,
-                                         c < cnt, cfg)
+                                         c < cnt, cfg, apex=fi.apex)
                 take = tb < bt
                 return (jnp.where(take, tb, bt),
                         jnp.where(take[..., None], nb, bn))

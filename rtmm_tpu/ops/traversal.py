@@ -50,6 +50,16 @@ def trace_with_steps(scene: DeviceScene, origins: jax.Array,
     the divergence metric of the reference's per-ray stack loop
     (intersection.hlsl:462-476), per pixel. Returns (t, normal, hit,
     steps (N,) int32)."""
+    if scene.compressed:
+        raise ValueError(
+            "the per-ray reference backend reads the leaf/hierarchy "
+            "tables, which compressed scenes do not materialize; use the "
+            "tile/pallas pipelines or build with compressed=False")
+    if scene.node_verts is None and scene.max_level > 0:
+        raise ValueError(
+            "per-ray traversal needs the hierarchy tables; this scene was "
+            "built with hierarchy=False (production tile/pallas builds). "
+            "Rebuild with build_device_scene(..., hierarchy=True).")
     n = origins.shape[0]
     num_tris = scene.num_triangles
     k = min(cfg.max_candidates, num_tris)

@@ -95,6 +95,10 @@ def bake_instances(scene: DeviceScene, instances: list[Instance]
         heights — the expanded node verts already have deltas baked in)
       * MT tables (q, n, e2w2) are recomputed from the transformed leaves.
     """
+    if scene.compressed:
+        raise NotImplementedError(
+            "instance baking transforms the precomputed leaf/MT tables; "
+            "build the base scene with compressed=False")
     rot = jnp.asarray(np.stack([i.rotation for i in instances]), jnp.float32)
     trn = jnp.asarray(np.stack([i.translation for i in instances]),
                       jnp.float32)
@@ -223,9 +227,12 @@ def _bake(scene: DeviceScene, rot: jax.Array, trn: jax.Array,
         aabb_min=aabb_min, aabb_max=aabb_max,
         plane_t=dirs(scene.plane_t), plane_b=dirs(scene.plane_b),
         plane_n=dirs(scene.plane_n), plane_o=pts(scene.plane_o),
-        node_verts=lengths(scene.node_verts),
-        node_minmax=lengths(scene.node_minmax),
-        node_pass=tile(scene.node_pass),
+        node_verts=(None if scene.node_verts is None
+                    else lengths(scene.node_verts)),
+        node_minmax=(None if scene.node_minmax is None
+                     else lengths(scene.node_minmax)),
+        node_pass=(None if scene.node_pass is None
+                   else tile(scene.node_pass)),
         leaf_verts=leaf_verts, leaf_mask=leaf_mask, tri_valid=tri_valid,
         unit_aabb_min=unit_aabb_min, unit_aabb_max=unit_aabb_max,
         unit_valid=unit_valid, unit_leaf_idx=unit_leaf_idx,
@@ -243,6 +250,10 @@ def render_instanced(scene: DeviceScene, instances: list[Instance],
     only a (N, 3, 3) rotation + (N, 3) translation + (N,) scale stack is
     instance-specific.
     """
+    if scene.compressed:
+        raise NotImplementedError(
+            "two-level instanced traversal reads the precomputed unit_qn "
+            "tables; build the base scene with compressed=False")
     rot = jnp.asarray(np.stack([i.rotation for i in instances]), jnp.float32)
     trn = jnp.asarray(np.stack([i.translation for i in instances]),
                       jnp.float32)

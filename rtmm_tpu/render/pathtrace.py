@@ -177,6 +177,12 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
                cfg: RenderConfig, pt: PathTraceConfig):
     """Returns (image (H, W, 3), stats dict with per-bounce live counts)."""
     height, width = cfg.height, cfg.width
+    if scene.compressed:
+        raise NotImplementedError(
+            "the path tracer's secondary-ray engines read the precomputed "
+            "unit_q16/unit_nrm tables; build the scene with "
+            "compressed=False (compressed mode currently covers the "
+            "primary tile/pallas pipelines)")
     engine = pt.engine
     if engine == "auto":
         try:
@@ -203,6 +209,16 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
     radiance0 = jnp.where(hit0[:, None], _direct_light(nrm0, albedo, cfg),
                           bg)                          # throughput = 1
     live0 = hit0.sum()
+
+    if n_bounce == 0:
+        # Primary-only tracing: no secondary state exists (the bounce loop
+        # below indexes rs[0], which would be empty).
+        image = radiance0.reshape(height, width, 3)
+        return image, {
+            "live_rays_per_bounce": live0[None].astype(jnp.float32),
+            _overflow_stat_key(engine): jnp.zeros((1,), jnp.int32),
+        }
+
     borigin0 = o0 + t0[:, None] * d0 + 1e-4 * nrm0
 
     # Pad the per-ray state once to a GROUP multiple (dead pad lanes).
@@ -323,13 +339,33 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
         [jnp.broadcast_to(live0 * spp, (1,)).astype(jnp.int32), counts])
     stats = {
         "live_rays_per_bounce": live / spp,
-        # Candidate-list saturation observability: groups whose candidate
-        # count exceeded the list capacity this bounce (summed over samples;
-        # bounce 0 rides the windowed primary pipeline — exact, no cap).
-        "overflow_groups_per_bounce": jnp.concatenate(
+        # Per-engine trace-pressure observability (summed over samples;
+        # index 0 is bounce 0, which rides the windowed primary pipeline —
+        # exact, never capped, so it is always 0). The key names the
+        # engine-specific meaning — see _overflow_stat_key.
+        _overflow_stat_key(engine): jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), overflows]),
     }
     return image, stats
+
+
+def _overflow_stat_key(engine: str) -> str:
+    """Stats key for each engine's third trace_sorted return value — the
+    two engines report DIFFERENT things and must not share a name:
+
+    * "grouped" (ops/grouped.py): ``overflow_groups_per_bounce`` — groups
+      whose candidate count exceeded the capped candidate list
+      (max_group_candidates); their farthest candidates were dropped, so a
+      nonzero value means possible (back-surface) geometry misses.
+    * "pallas" (ops/pallas_grouped.py): ``extra_window_passes_per_bounce``
+      — cluster windows beyond the first that some group had to consume.
+      Nothing is ever truncated on this engine (windows repeat until every
+      group is done); the value is a work/occupancy signal only.
+    * "perray": exact, uncapped — reports ``overflow_groups_per_bounce``,
+      always 0.
+    """
+    return ("extra_window_passes_per_bounce" if engine == "pallas"
+            else "overflow_groups_per_bounce")
 
 
 class PathTracer:

@@ -1,0 +1,173 @@
+"""Compressed-scene (derive-at-trace-time) tests.
+
+The round-3 centerpiece: the production path must trace the micro-mesh
+representation directly (grid scalars + derivation), not a pre-expanded
+tessellation — the reference's entire premise (README.md:7-12,
+intersection.hlsl:465-470). These tests pin the compressed path to the
+standard tables bit-for-bit at the geometry level and image-for-image at
+the render level.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from rtmm_tpu.config import RenderConfig
+from rtmm_tpu.models import procedural, scene as scene_mod
+from rtmm_tpu.ops import compressed as comp
+from rtmm_tpu.ops import precompute
+from rtmm_tpu.render.renderer import Renderer
+from rtmm_tpu.utils import camera
+
+CFG = RenderConfig(width=48, height=48, ray_chunk=768, max_candidates=4)
+
+
+def _ivp(pitch=-35.0, yaw=25.0, dist=3.0, cfg=CFG):
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(pitch), np.radians(yaw), 0.0], dist)
+    return camera.inv_view_proj(tb, cfg.width, cfg.height)
+
+
+@pytest.mark.parametrize("level", [0, 1, 2, 3, 4])
+def test_derived_leaf_verts_bitwise_match_standard_tables(level):
+    """The 45 stored grid positions + the gather matrix reproduce the
+    standard leaf_verts table EXACTLY (same closed-form arithmetic at the
+    same grid points): leaf f of triangle t == lane f%LPU of subtree
+    f//LPU, bitwise."""
+    mesh = procedural.make_icosphere(subdivisions=0, level=level,
+                                     amplitude=0.15)
+    std = precompute.build_uniform_tables(mesh, 0, mesh.num_triangles)
+    gcoords, su = comp.subtree_grid_coords(level)
+    v0, v1, v2, d0, d1, d2, scales = precompute.base_and_scales(
+        mesh, 0, mesh.num_triangles)
+    pos = comp.grid_positions(v0, v1, v2, d0, d1, d2, scales, gcoords,
+                              level)                  # (N, spt, gpts, 3)
+    n, spt, gpts = pos.shape[:3]
+    grid = np.zeros((n * spt, comp.GRID_ROWS, comp.GRID_LANES), np.float32)
+    grid[:, 0:3, :gpts] = pos.reshape(-1, gpts, 3).transpose(0, 2, 1)
+    g = comp.leaf_gather_matrix(su)
+    v = grid[:, 0:3, :] @ g                           # (U, 3, 3*LPU)
+    nf = 4 ** level
+    lpb = 4 ** su                                     # leaves per subtree
+    leaf = std["leaf_verts"]                          # (N, NF, 3, 3)
+    for t in range(n):
+        for f in range(nf):
+            u = t * spt + f // lpb
+            j = f % lpb
+            got = np.stack([v[u, :, 0 * comp.LPU + j],
+                            v[u, :, 1 * comp.LPU + j],
+                            v[u, :, 2 * comp.LPU + j]])
+            np.testing.assert_array_equal(got, leaf[t, f])
+
+
+def test_derive_np_matches_derive_jnp():
+    """The XLA derivation (einsum gather + row crosses) must agree with
+    the NumPy reference derivation."""
+    import jax.numpy as jnp
+
+    mesh = procedural.make_plane(grid=(2, 2), level=3, amplitude=0.2)
+    ds = scene_mod.build_device_scene(mesh, compressed=True)
+    apex = np.asarray([0.3, -1.2, 2.5], np.float32)
+    grid = np.asarray(ds.unit_grid)
+    ref = comp.derive_unit_tables_np(grid, apex, ds.sub_level)
+    q, nrm = comp.derive_q_jnp(jnp.asarray(grid), jnp.asarray(apex),
+                               ds.sub_level)
+    np.testing.assert_allclose(np.asarray(q), ref["q"], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nrm), ref["nrm"],
+                               rtol=1e-6, atol=1e-6)
+
+
+def _npix(a, b, tol=1e-4):
+    return int((np.abs(a - b).max(-1) > tol).sum())
+
+
+@pytest.mark.parametrize("level", [2, 3])
+def test_compressed_tile_matches_standard_tile(level):
+    """Same mesh, standard vs compressed build, XLA tile backend: the
+    images must agree pixel-for-pixel up to epsilon-boundary flips (the
+    MT quantities are computed from bitwise-identical leaf vertices, via
+    host tables vs trace-time derivation)."""
+    mesh = procedural.make_icosphere(subdivisions=0, level=level,
+                                     amplitude=0.12)
+    cfg = dataclasses.replace(CFG, pipeline="tile")
+    a = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh), cfg).render(_ivp()))
+    b = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh, compressed=True),
+        cfg).render(_ivp()))
+    assert _npix(a, b) <= 5, f"{_npix(a, b)} pixels diverge"
+
+
+def test_compressed_pallas_matches_compressed_tile():
+    """The in-kernel derivation (interpret mode on CPU) must agree with
+    the XLA derivation image-for-image."""
+    mesh = procedural.make_plane(grid=(4, 4), level=3, amplitude=0.2)
+    ds = scene_mod.build_device_scene(mesh, compressed=True)
+    a = np.asarray(Renderer(
+        ds, dataclasses.replace(CFG, pipeline="tile")).render(_ivp()))
+    b = np.asarray(Renderer(
+        ds, dataclasses.replace(CFG, pipeline="pallas")).render(_ivp()))
+    assert _npix(a, b) <= 5, f"{_npix(a, b)} pixels diverge"
+
+
+def test_compressed_matches_tessellated_oracle():
+    """The reference's own correctness oracle, on the compressed path:
+    direct micro-mesh trace == tessellated ground truth, RMSE <= 1e-3."""
+    mesh = procedural.make_icosphere(subdivisions=0, level=3, amplitude=0.1)
+    cfg = dataclasses.replace(CFG, pipeline="tile")
+    img_c = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh, compressed=True),
+        cfg).render(_ivp()))
+    img_t = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh, tessellated=True),
+        cfg).render(_ivp()))
+    bg = np.asarray(cfg.background)
+    assert (np.abs(img_c - bg).max(-1) > 1e-5).mean() > 0.05, "not visible"
+    rmse = np.sqrt(((img_c - img_t) ** 2).mean())
+    assert rmse <= 1e-3, rmse
+
+
+def test_compressed_level4_splits_subtrees():
+    """Level > 3: units are level-(L-3) subtrees, several per triangle."""
+    mesh = procedural.make_plane(grid=(1, 1), level=4, amplitude=0.15)
+    ds = scene_mod.build_device_scene(mesh, compressed=True)
+    spt = 4 ** (4 - comp.SUB_LEVEL)
+    assert int(np.asarray(ds.unit_valid).sum()) == mesh.num_triangles * spt
+    cfg = dataclasses.replace(CFG, pipeline="tile")
+    a = np.asarray(Renderer(ds, cfg).render(_ivp()))
+    b = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh), cfg).render(_ivp()))
+    assert _npix(a, b) <= 5, f"{_npix(a, b)} pixels diverge"
+
+
+def test_compressed_memory_footprint():
+    """The point of the exercise: per-micro-triangle device bytes must be
+    ~32 B (one (4, 128)-f32 record per 64 leaves) — ~18x below the
+    standard tables' ~580 B."""
+    mesh = procedural.make_plane(grid=(8, 8), level=3, amplitude=0.2)
+    ds = scene_mod.build_device_scene(mesh, compressed=True)
+    micro_tris = mesh.num_triangles * 4 ** 3
+    per_unit = (np.asarray(ds.unit_grid).nbytes
+                + np.asarray(ds.unit_aabb_min).nbytes
+                + np.asarray(ds.unit_aabb_max).nbytes)
+    assert per_unit / micro_tris < 40.0
+    assert ds.unit_qn is None and ds.leaf_verts is None
+    assert ds.unit_q16 is None and ds.node_verts is None
+
+
+def test_compressed_guards():
+    mesh = procedural.make_plane(grid=(2, 2), level=2, amplitude=0.25,
+                                 mixed_levels=True)
+    with pytest.raises(ValueError, match="uniform"):
+        scene_mod.build_device_scene(mesh, compressed=True)
+    uni = procedural.make_plane(grid=(2, 2), level=2, amplitude=0.25)
+    with pytest.raises(ValueError, match="tessellated"):
+        scene_mod.build_device_scene(uni, tessellated=True, compressed=True)
+    ds = scene_mod.build_device_scene(uni, compressed=True)
+    from rtmm_tpu.ops import traversal
+    import jax.numpy as jnp
+    with pytest.raises(ValueError, match="compressed"):
+        traversal.trace(ds, jnp.zeros((4, 3)), jnp.ones((4, 3)), CFG)
+    from rtmm_tpu.render.pathtrace import PathTracer
+    with pytest.raises(NotImplementedError):
+        PathTracer(ds, CFG).render(_ivp())

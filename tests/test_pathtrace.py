@@ -45,17 +45,68 @@ def test_pathtrace_deterministic(scene):
 
 
 def test_pathtrace_compaction_matches_uncompacted(scene):
-    base = PathTraceConfig(bounces=2, samples_per_pixel=1, ray_chunk=1536)
+    """Pixelwise oracle for the sort/permutation machinery: randoms are
+    pixel-indexed and ride every sort, so the estimator must be identical
+    whether rays are compacted (live-first permutation between bounces) or
+    left in raster order. Any bug in the multi-operand sort permutation —
+    a misrouted operand, a dropped lane, a wrong unsort — shows up as a
+    per-pixel difference here."""
     import dataclasses
+    base = PathTraceConfig(bounces=2, samples_per_pixel=1, ray_chunk=1536,
+                           engine="perray")
     a, _ = PathTracer(scene, CFG, base).render(_ivp())
     b, _ = PathTracer(scene, CFG, dataclasses.replace(
         base, compaction=False)).render(_ivp())
-    # Compaction permutes rays between bounces; random keys are drawn
-    # *before* sorting per sample, but the cosine sample of ray i uses its
-    # per-lane slice of the same key — permutation changes which lane a ray
-    # occupies, so images agree only statistically. Check close in mean.
-    am, bm = float(np.asarray(a).mean()), float(np.asarray(b).mean())
-    assert abs(am - bm) < 0.05, (am, bm)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pathtrace_zero_bounces(scene):
+    """bounces=0 = primary-only tracing (regression: the bounce loop used
+    to index rs[0] from an empty randoms list and crash)."""
+    pt = PathTracer(scene, CFG, PathTraceConfig(
+        bounces=0, samples_per_pixel=1, ray_chunk=1536))
+    img, stats = pt.render(_ivp())
+    img = np.asarray(img)
+    assert img.shape == (32, 48, 3)
+    assert np.isfinite(img).all()
+    live = np.asarray(stats["live_rays_per_bounce"])
+    assert live.shape == (1,) and live[0] > 0
+
+
+def test_overflow_stat_key_is_per_engine(scene):
+    """The two engines' third trace return means different things
+    (grouped: real candidate-list truncation; pallas: extra window passes,
+    nothing truncated) — the stats key must name which one it is."""
+    import dataclasses
+    base = PathTraceConfig(bounces=1, samples_per_pixel=1, ray_chunk=1536)
+    _, sg = PathTracer(scene, CFG, dataclasses.replace(
+        base, engine="grouped")).render(_ivp())
+    assert "overflow_groups_per_bounce" in sg
+    assert "extra_window_passes_per_bounce" not in sg
+    _, sp = PathTracer(scene, CFG, dataclasses.replace(
+        base, engine="pallas")).render(_ivp())
+    assert "extra_window_passes_per_bounce" in sp
+    assert "overflow_groups_per_bounce" not in sp
+
+
+def test_grouped_overflow_reports_real_truncation():
+    """Force candidate-list saturation on the grouped engine: with a
+    1-entry candidate list and a scene whose units all overlap the rays'
+    reach box, overflow must be > 0 (it counts truncated groups)."""
+    import jax.numpy as jnp
+
+    from rtmm_tpu.ops import grouped
+    mesh = procedural.make_plane(grid=(12, 12), level=2, amplitude=0.2)
+    ds = scene_mod.build_device_scene(mesh)
+    assert ds.num_units > 1
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32),
+                 (grouped.GROUP, 1))[None]
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32),
+                 (grouped.GROUP, 1))[None]
+    live = jnp.ones((1, grouped.GROUP), bool)
+    _, _, overflow = grouped.trace_sorted(ds, o, d, live, CFG,
+                                          max_group_candidates=1)
+    assert int(np.asarray(overflow)) > 0
 
 
 def test_pathtrace_miss_collects_background():

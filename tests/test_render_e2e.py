@@ -109,3 +109,52 @@ def test_frame_pipeline_two_in_flight():
         assert f.shape == (CFG.height, CFG.width, 3) and f.dtype == np.uint8
     # frames differ (camera moved)
     assert not np.array_equal(frames[0], frames[2])
+
+
+def test_hierarchy_free_scene_matches_and_guards():
+    """hierarchy=False drops the per-node tables (production tile/pallas
+    builds): the tiled render must be identical, and the per-ray backend
+    must refuse with a clear error instead of crashing."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import pytest
+
+    from rtmm_tpu.ops import traversal
+    mesh = procedural.make_plane(grid=(2, 2), level=2, amplitude=0.25)
+    full = scene_mod.build_device_scene(mesh)
+    lean = scene_mod.build_device_scene(mesh, hierarchy=False)
+    assert lean.node_verts is None and lean.node_pass is None
+    cfg = dataclasses.replace(CFG, pipeline="tile")
+    a = np.asarray(Renderer(full, cfg).render(_ivp()))
+    b = np.asarray(Renderer(lean, cfg).render(_ivp()))
+    np.testing.assert_array_equal(a, b)
+    o = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (4, 1))
+    with pytest.raises(ValueError, match="hierarchy"):
+        traversal.trace(lean, o, d, CFG)
+
+
+@pytest.mark.slow
+def test_fullres_oracle_512():
+    """The micromesh == tessellated oracle at >=512^2 (silhouette-epsilon
+    bug classes scale with resolution; the small-res tests above cannot
+    see them). Slow-marked: run with `pytest -m slow` or no marker filter.
+    """
+    import dataclasses
+    mesh = procedural.make_icosphere(subdivisions=1, level=3, amplitude=0.12)
+    cfg = dataclasses.replace(CFG, width=512, height=512, pipeline="tile")
+    ivp = camera.inv_view_proj(_tb(), cfg.width, cfg.height)
+    img_mm = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh), cfg).render(ivp))
+    img_ts = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh, tessellated=True), cfg).render(ivp))
+    assert _coverage(img_mm, cfg) > 0.02, "scene not visible"
+    rmse = np.sqrt(((img_mm - img_ts) ** 2).mean())
+    assert rmse <= 1e-3, rmse
+
+
+def _tb(pitch=-35.0, yaw=25.0, dist=3.0):
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(pitch), np.radians(yaw), 0.0], dist)
+    return tb
