@@ -126,6 +126,40 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
                        sub_normals, t_num)
 
 
+def _select_nearest_clusters(cl_dist: jax.Array, remaining: jax.Array,
+                             kc: int):
+    """Per-tile kc nearest remaining clusters + the cleared remaining set.
+
+    Key design: selection is by (distance, cluster index) lexicographic
+    order — jax.lax.top_k documents that ties go to the lower index, so
+    the selected set is exactly the kc lexicographically-smallest
+    remaining clusters. "Clear the selected clusters" is then a per-tile
+    threshold compare against the LAST selected (distance, index) pair —
+    O(tiles x C) — instead of the (tiles, kc, C) one-hot membership
+    tensor this used to build (8+ GB at 15k clusters; the scaling wall
+    for 10^6-triangle scenes).
+
+    Returns (cidx (tiles, kc) int32, sel (tiles, kc) bool ascending-dist,
+    new_remaining (tiles, C) bool, next_bound (tiles,) f32).
+    """
+    n_cl = remaining.shape[1]
+    idx = jnp.arange(n_cl, dtype=jnp.int32)
+    keyed = jnp.where(remaining, -cl_dist[None, :], -jnp.inf)  # (tiles, C)
+    negd, cidx = jax.lax.top_k(keyed, kc)      # ascending dist, ties by idx
+    sel = negd > -jnp.inf
+    # Strictly after the kc-th selected pair in (dist, idx) order; when
+    # fewer than kc survived, everything remaining was selected, so the
+    # threshold is +inf (nothing stays).
+    kth_d = jnp.where(sel[:, -1], -negd[:, -1], jnp.inf)[:, None]
+    kth_i = jnp.where(sel[:, -1], cidx[:, -1], n_cl)[:, None]
+    d = cl_dist[None, :]
+    new_remaining = remaining & ((d > kth_d)
+                                 | ((d == kth_d) & (idx[None, :] > kth_i)))
+    next_bound = jnp.min(
+        jnp.where(new_remaining, cl_dist[None, :], jnp.inf), axis=1)
+    return cidx.astype(jnp.int32), sel, new_remaining, next_bound
+
+
 def candidate_window(scene: DeviceScene, apex: jax.Array, normals: jax.Array,
                      remaining: jax.Array, kc: int):
     """Build one unit-level candidate window from the nearest remaining
@@ -144,16 +178,8 @@ def candidate_window(scene: DeviceScene, apex: jax.Array, normals: jax.Array,
     n_tiles, n_cl = remaining.shape
     cl_dist = culling.aabb_distance(apex, scene.cluster_aabb_min,
                                     scene.cluster_aabb_max)          # (C,)
-    key = jnp.where(remaining, -cl_dist[None, :], -jnp.inf)
-    negd, cidx = jax.lax.top_k(key, kc)                   # (tiles, kc)
-    sel = negd > -jnp.inf
-
-    # Clear the selected clusters (one-hot compare; no scatter).
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, kc, n_cl), 2)
-    taken = ((iota == cidx[..., None]) & sel[..., None]).any(axis=1)
-    new_remaining = remaining & ~taken
-    next_bound = jnp.min(
-        jnp.where(new_remaining, cl_dist[None, :], jnp.inf), axis=1)
+    cidx, sel, new_remaining, next_bound = _select_nearest_clusters(
+        cl_dist, remaining, kc)
 
     units = (cidx[..., None] * UPC
              + jnp.arange(UPC, dtype=jnp.int32)[None, None]
@@ -179,19 +205,12 @@ def cluster_window(scene: DeviceScene, apex: jax.Array,
     Returns (ccand (tiles, kc) int32, ccount (tiles,) int32,
     centry (tiles, kc) f32 ascending with +inf tail, new_remaining,
     next_bound (tiles,))."""
-    n_tiles, n_cl = remaining.shape
     cl_dist = culling.aabb_distance(apex, scene.cluster_aabb_min,
                                     scene.cluster_aabb_max)          # (C,)
-    key = jnp.where(remaining, -cl_dist[None, :], -jnp.inf)
-    negd, cidx = jax.lax.top_k(key, kc)                   # descending key
-    sel = negd > -jnp.inf
-    centry = jnp.where(sel, -negd, jnp.inf)               # ascending dist
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, kc, n_cl), 2)
-    taken = ((iota == cidx[..., None]) & sel[..., None]).any(axis=1)
-    new_remaining = remaining & ~taken
-    next_bound = jnp.min(
-        jnp.where(new_remaining, cl_dist[None, :], jnp.inf), axis=1)
-    return (cidx.astype(jnp.int32), sel.sum(axis=1).astype(jnp.int32),
+    cidx, sel, new_remaining, next_bound = _select_nearest_clusters(
+        cl_dist, remaining, kc)
+    centry = jnp.where(sel, cl_dist[cidx], jnp.inf)       # ascending dist
+    return (cidx, sel.sum(axis=1).astype(jnp.int32),
             centry.astype(jnp.float32), new_remaining, next_bound)
 
 
