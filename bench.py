@@ -9,6 +9,7 @@ configs:
   4  multi-instance two-level traversal with per-instance transforms
   5  path-traced multi-bounce, subdivision-level-5 micro-mesh, compaction
   6  (extra) 51,200-base-triangle scene through the cluster hierarchy
+  7  (extra) 10^6 base tris / 64M micro-tris, compressed direct tracing
 
 Renders a multi-frame orbit per device invocation (the realistic
 animation workload; also amortizes the ~25 ms per-call latency of this
@@ -74,6 +75,13 @@ def _build_config(n: int):
         scene = scene_mod.build_device_scene(mesh)
         return ("large_scene_51k_tris_1080p", scene,
                 RenderConfig(width=1920, height=1080), 1)
+    if n == 7:
+        # Full-scale direct tracing: 10^6 base triangles at level 3 =
+        # 64M micro-triangles. Only representable via the compressed
+        # (derive-at-trace-time) scene — the precomputed MT tables would
+        # need ~35 GiB; the grid records are ~2 GiB on a 16 GiB chip.
+        return ("compressed_1M_tris_64M_micro_1080p", _million_tri_scene(),
+                RenderConfig(width=1920, height=1080), 1)
     if n == 4:
         from rtmm_tpu.render import instances as inst_mod
         mesh = procedural.make_icosphere(subdivisions=1, level=3,
@@ -99,6 +107,37 @@ def _build_config(n: int):
                 RenderConfig(width=512, height=512, sub_frusta=8),
                 None)  # special-cased
     raise SystemExit(f"unknown config {n}")
+
+
+def _million_tri_scene():
+    """Config 7's 10^6-triangle level-3 compressed scene, disk-cached
+    (the host-side build is ~7 min of NumPy; np.savez uncompressed keeps
+    the reload to ~30 s of IO)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from rtmm_tpu.models import procedural, scene as scene_mod
+    from rtmm_tpu.utils import cache as cache_mod
+
+    path = os.path.join(tempfile.gettempdir(), "rtmm_bench_1m_l3.npz")
+    if os.path.exists(path):
+        try:
+            return cache_mod.load_scene(path)
+        except Exception:
+            pass
+    mesh = procedural.make_plane(grid=(707, 707), level=3, amplitude=0.05)
+    scene = scene_mod.build_device_scene(mesh, compressed=True)
+    # Uncompressed savez: ~2 GB of f32 grid positions compress slowly and
+    # poorly; plain IO is minutes faster both ways.
+    import dataclasses as _dc
+    arrays = {f.name: np.asarray(getattr(scene, f.name))
+              for f in _dc.fields(scene)
+              if f.name not in cache_mod._META_FIELDS
+              and getattr(scene, f.name) is not None}
+    np.savez(path, **cache_mod._meta_arrays(scene), **arrays)
+    return scene
 
 
 def _full_asset_via_io():

@@ -74,7 +74,7 @@ _MINMAXINFO_SIZE = struct.calcsize(_MINMAXINFO_FMT)  # = 16
 
 
 class Format(enum.IntEnum):
-    """bary_Format (uncompressed subset; DC1 block compression unsupported)."""
+    """bary_Format (uncompressed formats + DispC1 block compression)."""
 
     UNDEFINED = 0
     R8_UNORM = 1
@@ -93,6 +93,10 @@ class Format(enum.IntEnum):
     R64_SFLOAT = 14
     R11_UNORM_PACK16 = 15
     R11_UNORM_PACKED_ALIGN32 = 16
+    # Block-compressed displacement (io/dispc1.py); per-triangle
+    # blockFormat selects the DispC1 block layout. Enum value follows the
+    # reconstruction pattern of this table (see module PROVENANCE note).
+    DISPC1_R11_UNORM_BLOCK = 17
 
 
 class ValueLayout(enum.IntEnum):
@@ -315,7 +319,33 @@ def write_bary(path: str, content: BaryContent,
                       np.int64)
     elem_offsets = np.asarray(content.tri_value_offset, np.int64)
 
-    if value_format == Format.R11_UNORM_PACKED_ALIGN32:
+    block_formats = np.zeros(n_tris, np.uint16)
+    if value_format == Format.DISPC1_R11_UNORM_BLOCK:
+        # Block-compressed: per-triangle DispC1 block runs (64/128-byte
+        # blocks, naturally aligned). Values are quantized to 11-bit unorm
+        # on the triangle's grid and encoded per io/dispc1.py; the chosen
+        # block format lands in each bary_Triangle's blockFormat field.
+        from . import dispc1
+        blobs, tri_offsets = [], np.zeros(n_tris, np.int64)
+        tri_end = np.zeros(n_tris, np.int64)
+        pos = 0
+        for t in range(n_tris):
+            vals = content.values[elem_offsets[t]:elem_offsets[t] + counts[t]]
+            q = np.clip(np.round(vals * 2047.0), 0, 2047).astype(np.int64)
+            # Container order is u-major; the codec works in grid order.
+            qg = q[umajor_to_grid_order(int(levels[t]))]
+            blob, fmt_t = dispc1.encode_triangle(qg, int(levels[t]))
+            block_formats[t] = int(fmt_t)
+            tri_offsets[t] = pos
+            blobs.append(blob)
+            pos += len(blob)
+            tri_end[t] = pos
+        value_payload = b"".join(blobs)
+        values_info = struct.pack(
+            _VALUESINFO_FMT, int(value_format),
+            content.value_layout, content.value_frequency,
+            len(value_payload), 1, 64)  # count in bytes, byteSize 1
+    elif value_format == Format.R11_UNORM_PACKED_ALIGN32:
         # Per-triangle 11-bit runs, each starting at a 4-byte aligned offset.
         blobs, tri_offsets = [], np.zeros(n_tris, np.int64)
         tri_end = np.zeros(n_tris, np.int64)
@@ -353,10 +383,12 @@ def write_bary(path: str, content: BaryContent,
     if flags.shape[0] != n_tris:
         flags = np.zeros(n_tris, np.uint8)
 
+    byte_packed = value_format in (Format.R11_UNORM_PACKED_ALIGN32,
+                                   Format.DISPC1_R11_UNORM_BLOCK)
     props: list[tuple[str, bytes]] = []
     group_records = []
     for g in content.groups:
-        if value_format == Format.R11_UNORM_PACKED_ALIGN32:
+        if byte_packed:
             # value range in bytes: first triangle's byte offset .. last end
             last = g.triangle_first + g.triangle_count - 1
             vf = int(tri_offsets[g.triangle_first]) if g.triangle_count else 0
@@ -373,12 +405,15 @@ def write_bary(path: str, content: BaryContent,
     for t in range(n_tris):
         # Offsets are group-relative in the container.
         g = content.group_of_triangle(t)
-        if value_format == Format.R11_UNORM_PACKED_ALIGN32:
+        if byte_packed:
             base = int(tri_offsets[g.triangle_first])
         else:
             base = g.value_first
-        block = int(content.tri_block_format[t]) \
-            if content.tri_block_format.shape[0] == n_tris else 0
+        if value_format == Format.DISPC1_R11_UNORM_BLOCK:
+            block = int(block_formats[t])
+        else:
+            block = int(content.tri_block_format[t]) \
+                if content.tri_block_format.shape[0] == n_tris else 0
         tri_records.append(struct.pack(
             _TRIANGLE_FMT, int(tri_offsets[t]) - base, int(levels[t]), block))
     props.append(("triangles", b"".join(tri_records)))
@@ -554,7 +589,36 @@ def read_nvidia_bary(path: str) -> BaryContent:
     counts = np.array([subdivision.verts_for_level(int(l))
                        for l in tri_subdiv], np.int64)
 
-    if fmt == Format.R11_UNORM_PACKED_ALIGN32:
+    if fmt == Format.DISPC1_R11_UNORM_BLOCK:
+        # Block-compressed: decode every triangle's DispC1 blocks to
+        # normalized per-vertex scalars (container order is u-major, the
+        # codec's grid order is converted back).
+        from . import dispc1
+        values_list, abs_offsets = [], np.zeros(n_tris, np.int64)
+        pos = 0
+        for g in groups:
+            for t in range(g.triangle_first,
+                           g.triangle_first + g.triangle_count):
+                lvl = int(tri_subdiv[t])
+                bf = dispc1.BlockFormatDispC1(int(tri_block[t]))
+                byte_off = g.value_first + tri_rel_offset[t]
+                nbytes = dispc1.triangle_block_bytes(lvl, bf)
+                qg = dispc1.decode_triangle(
+                    payload[byte_off:byte_off + nbytes], lvl, bf)
+                q = qg[grid_to_umajor_order(lvl)]
+                values_list.append(q.astype(np.float32) / 2047.0)
+                abs_offsets[t] = pos
+                pos += counts[t]
+        values = (np.concatenate(values_list) if values_list
+                  else np.zeros(0, np.float32))
+        tri_abs = abs_offsets
+        pos = 0
+        for g in groups:
+            n = int(counts[g.triangle_first:
+                           g.triangle_first + g.triangle_count].sum())
+            g.value_first, g.value_count = pos, n
+            pos += n
+    elif fmt == Format.R11_UNORM_PACKED_ALIGN32:
         # Offsets are bytes relative to the group's byte range.
         values_list, abs_offsets = [], np.zeros(n_tris, np.int64)
         pos = 0
