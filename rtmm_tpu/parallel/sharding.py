@@ -52,7 +52,7 @@ def make_mesh(n_rays: int | None = None, n_scene: int = 1,
 
 _UNIT_FIELDS = ("unit_aabb_min", "unit_aabb_max", "unit_valid", "unit_leaf_idx",
                 "unit_qn", "unit_n", "unit_e2w2", "unit_nrm", "unit_nrm_pad",
-                "unit_q16")
+                "unit_q16", "unit_grid")
 _CLUSTER_FIELDS = ("cluster_aabb_min", "cluster_aabb_max", "cluster_valid",
                    "cluster_unit_meta")
 
@@ -69,9 +69,11 @@ def _scene_specs(scene: DeviceScene, n_scene: int):
     u_ok = scene.num_units % n_scene == 0
     c_ok = scene.num_clusters % n_scene == 0
     specs = {}
+    meta = {f.name for f in dataclasses.fields(scene)
+            if f.name in ("max_level", "compressed", "sub_level")}
     for f in dataclasses.fields(scene):
-        if f.name == "max_level":
-            continue
+        if f.name in meta or getattr(scene, f.name) is None:
+            continue   # optional tables absent from this build: stay None
         if f.name in _CLUSTER_FIELDS:
             specs[f.name] = P("scene") if c_ok else P()
         elif f.name in _UNIT_FIELDS:
@@ -94,6 +96,8 @@ def _pad_scene_for_scene_axis(scene: DeviceScene, s: int) -> DeviceScene:
     updates = {}
     for name in _UNIT_FIELDS + _CLUSTER_FIELDS:
         a = getattr(scene, name)
+        if a is None:
+            continue
         n = pad_cl * (upc if name in _UNIT_FIELDS else 1)
         fill = (BIG if name.endswith("aabb_min")
                 else -BIG if name.endswith("aabb_max")
@@ -156,7 +160,7 @@ def render_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
     return step(scene, jnp.asarray(inv_view_proj, jnp.float32))
 
 
-def _xla_trace_window(scene, raymat, q_frame, cfg):
+def _xla_trace_window(scene, raymat, q_frame, cfg, apex=None):
     """Unchunked XLA window tracer (for GSPMD / shard_map bodies)."""
 
     def trace_window(cand, count, entry, best_t, best_n):
@@ -165,7 +169,8 @@ def _xla_trace_window(scene, raymat, q_frame, cfg):
         def body(c, carry):
             bt, bn = carry
             tb, nb = tiled.trace_candidate(scene, raymat, q_frame,
-                                           cand[:, c], c < count, cfg)
+                                           cand[:, c], c < count, cfg,
+                                           apex=apex)
             take = tb < bt
             return (jnp.where(take, tb, bt),
                     jnp.where(take[..., None], nb, bn))
@@ -217,7 +222,8 @@ def render_tiled_gspmd(scene: DeviceScene, inv_view_proj: jax.Array,
 
 
 def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
-                         cfg: RenderConfig, mesh: Mesh) -> jax.Array:
+                         cfg: RenderConfig, mesh: Mesh,
+                         backend: str = "auto") -> jax.Array:
     """Tiled/MXU pipeline over BOTH mesh axes via shard_map.
 
     Tiles (pixel tile rows) split over 'rays'; clusters + unit tables split
@@ -226,6 +232,13 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
     min-combined across the scene axis with one all_gather per frame, then
     shaded locally. Numerics match the single-chip tiled path (same
     MXU-form Möller-Trumbore, same window machinery).
+
+    backend: "pallas" runs the PRODUCTION kernel per shard (each shard's
+    pallas_call walks its local cluster slice in-kernel; interpret mode on
+    CPU meshes, Mosaic on TPU); "xla" runs the XLA window tracer;
+    "auto" = pallas on TPU, xla on CPU (compiling the real kernel is what
+    a multi-chip deployment does — a scene sharded because it exceeds one
+    chip must not fall back to the slow tracer).
     """
     width, height = cfg.width, cfg.height
     pw, ph = tiled.padded_size(width, height)
@@ -236,6 +249,10 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
         raise ValueError("tile rows must divide over the 'rays' axis")
     _check_divisible(scene, n_scene_axis)
     scene = _pad_scene_for_scene_axis(scene, n_scene_axis)
+    platform = mesh.devices.flat[0].platform
+    if backend == "auto":
+        backend = "xla" if platform == "cpu" else "pallas"
+    interpret = platform == "cpu"
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -269,17 +286,52 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
         cluster_hit = culling.cull_units(
             apex, normals, scene_shard.cluster_aabb_min,
             scene_shard.cluster_aabb_max, scene_shard.cluster_valid)
-        lpu = scene_shard.leaves_per_unit
-        t_num = (scene_shard.unit_n * apex).sum(-1) - scene_shard.unit_e2w2
-        q_frame = scene_shard.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
+        if scene_shard.compressed:
+            t_num = q_frame = None
+        else:
+            lpu = scene_shard.leaves_per_unit
+            t_num = ((scene_shard.unit_n * apex).sum(-1)
+                     - scene_shard.unit_e2w2)
+            q_frame = (scene_shard.unit_qn
+                       .at[:, 7, 3 * lpu:4 * lpu].set(t_num)
+                       if backend == "xla" else None)
 
-        fi = tiled.FrameInputs(raymat, q_frame, dirs, apex, normals,
-                               cluster_hit)
-        init = (jnp.full((n_tiles_local, TILE), BIG, jnp.float32),
-                jnp.zeros((n_tiles_local, TILE, 3), jnp.float32))
-        best_t, best_n = tiled.trace_windowed(
-            scene_shard, fi, cfg,
-            _xla_trace_window(scene_shard, raymat, q_frame, cfg), *init)
+        if backend == "pallas":
+            # The PRODUCTION kernel per shard: its in-kernel cluster walk
+            # runs over this shard's local cluster slice (ccand indices
+            # are shard-local, as are the meta/q tables it DMAs).
+            from ..ops import pallas_tiled
+            sub_normals = culling.tile_sub_frustums(
+                ivp, width, height, pw, ph, n_sub=cfg.sub_frusta,
+                n_rows=cfg.sub_rows)
+            sub_normals = jax.lax.dynamic_slice_in_dim(
+                sub_normals, tile0, n_tiles_local, 0)
+            fi = tiled.FrameInputs(raymat, None, dirs, apex, normals,
+                                   cluster_hit, sub_normals, t_num)
+            raymat_t = raymat.transpose(0, 2, 1)
+            frus = tiled.frustum_scalars(fi)
+            kc = max(1, min(cfg.kernel_clusters_per_window,
+                            scene_shard.num_clusters))
+
+            def trace_window(ccand, ccount, centry, bt, bn):
+                return pallas_tiled.trace_pallas(
+                    scene_shard, raymat_t, t_num, frus, ccand, ccount,
+                    centry, bt, bn, cfg, interpret=interpret)
+
+            init = (jnp.full((n_tiles_local, TILE), BIG, jnp.float32),
+                    jnp.zeros((n_tiles_local, 8, TILE), jnp.float32))
+            best_t, rows = tiled.trace_windowed_clusters(
+                scene_shard, fi, cfg, trace_window, *init, kc=kc)
+            best_n = rows[:, 0:3].transpose(0, 2, 1)
+        else:
+            fi = tiled.FrameInputs(raymat, q_frame, dirs, apex, normals,
+                                   cluster_hit)
+            init = (jnp.full((n_tiles_local, TILE), BIG, jnp.float32),
+                    jnp.zeros((n_tiles_local, TILE, 3), jnp.float32))
+            best_t, best_n = tiled.trace_windowed(
+                scene_shard, fi, cfg,
+                _xla_trace_window(scene_shard, raymat, q_frame, cfg,
+                                  apex=apex), *init)
 
         if n_scene_axis > 1:
             # Closest-hit combine across scene shards (ICI collective).
@@ -312,6 +364,7 @@ class ShardedRenderer:
     mesh: Mesh
 
     pipeline: str = "auto"   # "ray" (shard_map) | "tile" | "auto"
+    backend: str = "auto"    # tiled-sharded body: "pallas" | "xla" | "auto"
 
     def __post_init__(self):
         pw, ph = tiled.padded_size(self.cfg.width, self.cfg.height)
@@ -326,11 +379,16 @@ class ShardedRenderer:
                     or (self.pipeline == "auto"
                         and (gspmd_ok or sharded_ok)))
         if use_tile:
-            fn = render_tiled_gspmd if gspmd_ok else render_tiled_sharded
+            if gspmd_ok:
+                fn = functools.partial(render_tiled_gspmd, cfg=self.cfg,
+                                       mesh=self.mesh)
+            else:
+                fn = functools.partial(render_tiled_sharded, cfg=self.cfg,
+                                       mesh=self.mesh, backend=self.backend)
         else:
-            fn = render_sharded
-        self._fn = jax.jit(functools.partial(
-            fn, cfg=self.cfg, mesh=self.mesh), keep_unused=True)
+            fn = functools.partial(render_sharded, cfg=self.cfg,
+                                   mesh=self.mesh)
+        self._fn = jax.jit(fn, keep_unused=True)
 
     def render(self, inv_view_proj: np.ndarray) -> jax.Array:
         return self._fn(self.scene, jnp.asarray(inv_view_proj, jnp.float32))
