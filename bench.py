@@ -40,6 +40,12 @@ def _frames_per_call(cfg) -> int:
 
 
 def _build_config(n: int):
+    metric, scene, cfg, f = _build_config_raw(n)
+    from rtmm_tpu.ops.pallas_tiled import resolve_mt_precision
+    return metric, scene, resolve_mt_precision(scene, cfg), f
+
+
+def _build_config_raw(n: int):
     """Returns (metric_name, scene, render_cfg, rays_per_frame_factor)."""
     from rtmm_tpu.config import RenderConfig
     from rtmm_tpu.models import procedural, scene as scene_mod
@@ -219,6 +225,42 @@ def _bench_render(scene, cfg, metric, dist: float = 3.0):
     return width * height / dt / 1e6
 
 
+def _verify_image(scene, cfg, dist: float = 3.0) -> dict:
+    """Real-TPU pixel verification: ONE frame through the Pallas kernel
+    vs the XLA tile backend, compared ON DEVICE (full-frame readback
+    through this host's ~7 MB/s relay would dominate).
+
+    Interpret-mode CPU tests cannot see Mosaic miscompiles (this repo's
+    own DMA-leak and matmul-precision bugs were real-TPU-only); a bench
+    number without this check only proves a nonzero checksum.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtmm_tpu.render.renderer import render_image
+    from rtmm_tpu.utils import camera
+
+    tb = camera.Trackball()
+    tb.set_camera([0.0, 0.0, 0.0],
+                  [np.radians(-30.0), np.radians(25.0), 0.0], dist)
+    ivp = jnp.asarray(camera.inv_view_proj(tb, cfg.width, cfg.height))
+    cfg_p = dataclasses.replace(cfg, pipeline="pallas")
+    cfg_t = dataclasses.replace(cfg, pipeline="tile")
+
+    @jax.jit
+    def diff_metrics(scene_, m):
+        a = render_image(scene_, m, cfg_p)
+        b = render_image(scene_, m, cfg_t)
+        d = jnp.abs(a - b).max(-1)
+        return (d > 1e-3).sum(dtype=jnp.int32), d.max()
+
+    npix, maxdiff = diff_metrics(scene, ivp)
+    return {"verify_npix": int(np.asarray(npix)),
+            "verify_maxdiff": round(float(np.asarray(maxdiff)), 5)}
+
+
 def _bench_pathtrace(scene, cfg, metric, frames: int = 8):
     """Config 5: total rays traced per second across bounces + samples.
 
@@ -299,17 +341,28 @@ def main() -> None:
     if "--config" in sys.argv:
         n = int(sys.argv[sys.argv.index("--config") + 1])
     metric, scene, cfg, _ = _build_config(n)
+    result = {"metric": metric, "unit": "Mrays/s"}
     if n == 5:
         mrays = _bench_pathtrace(scene, cfg, metric)
     else:
-        mrays = _bench_render(scene, cfg, metric,
-                              dist=4.5 if n == 4 else 3.0)
-    print(json.dumps({
-        "metric": metric,
-        "value": round(mrays, 2),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 100.0, 3),
-    }))
+        dist = 4.5 if n == 4 else 3.0
+        mrays = _bench_render(scene, cfg, metric, dist=dist)
+        if "--no-verify" not in sys.argv:
+            # Pixel-verify the kernel output against the XLA backend on
+            # the real chip (tolerance as in the interpret-mode tests;
+            # fails the bench on mismatch — a nonzero checksum alone
+            # cannot catch Mosaic miscompiles).
+            v = _verify_image(scene, cfg, dist=dist)
+            result.update(v)
+            budget = max(64, (cfg.width * cfg.height) // 10000)
+            if v["verify_npix"] > budget:
+                result.update(value=0.0, vs_baseline=0.0,
+                              error=f"image verification failed: "
+                                    f"{v['verify_npix']} px diverge")
+                print(json.dumps(result))
+                raise SystemExit(4)
+    result.update(value=round(mrays, 2), vs_baseline=round(mrays / 100.0, 3))
+    print(json.dumps(result))
 
 
 def _run_with_process_retries() -> int:

@@ -66,6 +66,15 @@ class RenderConfig:
     # Pallas path: tiles traced per grid program (amortizes per-program
     # overhead over the ~85% empty tiles of a typical frame).
     tiles_per_block: int = 8
+    # MT matmul precision in the trace kernel. "fast3": 3-pass bf16 hi/lo
+    # emulation (~17-bit products) — ample for ordinary scenes. "highest":
+    # true f32 (6-pass) — REQUIRED when micro-triangles are tiny relative
+    # to the scene (u_num/v_num cancel ~log2(scene/unit) bits of the
+    # apex-sized partial products; at 10^6-triangle scenes fast3's u/v are
+    # pure noise and the image is wrong). "auto" resolves per scene at
+    # renderer construction (pallas_tiled.resolve_mt_precision): highest
+    # when median unit diagonal < scene diagonal / 64.
+    mt_precision: str = "auto"
     # Fused single-window mode: generate primary rays INSIDE the kernel
     # from the inv-view-proj scalars (per nonempty tile, ~45 VPU ops)
     # instead of building and streaming the 66 MB/1080p ray-matrix table
@@ -73,6 +82,13 @@ class RenderConfig:
     # ray-matrix input (their rays are not camera-projective).
     kernel_raygen: bool = True
     tile_chunk: int = 256         # "tile" path: tiles per lax.map step
+    # Two-level instanced path: per-instance tile compaction cap. Each
+    # instance traces only the tiles whose frustum sees it (gather ->
+    # trace -> scatter-min), bounding per-instance cost by its screen
+    # footprint instead of the frame size; an instance seen by more tiles
+    # than the cap falls back to the full tile grid (exact either way).
+    # 0 = auto (n_tiles / 8, at least 4 blocks).
+    instance_tile_cap: int = 0
     compute_dtype: str = "float32"
 
 

@@ -45,9 +45,40 @@ TILE = culling.TILE_H * culling.TILE_W
 UPC = culling.UNITS_PER_CLUSTER
 
 
+def resolve_mt_precision(scene: DeviceScene, cfg: RenderConfig
+                         ) -> RenderConfig:
+    """Resolve cfg.mt_precision == "auto" against a CONCRETE scene.
+
+    u_num/v_num are differences of apex-magnitude partial products that
+    cancel down to det-magnitude results: computing them loses about
+    log2(scene extent / unit extent) bits. The 3-pass bf16 scheme keeps
+    ~17 product bits, so once units are smaller than ~1/64 of the scene
+    the u/v epsilon tests are noise and hits are wrong (observed: a 10^6-
+    triangle plane renders garbage); true-f32 HIGHEST keeps ~24 bits and
+    matches the XLA backend. Must run OUTSIDE jit (reads array values);
+    every Renderer-level constructor calls it.
+    """
+    import dataclasses as _dc
+
+    import numpy as _np
+
+    if cfg.mt_precision != "auto":
+        return cfg
+    valid = _np.asarray(scene.unit_valid)
+    umin = _np.asarray(scene.unit_aabb_min)[valid]
+    umax = _np.asarray(scene.unit_aabb_max)[valid]
+    if umin.shape[0] == 0:
+        return _dc.replace(cfg, mt_precision="fast3")
+    unit_diag = _np.median(_np.linalg.norm(umax - umin, axis=1))
+    scene_diag = float(_np.linalg.norm(umax.max(0) - umin.min(0)))
+    ratio = unit_diag / max(scene_diag, 1e-30)
+    return _dc.replace(
+        cfg, mt_precision="highest" if ratio < 1.0 / 64.0 else "fast3")
+
+
 def _kernel(*refs, lpu: int, t_min: float, t_max: float,
             tiles_per_block: int, nsub: int, nrows: int, fused_cfg,
-            kraygen: bool, grid_su):
+            kraygen: bool, grid_su, hi_prec: bool):
     """fused_cfg: None = windowed mode (carry t/n in and out); a
     RenderConfig = single-window fused mode (shade in-kernel, write color
     rows, no carry inputs — saves one full (tiles, 8, TILE) HBM round-trip
@@ -117,14 +148,14 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
                     meta_buf, q_buf, tnum_buf, msem, usem, tsem,
                     lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub,
                     nrows=nrows, fused_cfg=fused_cfg, kraygen=kraygen,
-                    grid_su=grid_su, gmat_ref=gmat_ref)
+                    grid_su=grid_su, gmat_ref=gmat_ref, hi_prec=hi_prec)
 
 
 def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
                 outs, meta_hbm, q_hbm, tnum_hbm,
                 meta_buf, q_buf, tnum_buf, msem, usem, tsem,
                 *, lpu, t_min, t_max, nsub, nrows, fused_cfg, kraygen,
-                grid_su, gmat_ref):
+                grid_su, gmat_ref, hi_prec):
     t_in, n_in, t_out, n_out, c_out = outs
     # count can exceed the cluster-list capacity (overflowing tiles keep
     # their true count; the host window loop re-runs them); clamp — reading
@@ -152,7 +183,7 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
             msem, usem, tsem,
             lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub, nrows=nrows,
             fused_cfg=fused_cfg, kraygen=kraygen, grid_su=grid_su,
-            gmat_ref=gmat_ref)
+            gmat_ref=gmat_ref, hi_prec=hi_prec)
 
 
 def _raygen_rows(frus_ref, b, nsub, cfg):
@@ -266,25 +297,26 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                          raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
                          meta_buf, q_buf, tnum_buf, msem, usem, tsem,
                          *, lpu, t_min, t_max, nsub, nrows, fused_cfg,
-                         kraygen, grid_su, gmat_ref):
+                         kraygen, grid_su, gmat_ref, hi_prec):
     t_in, n_in, t_out, n_out, c_out = outs
     if kraygen:
         rm = _raygen_rows(frus_ref, b, nsub, fused_cfg)
     else:
         rm = raymat_ref[0, b]                     # (8, TILE)
     s_row = rm[6:7]                               # (1, TILE)
-    # hi/lo bf16 split of the ray matrix (once per tile): emulates 3-pass
-    # f32 matmuls (Mosaic supports only DEFAULT/HIGHEST; HIGHEST is 6
-    # passes and the matmul dominates the kernel).
-    rm_hi = rm.astype(jnp.bfloat16)
-    rm_lo = (rm - rm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    # One K=26 matmul instead of three K=8 passes: each extra pass re-pays
-    # the MXU's per-output-tile overheads, which dominate at tiny K. The
-    # last two rows are all-ones: they pair with the per-frame t_num hi/lo
-    # rows on the q side (t_num = a.n - e2.w2 depends on the camera apex;
-    # folding it here keeps unit_qn static — no whole-table copy per frame).
-    rm_cat = jnp.concatenate(
-        [rm_hi, rm_lo, rm_hi, jnp.ones((2, TILE), jnp.bfloat16)], axis=0)
+    if not hi_prec:
+        # hi/lo bf16 split of the ray matrix (once per tile): emulates
+        # 3-pass f32 matmuls. One K=26 matmul instead of three K=8 passes:
+        # each extra pass re-pays the MXU's per-output-tile overheads,
+        # which dominate at tiny K. The last two rows are all-ones: they
+        # pair with the per-frame t_num hi/lo rows on the q side (t_num =
+        # a.n - e2.w2 depends on the camera apex; folding it here keeps
+        # unit_qn static — no whole-table copy per frame).
+        rm_hi = rm.astype(jnp.bfloat16)
+        rm_lo = (rm - rm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rm_cat = jnp.concatenate(
+            [rm_hi, rm_lo, rm_hi, jnp.ones((2, TILE), jnp.bfloat16)],
+            axis=0)
 
     # Frustum scalars: [apex xyz, nsub sub-cones x 4 planes x xyz].
     ax = frus_ref[0, b, 0]
@@ -349,26 +381,43 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             # The table's lane dim is padded to 128 (Mosaic DMA slices
             # must be lane-aligned); slice back to the LPU columns here.
             tn_row = tnum_buf[qslot, pl.ds(u, 1)][:, :lpu]     # (1, LPU)
-        # Single-pass bf16 speckles the image (the det/u/v epsilon tests
-        # flip near edges), and HIGHEST costs 6 passes. Three bf16 products
-        # with the hi/lo splits give ~21-bit mantissas — ample for the
-        # reference's 1e-3 u/v epsilons — and fuse into ONE K=24 matmul
-        # (each extra pass re-pays the MXU's per-output-tile overheads,
-        # which dominate at tiny contraction depth).
-        q_hi = q.astype(jnp.bfloat16)
-        q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        # Per-frame t_num rows (hi/lo vs all-ones ray rows): only the
-        # t-block columns carry t_num; det/u/v columns get zeros. Same
-        # precision as the old f32-row-7 scheme (t_hi*1 + t_lo*1).
-        tn_hi = tn_row.astype(jnp.bfloat16)
-        tn_lo = (tn_row - tn_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        t_rows = jnp.concatenate(
-            [jnp.zeros((2, 3 * lpu), jnp.bfloat16),
-             jnp.concatenate([tn_hi, tn_lo], axis=0)], axis=1)  # (2, 4*LPU)
-        q_cat = jnp.concatenate([q_hi, q_hi, q_lo, t_rows], axis=0)
-        out = jax.lax.dot_general(
-            q_cat, rm_cat, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if hi_prec:
+            # True-f32 contraction (Mosaic HIGHEST, 6 passes): required
+            # once u_num/v_num cancellation exceeds the fast3 scheme's
+            # ~17 product bits (tiny units in a big scene — see
+            # resolve_mt_precision). t_num folds into row 7 against the
+            # ray matrix's constant-1 row, exactly as the XLA backend's
+            # q_frame does.
+            row7 = jnp.concatenate(
+                [jnp.zeros((1, 3 * lpu), jnp.float32), tn_row], axis=1)
+            q_full = jnp.concatenate([q[0:7], row7], axis=0)
+            out = jax.lax.dot_general(
+                q_full, rm, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            # Single-pass bf16 speckles the image (the det/u/v epsilon
+            # tests flip near edges). Three bf16 products with the hi/lo
+            # splits give ~21-bit mantissas — ample for the reference's
+            # 1e-3 u/v epsilons on ordinary scenes — and fuse into ONE
+            # K=24 matmul (each extra pass re-pays the MXU's
+            # per-output-tile overheads, which dominate at tiny
+            # contraction depth).
+            q_hi = q.astype(jnp.bfloat16)
+            q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            # Per-frame t_num rows (hi/lo vs all-ones ray rows): only the
+            # t-block columns carry t_num; det/u/v columns get zeros. Same
+            # precision as the old f32-row-7 scheme (t_hi*1 + t_lo*1).
+            tn_hi = tn_row.astype(jnp.bfloat16)
+            tn_lo = (tn_row - tn_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            t_rows = jnp.concatenate(
+                [jnp.zeros((2, 3 * lpu), jnp.bfloat16),
+                 jnp.concatenate([tn_hi, tn_lo], axis=0)],
+                axis=1)  # (2, 4*LPU)
+            q_cat = jnp.concatenate([q_hi, q_hi, q_lo, t_rows], axis=0)
+            out = jax.lax.dot_general(
+                q_cat, rm_cat, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         det = out[0 * lpu:1 * lpu]
         u_num = out[1 * lpu:2 * lpu]
         v_num = out[2 * lpu:3 * lpu]
@@ -610,7 +659,8 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
                                fused_cfg=cfg if fused else None,
                                kraygen=kraygen,
                                grid_su=(scene.sub_level if compressed
-                                        else None))
+                                        else None),
+                               hi_prec=cfg.mt_precision == "highest")
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.SMEM)

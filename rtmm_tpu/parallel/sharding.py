@@ -367,6 +367,8 @@ class ShardedRenderer:
     backend: str = "auto"    # tiled-sharded body: "pallas" | "xla" | "auto"
 
     def __post_init__(self):
+        from ..ops import pallas_tiled
+        self.cfg = pallas_tiled.resolve_mt_precision(self.scene, self.cfg)
         pw, ph = tiled.padded_size(self.cfg.width, self.cfg.height)
         tx = pw // culling.TILE_W
         ty = ph // culling.TILE_H

@@ -266,7 +266,7 @@ def render_instanced(scene: DeviceScene, instances: list[Instance],
 def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
     import jax as _jax
 
-    from ..ops import culling, shading, tiled
+    from ..ops import culling, pallas_tiled, shading, tiled
     from ..ops.tiled import TILE
 
     if interpret is None:
@@ -294,63 +294,125 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
     s_w = ((origins_w - apex_w) * dirs_w).sum(-1)        # (tiles, TILE)
     lpu = scene.leaves_per_unit
 
+    cap = cfg.instance_tile_cap or max(4 * cfg.tiles_per_block, n_tiles // 8)
+    m_cap = min(n_tiles, cap)
+    use_compact = m_cap < n_tiles
+
     def one_instance(carry, inst):
         best_t, best_n = carry                            # world-space
         r, t, s = inst                                    # (3,3), (3,), ()
         inv_s = 1.0 / s
         # object space: p_obj = R^T (p - t) / s, directions rotate only
         apex_o = (r.T @ (apex_w - t)) * inv_s
-        dirs_o = jnp.einsum("ij,xyj->xyi", r.T, dirs_w)
-        m_o = jnp.cross(jnp.broadcast_to(apex_o, dirs_o.shape), dirs_o)
-        s_o = s_w * inv_s
-        raymat = jnp.concatenate(
-            [dirs_o, m_o, s_o[..., None], jnp.ones_like(s_o)[..., None]],
-            axis=-1)
         normals_o = jnp.einsum("ij,xyj->xyi", r.T, normals_w)
         sub_normals_o = jnp.einsum("ij,xsyj->xsyi", r.T, sub_normals_w)
-        cluster_hit = culling.cull_units(
+        cluster_hit_full = culling.cull_units(
             apex_o, normals_o, scene.cluster_aabb_min,
             scene.cluster_aabb_max, scene.cluster_valid)
         t_num = (scene.unit_n * apex_o).sum(-1) - scene.unit_e2w2
-        # Only the XLA correctness path gathers whole q blocks; the Pallas
-        # branch keeps unit_qn static and folds t_num in-kernel.
-        q_frame = (scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
-                   if interpret else None)
-        fi = tiled.FrameInputs(raymat, q_frame, dirs_o, apex_o, normals_o,
-                               cluster_hit, sub_normals_o, t_num)
         kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
 
-        # Carry converts world -> object (t scales, normal rows rotate) so
-        # the kernel's early exit prunes against hits from prior instances.
-        init_t = best_t * inv_s
-        if interpret:
-            # XLA windowed tracer (CPU correctness path).
-            init_n3 = jnp.einsum("ij,xyj->xyi", r.T, best_n)
-            bt_o, bn_o3 = tiled.trace_windowed(
-                scene, fi, cfg,
-                _xla_window(scene, fi, cfg), init_t, init_n3)
-            bn_w = jnp.einsum("ij,xyj->xyi", r, bn_o3)
-        else:
-            from ..ops import pallas_tiled
+        def object_raymat(dirs_g, s_g):
+            dirs_o = jnp.einsum("ij,xyj->xyi", r.T, dirs_g)
+            m_o = jnp.cross(jnp.broadcast_to(apex_o, dirs_o.shape), dirs_o)
+            s_o = s_g * inv_s
+            return dirs_o, jnp.concatenate(
+                [dirs_o, m_o, s_o[..., None],
+                 jnp.ones_like(s_o)[..., None]], axis=-1)
 
+        def trace_compact(args):
+            """Per-tile instance culling: gather only the tiles whose
+            frustum sees this instance, trace those through the kernel,
+            scatter the improved world-space hits back. Per-instance cost
+            is O(screen footprint), not O(frame) — the role hardware
+            instance culling plays for the reference's TLAS
+            (GPUMesh.cpp:238-278)."""
+            best_t, best_n = args
+            tile_sees = cluster_hit_full.any(axis=1)      # (tiles,)
+            key = jnp.where(tile_sees,
+                            n_tiles - jax.lax.iota(jnp.int32, n_tiles), 0)
+            _, tidx = jax.lax.top_k(key, m_cap)           # ascending tiles
+            # Padding slots land on distinct unseen tiles (top_k indices
+            # are unique): their ccount is 0, the trace returns the carry,
+            # and the scatter writes back unchanged values.
+            dirs_o, raymat = object_raymat(dirs_w[tidx], s_w[tidx])
+            fi = tiled.FrameInputs(
+                raymat, None, dirs_o, apex_o, normals_o[tidx],
+                cluster_hit_full[tidx], sub_normals_o[tidx], t_num)
             frus = tiled.frustum_scalars(fi)
-            init_n = jnp.zeros((n_tiles, 8, TILE), jnp.float32)
-            init_n = init_n.at[:, 0:3].set(
-                jnp.einsum("ij,xjy->xiy", r.T,
-                           best_n.transpose(0, 2, 1)))
             raymat_t = raymat.transpose(0, 2, 1)
 
             def trace_window(ccand, ccount, centry, bt, bn):
                 return pallas_tiled.trace_pallas(
                     scene, raymat_t, t_num, frus, ccand, ccount, centry,
-                    bt, bn, cfg, interpret=False)
+                    bt, bn, cfg, interpret=interpret)
 
+            old_t = best_t[tidx]
+            init_t = old_t * inv_s
+            init_n = jnp.zeros((m_cap, 8, TILE), jnp.float32)
+            init_n = init_n.at[:, 0:3].set(
+                jnp.einsum("ij,xjy->xiy", r.T,
+                           best_n[tidx].transpose(0, 2, 1)))
             bt_o, bn_rows = tiled.trace_windowed_clusters(
                 scene, fi, cfg, trace_window, init_t, init_n, kc=kc)
-            bn_w = jnp.einsum("ij,xjy->xyi", r,
-                              bn_rows[:, 0:3])            # (tiles, TILE, 3)
-        bt_w = jnp.where(bt_o < BIG * 0.5, bt_o * s, best_t)
-        return (bt_w, bn_w), None
+            bn_w = jnp.einsum("ij,xjy->xyi", r, bn_rows[:, 0:3])
+            bt_w = jnp.where(bt_o < BIG * 0.5, bt_o * s, old_t)
+            improved = bt_w < old_t
+            new_t = best_t.at[tidx].set(jnp.where(improved, bt_w, old_t))
+            new_n = best_n.at[tidx].set(
+                jnp.where(improved[..., None], bn_w, best_n[tidx]))
+            return new_t, new_n
+
+        def trace_full(args):
+            """All tiles (an instance filling most of the frame)."""
+            best_t, best_n = args
+            dirs_o, raymat = object_raymat(dirs_w, s_w)
+            # Only the XLA correctness path gathers whole q blocks; the
+            # Pallas branch keeps unit_qn static and folds t_num in-kernel.
+            q_frame = (scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
+                       if interpret else None)
+            fi = tiled.FrameInputs(raymat, q_frame, dirs_o, apex_o,
+                                   normals_o, cluster_hit_full,
+                                   sub_normals_o, t_num)
+            # Carry converts world -> object (t scales, normal rows
+            # rotate) so the kernel's early exit prunes against hits from
+            # prior instances.
+            init_t = best_t * inv_s
+            if interpret:
+                # XLA windowed tracer (CPU correctness path).
+                init_n3 = jnp.einsum("ij,xyj->xyi", r.T, best_n)
+                bt_o, bn_o3 = tiled.trace_windowed(
+                    scene, fi, cfg,
+                    _xla_window(scene, fi, cfg), init_t, init_n3)
+                bn_w = jnp.einsum("ij,xyj->xyi", r, bn_o3)
+            else:
+                frus = tiled.frustum_scalars(fi)
+                init_n = jnp.zeros((n_tiles, 8, TILE), jnp.float32)
+                init_n = init_n.at[:, 0:3].set(
+                    jnp.einsum("ij,xjy->xiy", r.T,
+                               best_n.transpose(0, 2, 1)))
+                raymat_t = raymat.transpose(0, 2, 1)
+
+                def trace_window(ccand, ccount, centry, bt, bn):
+                    return pallas_tiled.trace_pallas(
+                        scene, raymat_t, t_num, frus, ccand, ccount,
+                        centry, bt, bn, cfg, interpret=False)
+
+                bt_o, bn_rows = tiled.trace_windowed_clusters(
+                    scene, fi, cfg, trace_window, init_t, init_n, kc=kc)
+                bn_w = jnp.einsum("ij,xjy->xyi", r,
+                                  bn_rows[:, 0:3])        # (tiles, TILE, 3)
+            bt_w = jnp.where(bt_o < BIG * 0.5, bt_o * s, best_t)
+            return bt_w, bn_w
+
+        if use_compact:
+            n_seen = cluster_hit_full.any(axis=1).sum()
+            best_t, best_n = jax.lax.cond(
+                n_seen <= m_cap, trace_compact, trace_full,
+                (best_t, best_n))
+        else:
+            best_t, best_n = trace_full((best_t, best_n))
+        return (best_t, best_n), None
 
     init = (jnp.full((n_tiles, TILE), BIG, jnp.float32),
             jnp.zeros((n_tiles, TILE, 3), jnp.float32))
@@ -390,8 +452,10 @@ class InstancedRenderer:
     def __init__(self, scene: DeviceScene, instances: list[Instance], cfg):
         import functools
 
+        from ..ops import pallas_tiled
+
         self.scene = scene
-        self.cfg = cfg
+        self.cfg = cfg = pallas_tiled.resolve_mt_precision(scene, cfg)
         self.rot = jnp.asarray(np.stack([i.rotation for i in instances]),
                                jnp.float32)
         self.trn = jnp.asarray(np.stack([i.translation for i in instances]),

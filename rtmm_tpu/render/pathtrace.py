@@ -372,7 +372,8 @@ class PathTracer:
     def __init__(self, scene: DeviceScene, cfg: RenderConfig | None = None,
                  pt: PathTraceConfig | None = None):
         self.scene = scene
-        self.cfg = cfg or RenderConfig()
+        self.cfg = pallas_tiled.resolve_mt_precision(scene,
+                                                     cfg or RenderConfig())
         self.pt = pt or PathTraceConfig()
         if self.pt.bounce_t_max is None:
             lo = np.asarray(scene.cluster_aabb_min)

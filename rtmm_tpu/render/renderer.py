@@ -91,7 +91,8 @@ class Renderer:
 
     def __init__(self, scene: DeviceScene, cfg: RenderConfig | None = None):
         self.scene = scene
-        self.cfg = cfg or RenderConfig()
+        self.cfg = pallas_tiled.resolve_mt_precision(scene,
+                                                     cfg or RenderConfig())
         # keep_unused: pipelines use different subsets of the scene arrays;
         # argument pruning has shown executable-cache inconsistencies
         # ("supplied N buffers but compiled program expected M") when scenes

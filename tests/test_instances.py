@@ -129,3 +129,35 @@ def test_two_level_traversal_64_instances(base_scene):
     diff = np.abs(two_level - baked).max(-1)
     npix = int((diff > 1e-3).sum())
     assert npix <= 6, f"{npix} pixels diverge vs baked instances"
+
+
+def test_instanced_tile_compaction_matches_full():
+    """Per-tile instance culling (gather visible tiles -> trace -> scatter
+    back) must be pixel-identical to the full-grid path, including the
+    cond fallback when an instance exceeds the cap."""
+    import dataclasses
+
+    from rtmm_tpu.render import instances as inst_mod
+    mesh = procedural.make_plane(grid=(2, 2), level=1, amplitude=0.2)
+    ds = scene_mod.build_device_scene(mesh)
+    ring = [
+        inst_mod.Instance.from_euler([0.0, 0.0, 0.0], (0.0, 0.0, 0.0), 1.0),
+        inst_mod.Instance.from_euler([1.4, 0.9, 0.3], (0.2, 0.5, 0.1), 0.35),
+        inst_mod.Instance.from_euler([-1.2, -0.8, -0.2], (0.1, 0.2, 0.4),
+                                     0.3),
+    ]
+    cfg_full = RenderConfig(width=128, height=64, max_candidates=8,
+                            instance_tile_cap=10**9)   # cap >= tiles: full
+    cfg_comp = dataclasses.replace(cfg_full, instance_tile_cap=4)
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(-40), np.radians(15), 0.0], 3.5)
+    ivp = camera.inv_view_proj(tb, cfg_full.width, cfg_full.height)
+    a = np.asarray(inst_mod.InstancedRenderer(ds, ring, cfg_full).render(ivp))
+    b = np.asarray(inst_mod.InstancedRenderer(ds, ring, cfg_comp).render(ivp))
+    # The big identity instance exceeds cap=4 tiles (cond -> full branch);
+    # the small ones ride the compact gather/scatter. Full path on CPU is
+    # the XLA tracer, compact is the interpret-mode kernel: epsilon-
+    # boundary pixels may flip, nothing else.
+    diff = np.abs(a - b).max(-1)
+    npix = int((diff > 1e-4).sum())
+    assert npix <= 5, f"{npix} pixels diverge"
