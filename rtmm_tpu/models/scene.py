@@ -183,10 +183,17 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
                 "(mixed levels / decimated presence need the stitched leaf "
                 "tables; build with compressed=False)")
         return build_compressed_scene(mesh)
-    tables = None
+    # Non-uniform meshes batch by (level, presence-pattern) group: the
+    # stitched topology is shared within a group, so the precompute
+    # vectorizes over its triangles (a real decimated asset has a handful
+    # of patterns — interior all-present + a few edge cases) instead of
+    # the old ~1.5 ms/triangle Python loop.
+    groups = None
     if not uniform:
-        tables = [precompute.build_triangle_tables(t, mesh)
-                  for t in mesh.triangles]
+        groups = {}
+        for i, t in enumerate(mesh.triangles):
+            key = (t.subdivision_level, t.u_present.tobytes())
+            groups.setdefault(key, []).append(i)
     t_pad = max(_round_up(t_real, pad_triangles_to), pad_triangles_to)
     max_level = mesh.max_level
 
@@ -194,7 +201,8 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
         if uniform:
             nf = max(4**max_level, 1)
         else:
-            nf = max(max(tb.tess_verts.shape[0] for tb in tables), 1)
+            nf = max(max(mesh.triangles[ids[0]].u_faces.shape[0]
+                         for ids in groups.values()), 1)
         ni = 1
     else:
         ni = max(subdivision.num_internal_nodes(max_level), 1)
@@ -247,29 +255,32 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
                 leaf_verts[s:e, :f] = bt["leaf_verts"]
                 leaf_mask[s:e, :f] = True
     else:
-        for i, tb in enumerate(tables):
-            aabb_min[i] = tb.aabb_min
-            aabb_max[i] = tb.aabb_max
-            plane["t"][i] = tb.plane_t
-            plane["b"][i] = tb.plane_b
-            plane["n"][i] = tb.plane_n
-            plane["o"][i] = tb.plane_o
-            tri_valid[i] = True
-            if tessellated:
-                f = tb.tess_verts.shape[0]
-                leaf_verts[i, :f] = tb.tess_verts
-                leaf_mask[i, :f] = True
-                continue
-            ni_t = tb.node_verts.shape[0]
-            if hierarchy:
-                node_verts[i, :ni_t] = tb.node_verts
-                node_minmax[i, :ni_t] = tb.node_minmax
-                node_pass[i, :ni_t] = False  # real nodes: use the test
-            # Leaves: slot k (level level_t) -> flat slot k << 2*(L - level_t).
-            shift = 4 ** (max_level - tb.level)
-            flat = tb.leaf_slots * shift
-            leaf_verts[i, flat] = tb.leaf_verts
-            leaf_mask[i, flat] = True
+        for (lvl_g, _), ids in groups.items():
+            chunk = max(1, 2_000_000 // max(4**lvl_g, 1))
+            for s in range(0, len(ids), chunk):
+                sel = np.asarray(ids[s:s + chunk], np.int64)
+                bt = precompute.build_group_tables(mesh, sel)
+                aabb_min[sel] = bt["aabb_min"]
+                aabb_max[sel] = bt["aabb_max"]
+                plane["t"][sel] = bt["plane_t"]
+                plane["b"][sel] = bt["plane_b"]
+                plane["n"][sel] = bt["plane_n"]
+                plane["o"][sel] = bt["plane_o"]
+                tri_valid[sel] = True
+                if tessellated:
+                    f = bt["tess_verts"].shape[1]
+                    leaf_verts[sel, :f] = bt["tess_verts"]
+                    leaf_mask[sel, :f] = True
+                    continue
+                ni_t = bt["node_verts"].shape[1]
+                if ni_t and hierarchy:
+                    node_verts[sel, :ni_t] = bt["node_verts"]
+                    node_minmax[sel, :ni_t] = bt["node_minmax"]
+                    node_pass[sel, :ni_t] = False  # real nodes: test them
+                # Leaves: slot k (level lvl_g) -> flat k << 2*(L - lvl_g).
+                flat = bt["leaf_slots"] * 4 ** (max_level - lvl_g)
+                leaf_verts[sel[:, None], flat[None, :]] = bt["leaf_verts"]
+                leaf_mask[sel[:, None], flat[None, :]] = True
 
     units = pack_units(leaf_verts.reshape(-1, 3, 3), leaf_mask.reshape(-1))
 

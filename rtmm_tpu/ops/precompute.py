@@ -309,6 +309,152 @@ def build_uniform_tables(mesh: mesh_mod.MicroMesh, start: int, stop: int
                 tess_verts=tess_verts)
 
 
+def build_group_tables(mesh: mesh_mod.MicroMesh, idx) -> dict:
+    """Batched TriangleTables for triangles sharing (level, presence).
+
+    idx: triangle indices whose subdivision level AND u_present pattern are
+    identical — the stitched leaf topology (u_faces, enumerate_leaves) is
+    then shared, so every per-triangle quantity vectorizes over the group.
+    This turns the mixed-level/decimated scene build from a ~1.5 ms/tri
+    Python loop into dense NumPy over pattern groups (a real stitched
+    asset has a handful of patterns: interior all-present + a few edge
+    decimation cases).
+
+    Returns build_uniform_tables-style arrays plus the group's shared
+    leaf_slots (NL,) — leaf_verts rows follow enumerate_leaves order.
+    """
+    idx = np.asarray(idx, np.int64)
+    tris = [mesh.triangles[i] for i in idx]
+    t0 = tris[0]
+    lvl = t0.subdivision_level
+    present = t0.u_present
+    n = len(tris)
+    bidx = np.stack([t.base_vertex_indices for t in tris])
+    u_pos = np.stack([t.u_positions for t in tris]).astype(np.float32)
+    u_disp = np.stack([t.u_displacements for t in tris]).astype(np.float32)
+    v0 = mesh.positions[bidx[:, 0]].astype(np.float32)
+    v1 = mesh.positions[bidx[:, 1]].astype(np.float32)
+    v2 = mesh.positions[bidx[:, 2]].astype(np.float32)
+    d0 = mesh.directions[bidx[:, 0]].astype(np.float32)
+    d1 = mesh.directions[bidx[:, 1]].astype(np.float32)
+    d2 = mesh.directions[bidx[:, 2]].astype(np.float32)
+
+    def nrm_rows(x):
+        return (x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
+                               1e-20)).astype(np.float32)
+
+    e1b = v1 - v0
+    e2b = v2 - v0
+    pn = nrm_rows(np.cross(e1b, e2b))
+    pt = nrm_rows(e1b)
+    pb = nrm_rows(np.cross(pn, pt))
+
+    displaced = u_pos + u_disp                                   # (N, M, 3)
+    aabb_min = displaced.min(axis=1)
+    aabb_max = displaced.max(axis=1)
+
+    bc = _barycentric_batch(v0, v1, v2, u_pos)                   # (N, M, 3)
+    d = (bc[..., 0:1] * d0[:, None] + bc[..., 1:2] * d1[:, None]
+         + bc[..., 2:3] * d2[:, None]).astype(np.float32)
+    dd = (d * d).sum(-1)
+    scales = _safe_div((u_disp * d).sum(-1), dd).astype(np.float32)
+    scales = np.where(dd == 0.0, 0.0, scales).astype(np.float32)
+    scales = np.where(present[None, :], scales,
+                      np.float32(-1.0)).astype(np.float32)
+
+    heights = (u_disp * pn[:, None]).sum(-1).astype(np.float32)  # (N, M)
+    moved = displaced - po_broadcast(v0, u_pos)
+    pts2d = np.stack([(moved * pt[:, None]).sum(-1),
+                      (moved * pb[:, None]).sum(-1)],
+                     axis=-1).astype(np.float32)                 # (N, M, 2)
+
+    faces = t0.u_faces                                           # shared
+    ni = subdivision.num_internal_nodes(lvl)
+    node_minmax = np.zeros((n, ni, 2), np.float32)
+    node_delta = np.zeros((n, ni), np.float32)
+    node_verts = np.zeros((n, ni, 3, 2), np.float32)
+
+    if lvl > 0:
+        coords_all = subdivision.grid_coords(lvl)
+        face_coords = coords_all[faces]                          # (F, 3, 2)
+        paths = subdivision.face_node_paths(face_coords, lvl)
+        fheights = heights[:, faces]                             # (N, F, 3)
+        fpts = pts2d[:, faces]                                   # (N, F, 3, 2)
+        tables = subdivision.node_corner_table(lvl)
+        f = faces.shape[0]
+        for l in range(lvl):
+            off = subdivision.level_offset(l)
+            count = 4**l
+            nof = paths[:, l]                                    # (F,)
+            # Scatter min/max heights per (tri, node): stitched topologies
+            # have UNEVEN faces-per-node, so use flat scatter indices
+            # instead of build_uniform_tables' equal-count reshape.
+            flat = (np.arange(n)[:, None, None] * count
+                    + nof[None, :, None])                        # (N, F, 1)
+            flat3 = np.broadcast_to(flat, (n, f, 3)).reshape(-1)
+            mn = np.full(n * count, BIG, np.float32)
+            mx = np.full(n * count, -BIG, np.float32)
+            np.minimum.at(mn, flat3, fheights.reshape(-1))
+            np.maximum.at(mx, flat3, fheights.reshape(-1))
+            mn = mn.reshape(n, count)
+            mx = mx.reshape(n, count)
+            empty = mn > mx
+            node_minmax[:, off:off + count, 0] = np.where(empty, BIG, mn)
+            node_minmax[:, off:off + count, 1] = np.where(empty, -BIG, mx)
+
+            corner2d = pts2d[:, subdivision.grid_index(tables[l])]
+            c = corner2d[np.arange(n)[:, None], nof[None, :]]    # (N, F, 3, 2)
+            a_ = c[:, :, [0, 1, 2]][:, :, :, None, :]    # (N, F, 3e, 1, 2)
+            b_ = c[:, :, [1, 2, 0]][:, :, :, None, :]
+            ce1 = c[:, :, 1] - c[:, :, 0]
+            ce2 = c[:, :, 2] - c[:, :, 0]
+            ccw = (ce1[..., 0] * ce2[..., 1]
+                   - ce1[..., 1] * ce2[..., 0]) > 0.0            # (N, F)
+            p = fpts[:, :, None, :, :]                   # (N, F, 1, 3p, 2)
+            ab = b_ - a_
+            ap = p - a_
+            ab_len2 = (ab * ab).sum(-1)
+            tt = np.clip(_safe_div((ap * ab).sum(-1), ab_len2), 0.0, 1.0)
+            closest = a_ + tt[..., None] * ab
+            dist = np.linalg.norm(p - closest, axis=-1)          # (N,F,3,3)
+            cross = ab[..., 0] * ap[..., 1] - ab[..., 1] * ap[..., 0]
+            outside = np.where(ccw[..., None, None], cross <= 0.0,
+                               ~(cross <= 0.0))
+            contrib = np.where(outside, dist, 0.0).reshape(n, f, 9)
+            delta = np.zeros(n * count, np.float32)
+            flat9 = np.broadcast_to(flat, (n, f, 9)).reshape(-1)
+            np.maximum.at(delta, flat9,
+                          contrib.reshape(-1).astype(np.float32))
+            delta = delta.reshape(n, count)
+            node_delta[:, off:off + count] = delta
+            node_verts[:, off:off + count] = expand_triangle(corner2d, delta)
+
+    def present_at(c):
+        return present[subdivision.grid_index(c)]
+
+    leaf_slots, leaf_corners = subdivision.enumerate_leaves(lvl, present_at)
+    denom = max(2**lvl, 1)
+    u = leaf_corners[..., 0] / denom                             # (NL, 3)
+    w = leaf_corners[..., 1] / denom
+    lbc = np.stack([1.0 - u, u - w, w], axis=-1).astype(np.float32)
+    base = (lbc[None, ..., 0:1] * v0[:, None, None]
+            + lbc[None, ..., 1:2] * v1[:, None, None]
+            + lbc[None, ..., 2:3] * v2[:, None, None])
+    ldirs = (lbc[None, ..., 0:1] * d0[:, None, None]
+             + lbc[None, ..., 1:2] * d1[:, None, None]
+             + lbc[None, ..., 2:3] * d2[:, None, None])
+    s = scales[:, subdivision.grid_index(leaf_corners)]          # (N, NL, 3)
+    leaf_verts = (base + s[..., None] * ldirs).astype(np.float32)
+
+    tess_verts = displaced[:, faces].astype(np.float32)
+
+    return dict(level=lvl, plane_t=pt, plane_b=pb, plane_n=pn, plane_o=v0,
+                aabb_min=aabb_min, aabb_max=aabb_max, scales=scales,
+                node_minmax=node_minmax, node_delta=node_delta,
+                node_verts=node_verts, leaf_slots=leaf_slots,
+                leaf_verts=leaf_verts, tess_verts=tess_verts)
+
+
 def po_broadcast(v0: np.ndarray, u_pos: np.ndarray) -> np.ndarray:
     """Plane origin (= v0) broadcast over the micro-vertex axis."""
     return np.broadcast_to(v0[:, None], u_pos.shape)

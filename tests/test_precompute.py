@@ -137,3 +137,44 @@ def test_aabb_contains_displaced(plane_mesh):
         displaced = tri.u_positions + tri.u_displacements
         assert (displaced >= tb.aabb_min - 1e-6).all()
         assert (displaced <= tb.aabb_max + 1e-6).all()
+
+
+def test_group_tables_match_per_triangle():
+    """The batched (level, presence-pattern) group precompute must agree
+    with the per-triangle reference path on a stitched mixed-level mesh
+    (scales/node tables/leaves — the whole TriangleTables surface)."""
+    import os
+
+    from rtmm_tpu.models import procedural
+    mesh = procedural.make_plane(grid=(3, 3), level=2, amplitude=0.25,
+                                 mixed_levels=True)
+    os.environ["RTMM_NO_NATIVE"] = "1"
+    try:
+        groups = {}
+        for i, t in enumerate(mesh.triangles):
+            groups.setdefault((t.subdivision_level, t.u_present.tobytes()),
+                              []).append(i)
+        assert len(groups) > 2            # stitching produced patterns
+        for ids in groups.values():
+            bt = precompute.build_group_tables(mesh, ids)
+            for row, i in enumerate(ids):
+                tb = precompute.build_triangle_tables(mesh.triangles[i],
+                                                      mesh)
+                np.testing.assert_allclose(bt["scales"][row], tb.scales,
+                                           rtol=1e-6, atol=1e-7)
+                np.testing.assert_allclose(bt["aabb_min"][row], tb.aabb_min,
+                                           atol=1e-6)
+                np.testing.assert_allclose(
+                    bt["node_minmax"][row], tb.node_minmax, atol=1e-5)
+                np.testing.assert_allclose(
+                    bt["node_delta"][row], tb.node_delta, atol=1e-5)
+                np.testing.assert_allclose(
+                    bt["node_verts"][row], tb.node_verts, atol=1e-4)
+                np.testing.assert_array_equal(bt["leaf_slots"],
+                                              tb.leaf_slots)
+                np.testing.assert_allclose(
+                    bt["leaf_verts"][row], tb.leaf_verts, atol=1e-5)
+                np.testing.assert_allclose(
+                    bt["tess_verts"][row], tb.tess_verts, atol=1e-6)
+    finally:
+        del os.environ["RTMM_NO_NATIVE"]
