@@ -42,7 +42,8 @@ def _frames_per_call(cfg) -> int:
 def _build_config(n: int):
     metric, scene, cfg, f = _build_config_raw(n)
     from rtmm_tpu.ops.pallas_tiled import resolve_mt_precision
-    return metric, scene, resolve_mt_precision(scene, cfg), f
+    ds = scene[0] if isinstance(scene, tuple) else scene
+    return metric, scene, resolve_mt_precision(ds, cfg), f
 
 
 def _build_config_raw(n: int):
@@ -112,6 +113,27 @@ def _build_config_raw(n: int):
         return ("pathtrace_subdiv5_3bounce", scene,
                 RenderConfig(width=512, height=512, sub_frusta=8),
                 None)  # special-cased
+    if n == 8:
+        # TRUE two-level (TLAS-analog) traversal at instance scale: 64
+        # instances of one shared object-space scene, O(scene + N) HBM,
+        # per-instance ray transform + per-tile instance culling
+        # (render/instances.py::render_instanced). Config 4 measures the
+        # baked alternative (O(N x scene) HBM, 6 instances).
+        from rtmm_tpu.render import instances as inst_mod
+        mesh = procedural.make_icosphere(subdivisions=1, level=3,
+                                         amplitude=0.12)
+        base = scene_mod.build_device_scene(mesh)
+        rng = np.random.default_rng(9)
+        ring = []
+        for i in range(64):
+            a = 2.0 * np.pi * i / 64
+            rad = 2.4 + 0.9 * ((i * 7) % 3)
+            ring.append(inst_mod.Instance.from_euler(
+                [rad * np.cos(a), rad * np.sin(a),
+                 0.8 * float(rng.standard_normal())],
+                (0.0, a, 0.2 * i), 0.35))
+        return ("instanced_tlas_64x_1080p", (base, ring),
+                RenderConfig(width=1920, height=1080), None)
     raise SystemExit(f"unknown config {n}")
 
 
@@ -261,6 +283,65 @@ def _verify_image(scene, cfg, dist: float = 3.0) -> dict:
             "verify_maxdiff": round(float(np.asarray(maxdiff)), 5)}
 
 
+def _bench_instanced(base_scene, ring, cfg, dist: float = 6.5):
+    """Config 8: the true two-level instanced path, orbit-in-one-call
+    (same relay-amortization scheme as _bench_render)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtmm_tpu.render import instances as inst_mod
+    from rtmm_tpu.utils import camera
+
+    frames_per_call = _frames_per_call(cfg)
+    rot = jnp.asarray(np.stack([i.rotation for i in ring]), jnp.float32)
+    trn = jnp.asarray(np.stack([i.translation for i in ring]), jnp.float32)
+    scl = jnp.asarray(np.asarray([i.scale for i in ring]), jnp.float32)
+
+    def make_ivps(offset: float):
+        out = []
+        for k in range(frames_per_call):
+            tb = camera.Trackball()
+            tb.set_camera(
+                [0.0, 0.0, 0.0],
+                [np.radians(-30.0),
+                 np.radians(offset + 360.0 / frames_per_call * k), 0.0],
+                dist)
+            out.append(camera.inv_view_proj(tb, cfg.width, cfg.height))
+        return jnp.asarray(np.stack(out))
+
+    @jax.jit
+    def orbit(scene_, ms):
+        def one(m):
+            img = inst_mod._render_instanced(scene_, rot, trn, scl, m, cfg,
+                                             interpret=False)
+            return (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5
+                    ).astype(jnp.uint8)
+        frames = jax.lax.map(one, ms)
+        return frames[:, ::64, ::64, :].sum(dtype=jnp.int32)
+
+    checksum = int(np.asarray(orbit(base_scene, make_ivps(25.0))))
+    assert checksum > 0
+    times = []
+    attempts = 0
+    while len(times) < 4 and attempts < 10:
+        attempts += 1
+        try:
+            ivps = make_ivps(25.0 + attempts * 0.7)
+            jax.block_until_ready(ivps)
+            t0 = time.perf_counter()
+            checksum = int(np.asarray(orbit(base_scene, ivps)))
+            times.append(time.perf_counter() - t0)
+            assert checksum > 0
+        except jax.errors.JaxRuntimeError as exc:
+            print(f"bench attempt {attempts} failed: "
+                  f"{type(exc).__name__}: {str(exc)[:160]}", file=sys.stderr)
+            time.sleep(2.0)
+    if not times:
+        raise SystemExit(3)
+    dt = float(np.median(times)) / frames_per_call
+    return cfg.width * cfg.height / dt / 1e6
+
+
 def _bench_pathtrace(scene, cfg, metric, frames: int = 8):
     """Config 5: total rays traced per second across bounces + samples.
 
@@ -344,6 +425,9 @@ def main() -> None:
     result = {"metric": metric, "unit": "Mrays/s"}
     if n == 5:
         mrays = _bench_pathtrace(scene, cfg, metric)
+    elif n == 8:
+        base, ring = scene
+        mrays = _bench_instanced(base, ring, cfg)
     else:
         dist = 4.5 if n == 4 else 3.0
         mrays = _bench_render(scene, cfg, metric, dist=dist)

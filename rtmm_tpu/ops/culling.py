@@ -21,11 +21,20 @@ camera is automatically rejected because all plane dots flip sign.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
-TILE_H = 8
-TILE_W = 128
+# Pixel footprint of one 1024-ray tile (TILE_H * TILE_W must stay 1024 —
+# the lane count of the kernel's ray matrix). Squarer tiles have smaller
+# perimeter, so each tile's frustum overlaps fewer traversal units
+# ((W + u)(H + u) incidences for unit footprint u) and silhouettes
+# straddle fewer tiles; the ray-matrix layout is unaffected (lanes map to
+# pixels row-major within the tile). Overridable for A/B measurement.
+_shape = os.environ.get("RTMM_TILE_SHAPE", "8x128")
+TILE_H, TILE_W = (int(x) for x in _shape.split("x"))
+assert TILE_H * TILE_W == 1024, "tile must hold 1024 rays"
 # Traversal units per scene cluster (the coarse level of the two-level
 # cull). 64 keeps the per-tile cluster matrix tiny while one cluster's
 # units fill exactly half a candidate-window sort lane block.
