@@ -76,13 +76,18 @@ class DeviceScene:
     unit_leaf_idx: jax.Array  # (U, LPU) int32
     # MXU-form Möller-Trumbore tables: with a shared ray apex `a`, the MT
     # quantities become bilinear in (ray, leaf):
-    #   det   = [d, a x d] . [-n, 0]
-    #   u_num = [d, a x d] . [-w1, e2]     (w1 = e2 x v0, n = e1 x e2)
-    #   v_num = [d, a x d] . [-w2, -e1]    (w2 = v0 x e1)
-    #   t_num = a.n - e2.w2                (ray-independent)
+    #   det   = [d, m] . [-n, 0]
+    #   u_num = [d, m] . [-w1, e2]         (w1 = e2 x (v0 - c), n = e1 x e2)
+    #   v_num = [d, m] . [-w2, -e1]        (w2 = (v0 - c) x e1)
+    #   t_num = (a - c).n - e2.w2          (ray-independent)
     # so one (rays, 6) @ (6, 3*LPU) matmul per (tile, candidate) computes
     # every ray x leaf test on the MXU. Absent leaves are zero rows
     # (det == 0 -> rejected by the reference's own epsilon).
+    # unit_qn / unit_e2w2 are RECENTERED about the unit AABB center
+    # c = 0.5*(unit_aabb_min + unit_aabb_max); consumers use the moment
+    # m = (a - c) x d (translation-invariant result, unit-magnitude
+    # partial products — see pack_units). unit_q16 keeps ABSOLUTE
+    # coordinates (per-ray-origin engines, m = o x d directly).
     unit_qn: jax.Array        # (U, 8, 4*LPU + 128) [det|u|v|t_num|nrm rows]
     unit_n: jax.Array         # (U, LPU, 3) unnormalized e1 x e2
     unit_e2w2: jax.Array      # (U, LPU)
@@ -338,14 +343,31 @@ def pack_units(leaf_verts_flat: np.ndarray, leaf_mask_flat: np.ndarray
     unit_aabb_min = np.where(ulm[..., None], ulv, big3).min(axis=1)
     unit_aabb_max = np.where(ulm[..., None], ulv, -big3).max(axis=1)
 
-    # MXU-form MT tables (see DeviceScene docstring).
+    # MXU-form MT tables (see DeviceScene docstring). The u/v blocks are
+    # RECENTERED about the unit AABB center c = 0.5*(min+max): w1/w2 use
+    # v0 - c, and the trace-time ray moment becomes (apex - c) x d (the
+    # kernels rebuild it per unit from the same AABBs). Möller-Trumbore is
+    # translation-invariant, so results are identical analytically — but
+    # every cancelling partial product shrinks from scene magnitude to
+    # unit magnitude, which is what lets the 3-pass bf16 matmul scheme
+    # (~17 product bits) stay exact at any scene scale (a 10^6-triangle
+    # scene's units are ~1/2000 of the scene diagonal; absolute-coordinate
+    # products would need ~11 more bits than bf16x3 has).
     lmu = lmu_b[..., None].astype(np.float32)
     v0, v1, v2 = lvu[:, :, 0], lvu[:, :, 1], lvu[:, :, 2]
+    center = 0.5 * (unit_aabb_min + unit_aabb_max)        # (U, 3)
+    v0c = (v0 - center[:, None, :]) * lmu
     e1 = (v1 - v0) * lmu
     e2 = (v2 - v0) * lmu
     nvec = np.cross(e1, e2)
-    w1 = np.cross(e2, v0 * lmu)
-    w2 = np.cross(v0 * lmu, e1)
+    w1 = np.cross(e2, v0c)
+    w2 = np.cross(v0c, e1)
+    # The arbitrary-origin q16 table (secondary-bounce engines) keeps
+    # ABSOLUTE coordinates: its consumers (ops/grouped.py,
+    # ops/pallas_grouped.py) build per-ray rows [d, o x d, o, 1] without a
+    # per-unit recentering step.
+    w1_abs = np.cross(e2, v0 * lmu)
+    w2_abs = np.cross(v0 * lmu, e1)
     # unit_q layout: (U, 8, 4*LPU) — 8 rows matching the kernel ray matrix
     # [dx,dy,dz, mx,my,mz, s, 1]; column blocks [det | u_num | v_num | t_num].
     # Rows 6-7 are zero except the t_num block's row 7, filled per frame
@@ -361,6 +383,7 @@ def pack_units(leaf_verts_flat: np.ndarray, leaf_mask_flat: np.ndarray
     unit_qn[:, 0:3, 2 * lpu:3 * lpu] = -w2.transpose(0, 2, 1)
     unit_qn[:, 3:6, 2 * lpu:3 * lpu] = -e1.transpose(0, 2, 1)
     unit_e2w2 = (e2 * w2).sum(-1).astype(np.float32)
+    e2w2_abs = (e2 * w2_abs).sum(-1).astype(np.float32)
     norm = np.maximum(np.linalg.norm(nvec, axis=-1, keepdims=True), 1e-20)
     unit_nrm = (nvec / norm).astype(np.float32)
     unit_qn[:, 0:3, 4 * lpu:4 * lpu + lpu] = unit_nrm.transpose(0, 2, 1)
@@ -378,9 +401,13 @@ def pack_units(leaf_verts_flat: np.ndarray, leaf_mask_flat: np.ndarray
     #   u_num = [d, oxd] . [-w1, e2];  v_num = [d, oxd] . [-w2, -e1]
     #   t_num = o.n - e2.w2  (now per-ray through the o rows + const row)
     unit_q16 = np.zeros((u_total, 16, 4 * lpu), np.float32)
-    unit_q16[:, 0:6, 0:3 * lpu] = unit_qn[:, 0:6, 0:3 * lpu]
+    unit_q16[:, 0:3, 0 * lpu:1 * lpu] = -nvec.transpose(0, 2, 1)
+    unit_q16[:, 0:3, 1 * lpu:2 * lpu] = -w1_abs.transpose(0, 2, 1)
+    unit_q16[:, 3:6, 1 * lpu:2 * lpu] = e2.transpose(0, 2, 1)
+    unit_q16[:, 0:3, 2 * lpu:3 * lpu] = -w2_abs.transpose(0, 2, 1)
+    unit_q16[:, 3:6, 2 * lpu:3 * lpu] = -e1.transpose(0, 2, 1)
     unit_q16[:, 6:9, 3 * lpu:4 * lpu] = nvec.transpose(0, 2, 1)
-    unit_q16[:, 9, 3 * lpu:4 * lpu] = -unit_e2w2
+    unit_q16[:, 9, 3 * lpu:4 * lpu] = -e2w2_abs
 
     return dict(
         unit_aabb_min=unit_aabb_min, unit_aabb_max=unit_aabb_max,

@@ -115,14 +115,20 @@ def grid_positions(v0, v1, v2, d0, d1, d2, scales, gcoords, level):
     return (base + s[..., None] * dirs).astype(np.float32)
 
 
-def derive_unit_tables_np(grid: np.ndarray, apex: np.ndarray, su: int):
+def derive_unit_tables_np(grid: np.ndarray, apex: np.ndarray, su: int,
+                          centers: np.ndarray | None = None):
     """NumPy reference of the trace-time derivation (tests + host oracle).
 
-    grid: (U, GRID_ROWS, GRID_LANES) unit records; apex: (3,).
-    Returns dict(q (U, 8, 4*LPU) with the per-frame t_num in row 7 of the
-    t block, nrm (U, LPU, 3)) — the layout of DeviceScene.unit_qn[:, :, :4*LPU]
-    with FrameInputs.t_num folded, as the XLA backend consumes it.
+    grid: (U, GRID_ROWS, GRID_LANES) unit records; apex: (3,); centers:
+    (U, 3) unit AABB centers (the recentering origin — see
+    models/scene.py::pack_units; None = absolute frame). Returns dict(q
+    (U, 8, 4*LPU) with the per-frame t_num in row 7 of the t block, nrm
+    (U, LPU, 3)) — the layout of DeviceScene.unit_qn[:, :, :4*LPU] with
+    FrameInputs.t_num folded, as the XLA backend consumes it. Recentered
+    q rows expect ray moments m = (apex - c) x d (tiled.recentered_raymat).
     """
+    if centers is None:
+        centers = np.zeros((grid.shape[0], 3), grid.dtype)
     pos = grid[:, 0:3, :]                                     # (U, 3, GL)
     g = leaf_gather_matrix(su)
     v = pos @ g                                               # (U, 3, 3*LPU)
@@ -131,11 +137,12 @@ def derive_unit_tables_np(grid: np.ndarray, apex: np.ndarray, su: int):
     v2 = v[:, :, 2 * LPU:3 * LPU].transpose(0, 2, 1)
     e1 = v1 - v0
     e2 = v2 - v0
+    v0c = v0 - centers[:, None, :]
     n = np.cross(e1, e2)
-    w1 = np.cross(e2, v0)
-    w2 = np.cross(v0, e1)
+    w1 = np.cross(e2, v0c)
+    w2 = np.cross(v0c, e1)
     e2w2 = (e2 * w2).sum(-1)
-    t_num = (n * apex).sum(-1) - e2w2                         # (U, LPU)
+    t_num = (n * (apex - centers)[:, None, :]).sum(-1) - e2w2  # (U, LPU)
     q = np.zeros((grid.shape[0], 8, 4 * LPU), np.float32)
     q[:, 0:3, 0 * LPU:1 * LPU] = -n.transpose(0, 2, 1)
     q[:, 0:3, 1 * LPU:2 * LPU] = -w1.transpose(0, 2, 1)
@@ -147,12 +154,14 @@ def derive_unit_tables_np(grid: np.ndarray, apex: np.ndarray, su: int):
     return dict(q=q, nrm=(n / norm).astype(np.float32))
 
 
-def derive_q_jnp(grid, apex, su: int):
+def derive_q_jnp(grid, apex, su: int, centers=None):
     """JAX derivation for the XLA tiled backend: per gathered candidate.
 
-    grid: (n, GRID_ROWS, GRID_LANES); apex: (3,).
-    Returns (q (n, 8, 4*LPU) with t_num folded into row 7 of the t block,
-    nrm (n, LPU, 3)) — drop-in for q_frame[unit] / scene.unit_nrm[unit].
+    grid: (n, GRID_ROWS, GRID_LANES); apex: (3,); centers: (n, 3) unit
+    AABB centers (recentered frame — pair with tiled.recentered_raymat;
+    None = absolute). Returns (q (n, 8, 4*LPU) with t_num folded into
+    row 7 of the t block, nrm (n, LPU, 3)) — drop-in for q_frame[unit] /
+    scene.unit_nrm[unit].
     """
     import jax.numpy as jnp
 
@@ -165,6 +174,9 @@ def derive_q_jnp(grid, apex, su: int):
     v2 = v[:, :, 2 * LPU:3 * LPU]
     e1 = v1 - v0
     e2 = v2 - v0
+    if centers is None:
+        centers = jnp.zeros((grid.shape[0], 3), grid.dtype)
+    v0c = v0 - centers[..., None]
 
     def cross_rows(a, b):
         return jnp.stack([a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
@@ -172,10 +184,10 @@ def derive_q_jnp(grid, apex, su: int):
                           a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]], axis=1)
 
     n = cross_rows(e1, e2)                                    # (n, 3, LPU)
-    w1 = cross_rows(e2, v0)
-    w2 = cross_rows(v0, e1)
+    w1 = cross_rows(e2, v0c)
+    w2 = cross_rows(v0c, e1)
     e2w2 = (e2 * w2).sum(axis=1)                              # (n, LPU)
-    t_num = (n * apex[None, :, None]).sum(axis=1) - e2w2
+    t_num = (n * (apex[None, :] - centers)[..., None]).sum(axis=1) - e2w2
     z = jnp.zeros_like(n)
     z1 = jnp.zeros_like(e2w2)[:, None]
     rows03 = jnp.concatenate([-n, -w1, -w2, z], axis=2)       # (n, 3, 4*LPU)

@@ -47,33 +47,28 @@ UPC = culling.UNITS_PER_CLUSTER
 
 def resolve_mt_precision(scene: DeviceScene, cfg: RenderConfig
                          ) -> RenderConfig:
-    """Resolve cfg.mt_precision == "auto" against a CONCRETE scene.
+    """Resolve cfg.mt_precision == "auto" for a concrete scene.
 
-    u_num/v_num are differences of apex-magnitude partial products that
-    cancel down to det-magnitude results: computing them loses about
-    log2(scene extent / unit extent) bits. The 3-pass bf16 scheme keeps
-    ~17 product bits, so once units are smaller than ~1/64 of the scene
-    the u/v epsilon tests are noise and hits are wrong (observed: a 10^6-
-    triangle plane renders garbage); true-f32 HIGHEST keeps ~24 bits and
-    matches the XLA backend. Must run OUTSIDE jit (reads array values);
-    every Renderer-level constructor calls it.
+    auto means fast3 (one 3-pass hi/lo bf16 matmul, ~2x cheaper than the
+    6-pass HIGHEST). This used to be scale-dependent: u_num/v_num are
+    differences of moment-magnitude partial products that cancel down to
+    det magnitude, and with ABSOLUTE-coordinate tables the moment
+    |o x d| is scene-scale, costing log2(scene/micro-tri) bits — a 10^6-
+    triangle plane rendered garbage at fast3. The per-unit RECENTERING
+    (models/scene.py::pack_units + the kernel's per-unit moment rows)
+    shrinks every cancelling product to unit magnitude, so fast3's ~17
+    product bits now cover any scene scale; HIGHEST remains as a manual
+    A/B knob (cfg.mt_precision / RTMM_MT_PRECISION env).
     """
     import dataclasses as _dc
+    import os as _os
 
-    import numpy as _np
-
+    env = _os.environ.get("RTMM_MT_PRECISION")   # A/B override hook
+    if env:
+        return _dc.replace(cfg, mt_precision=env)
     if cfg.mt_precision != "auto":
         return cfg
-    valid = _np.asarray(scene.unit_valid)
-    umin = _np.asarray(scene.unit_aabb_min)[valid]
-    umax = _np.asarray(scene.unit_aabb_max)[valid]
-    if umin.shape[0] == 0:
-        return _dc.replace(cfg, mt_precision="fast3")
-    unit_diag = _np.median(_np.linalg.norm(umax - umin, axis=1))
-    scene_diag = float(_np.linalg.norm(umax.max(0) - umin.min(0)))
-    ratio = unit_diag / max(scene_diag, 1e-30)
-    return _dc.replace(
-        cfg, mt_precision="highest" if ratio < 1.0 / 64.0 else "fast3")
+    return _dc.replace(cfg, mt_precision="fast3")
 
 
 def _kernel(*refs, lpu: int, t_min: float, t_max: float,
@@ -126,7 +121,15 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
         i += 1
     msem, usem = it[i:i + 2]
     i += 2
-    tsem = it[i] if not compressed else None
+    if not compressed:
+        tsem = it[i]
+        i += 1
+    else:
+        tsem = None
+    # Per-tile ray-matrix buffer (the recentered moment rows are
+    # re-written per unit): (26, TILE) bf16 hi/lo-cat for fast3,
+    # (8, TILE) f32 for HIGHEST.
+    rm_buf = it[i]
     # Several tiles per grid step amortize the per-program overhead (the
     # frame is mostly empty tiles whose only cost is grid machinery).
     # Kick off every tile's FIRST cluster-metadata DMA up front (per-tile
@@ -145,7 +148,7 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
     for b in range(tiles_per_block):
         _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref,
                     raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
-                    meta_buf, q_buf, tnum_buf, msem, usem, tsem,
+                    meta_buf, q_buf, tnum_buf, msem, usem, tsem, rm_buf,
                     lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub,
                     nrows=nrows, fused_cfg=fused_cfg, kraygen=kraygen,
                     grid_su=grid_su, gmat_ref=gmat_ref, hi_prec=hi_prec)
@@ -153,7 +156,7 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
 
 def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
                 outs, meta_hbm, q_hbm, tnum_hbm,
-                meta_buf, q_buf, tnum_buf, msem, usem, tsem,
+                meta_buf, q_buf, tnum_buf, msem, usem, tsem, rm_buf,
                 *, lpu, t_min, t_max, nsub, nrows, fused_cfg, kraygen,
                 grid_su, gmat_ref, hi_prec):
     t_in, n_in, t_out, n_out, c_out = outs
@@ -180,7 +183,7 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
         _trace_tile_nonempty(
             b, ccnt, ccand_ref, centry_ref, frus_ref, raymat_ref, outs,
             meta_hbm, q_hbm, tnum_hbm, meta_buf, q_buf, tnum_buf,
-            msem, usem, tsem,
+            msem, usem, tsem, rm_buf,
             lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub, nrows=nrows,
             fused_cfg=fused_cfg, kraygen=kraygen, grid_su=grid_su,
             gmat_ref=gmat_ref, hi_prec=hi_prec)
@@ -232,15 +235,19 @@ def _raygen_rows(frus_ref, b, nsub, cfg):
         axis=0)
 
 
-def _derive_unit(grid_block, gmat, ax, ay, az, lpu):
+def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu):
     """Derive one unit's MT table from its VMEM-resident grid-vertex
     record (the compressed-scene analog of reading the precomputed
     unit_qn block) — the reference's on-the-fly leaf reconstruction
     (intersection.hlsl:465-470) in TPU form.
 
     grid_block: (GRID_ROWS, GRID_LANES) f32, rows 0-2 = the unit's grid
-    vertex xyz. Returns (q (8, 4*lpu) MT rows, tn (1, lpu) per-frame
-    t_num = apex.n - e2.w2, nrm_v (8, lpu) rows 0-2 normalized normals).
+    vertex xyz (absolute coordinates). cx/cy/cz: the unit's AABB-center
+    scalars — the derived w1/w2/t_num rows come out RECENTERED (same
+    frame as pack_units' precomputed tables; pair with the per-unit
+    moment rows (apex-c) x d). Returns (q (8, 4*lpu) MT rows, tn
+    (1, lpu) per-frame t_num = (apex-c).n - e2.w2, nrm_v (8, lpu) rows
+    0-2 normalized normals).
 
     One exact one-hot gather matmul (HIGHEST precision: the repo's
     standard 6-pass f32 emulation — M=8 keeps it cheap) expands the <=45
@@ -270,6 +277,10 @@ def _derive_unit(grid_block, gmat, ax, ay, az, lpu):
     v2 = gather(2)
     e1 = v1 - v0
     e2 = v2 - v0
+    # Recenter v0 about the unit AABB center (zero-gather padding lanes
+    # keep e1 = e2 = 0, so their w rows stay 0 and det==0 still rejects).
+    v0c = jnp.concatenate([v0[0:1] - cx, v0[1:2] - cy, v0[2:3] - cz],
+                          axis=0)
 
     def cross(a, b):
         return jnp.concatenate(
@@ -278,10 +289,11 @@ def _derive_unit(grid_block, gmat, ax, ay, az, lpu):
              a[0:1] * b[1:2] - a[1:2] * b[0:1]], axis=0)
 
     n = cross(e1, e2)                               # (3, lpu)
-    w1 = cross(e2, v0)
-    w2 = cross(v0, e1)
+    w1 = cross(e2, v0c)
+    w2 = cross(v0c, e1)
     e2w2 = (e2 * w2).sum(axis=0, keepdims=True)     # (1, lpu)
-    tn = ax * n[0:1] + ay * n[1:2] + az * n[2:3] - e2w2
+    tn = ((ax - cx) * n[0:1] + (ay - cy) * n[1:2] + (az - cz) * n[2:3]
+          - e2w2)
     z3 = jnp.zeros((3, lpu), jnp.float32)
     rows02 = jnp.concatenate([-n, -w1, -w2, z3], axis=1)      # (3, 4*lpu)
     rows35 = jnp.concatenate([z3, e2, -e1, z3], axis=1)
@@ -296,6 +308,7 @@ def _derive_unit(grid_block, gmat, ax, ay, az, lpu):
 def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                          raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
                          meta_buf, q_buf, tnum_buf, msem, usem, tsem,
+                         rm_buf,
                          *, lpu, t_min, t_max, nsub, nrows, fused_cfg,
                          kraygen, grid_su, gmat_ref, hi_prec):
     t_in, n_in, t_out, n_out, c_out = outs
@@ -310,13 +323,37 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         # each extra pass re-pays the MXU's per-output-tile overheads,
         # which dominate at tiny K. The last two rows are all-ones: they
         # pair with the per-frame t_num hi/lo rows on the q side (t_num =
-        # a.n - e2.w2 depends on the camera apex; folding it here keeps
-        # unit_qn static — no whole-table copy per frame).
+        # (a-c).n - e2.w2 depends on the camera apex; folding it here
+        # keeps unit_qn static — no whole-table copy per frame). The cat
+        # lives in a scratch BUFFER because the moment rows (3:6 hi,
+        # 11:14 lo, 19:22 hi) are re-written per unit with the RECENTERED
+        # moment (a - c) x d — that, plus the recentered w1/w2 in the q
+        # table, keeps every cancelling partial product at unit magnitude
+        # so the 3-pass scheme stays exact at any scene scale.
         rm_hi = rm.astype(jnp.bfloat16)
         rm_lo = (rm - rm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        rm_cat = jnp.concatenate(
+        rm_buf[...] = jnp.concatenate(
             [rm_hi, rm_lo, rm_hi, jnp.ones((2, TILE), jnp.bfloat16)],
             axis=0)
+    else:
+        rm_buf[...] = rm
+
+    def set_unit_moment(cx, cy, cz):
+        """Write this unit's recentered moment rows m' = m - c x d into
+        the ray-matrix buffer (m = a x d is per-tile; c x d is ~9 VPU row
+        ops — noise next to the MT matmul it feeds)."""
+        mpx = rm[3:4] - (cy * rm[2:3] - cz * rm[1:2])
+        mpy = rm[4:5] - (cz * rm[0:1] - cx * rm[2:3])
+        mpz = rm[5:6] - (cx * rm[1:2] - cy * rm[0:1])
+        mp = jnp.concatenate([mpx, mpy, mpz], axis=0)      # (3, TILE)
+        if hi_prec:
+            rm_buf[3:6] = mp
+        else:
+            mp_hi = mp.astype(jnp.bfloat16)
+            mp_lo = (mp - mp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            rm_buf[3:6] = mp_hi
+            rm_buf[11:14] = mp_lo
+            rm_buf[19:22] = mp_hi
 
     # Frustum scalars: [apex xyz, nsub sub-cones x 4 planes x xyz].
     ax = frus_ref[0, b, 0]
@@ -367,13 +404,20 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # (this tile's first cluster metadata DMA was started by _kernel's
     # block-level prefetch loop)
 
-    def process_unit(qslot, u, best_t, best_n):
+    def process_unit(qslot, u, crow, best_t, best_n):
         """MXU Möller-Trumbore for one unit's LPU leaves (read from the
         VMEM-resident cluster q block at lane u); returns updated
-        (best_t (1, TILE), best_n (8, TILE))."""
+        (best_t (1, TILE), best_n (8, TILE)). crow: (3, 128) the
+        cluster's unit AABB-center rows — lane u's scalars recenter this
+        unit's moment rows + (compressed) derived tables."""
+        ohf = (lane == u).astype(jnp.float32)              # (1, 128)
+        cx = jnp.sum(crow[0:1] * ohf)
+        cy = jnp.sum(crow[1:2] * ohf)
+        cz = jnp.sum(crow[2:3] * ohf)
+        set_unit_moment(cx, cy, cz)
         if grid_su is not None:
             q, tn_row, nrm_v = _derive_unit(q_buf[qslot, u], gmat_ref[...],
-                                            ax, ay, az, lpu)
+                                            ax, ay, az, cx, cy, cz, lpu)
         else:
             qn = q_buf[qslot, u]                  # (8, 4*LPU + 128)
             q = qn[:, :4 * lpu]
@@ -392,7 +436,8 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                 [jnp.zeros((1, 3 * lpu), jnp.float32), tn_row], axis=1)
             q_full = jnp.concatenate([q[0:7], row7], axis=0)
             out = jax.lax.dot_general(
-                q_full, rm, dimension_numbers=(((0,), (0,)), ((), ())),
+                q_full, rm_buf[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
         else:
@@ -416,7 +461,8 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                 axis=1)  # (2, 4*LPU)
             q_cat = jnp.concatenate([q_hi, q_hi, q_lo, t_rows], axis=0)
             out = jax.lax.dot_general(
-                q_cat, rm_cat, dimension_numbers=(((0,), (0,)), ((), ())),
+                q_cat, rm_buf[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         det = out[0 * lpu:1 * lpu]
         u_num = out[1 * lpu:2 * lpu]
@@ -470,6 +516,10 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
         mnx, mny, mnz = meta[0:1], meta[1:2], meta[2:3]
         mxx, mxy, mxz = meta[3:4], meta[4:5], meta[5:6]
+        # Unit AABB centers (3, 128) — MUST be 0.5*(min+max) in f32 to
+        # match the recentering origin baked into the tables
+        # (models/scene.py::pack_units / tiled.unit_centers) bit-for-bit.
+        crow = 0.5 * (meta[0:3] + meta[3:6])
         valid = meta[6:7] > 0.0                   # valid lanes only
         # Per-sub-cone p-vertex tests: a unit stays a candidate only for
         # sub-tiles whose cone reaches it AND whose own worst hit it could
@@ -530,10 +580,10 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
         def unit_body(st):
             ua, ub, ikey, bt, bn, ws, nv = st
-            bt, bn = process_unit(cslot, ua, bt, bn)
+            bt, bn = process_unit(cslot, ua, crow, bt, bn)
             ub_safe = jnp.where(ub < 128, ub, ua)
             # A dup slot recomputes ua (idempotent take); harmless.
-            bt, bn = process_unit(cslot, ub_safe, bt, bn)
+            bt, bn = process_unit(cslot, ub_safe, crow, bt, bn)
             ws = worst_subs(bt)
             removed = ikey >= imax
             na, nb, ikey2 = pick2(jnp.where(removed, imax,
@@ -704,6 +754,11 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
         )
         out_specs = (vmem((tb, TILE)), vmem((tb, 8, TILE)))
 
+    # Per-tile ray-matrix buffer (moment rows re-written per unit with
+    # the recentered (a - c) x d; see _trace_tile_nonempty).
+    rm_scratch = (pltpu.VMEM((8, TILE), jnp.float32)
+                  if cfg.mt_precision == "highest"
+                  else pltpu.VMEM((26, TILE), jnp.bfloat16))
     if compressed:
         from . import compressed as comp
         scratch = [
@@ -712,6 +767,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
                        jnp.float32),
             pltpu.SemaphoreType.DMA((tb, 2)),
             pltpu.SemaphoreType.DMA((2,)),
+            rm_scratch,
         ]
     else:
         scratch = [
@@ -721,6 +777,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
             pltpu.SemaphoreType.DMA((tb, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            rm_scratch,
         ]
     out = pl.pallas_call(
         kernel,

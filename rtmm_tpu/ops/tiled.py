@@ -67,6 +67,35 @@ class FrameInputs(NamedTuple):
     t_num: jax.Array | None = None  # (U, LPU) per-frame a.n - e2.w2
 
 
+def unit_centers(scene: DeviceScene) -> jax.Array:
+    """(U, 3) unit AABB centers — the per-unit recentering origin of the
+    MT tables (models/scene.py::pack_units). Must be 0.5*(min+max) in f32
+    exactly: the Pallas kernel recomputes the same value from the
+    cluster_unit_meta rows, and both sides have to agree bit-for-bit."""
+    return 0.5 * (scene.unit_aabb_min + scene.unit_aabb_max)
+
+
+def frame_t_num(scene: DeviceScene, apex: jax.Array) -> jax.Array:
+    """(U, LPU) per-frame t_num = (apex - c).n - e2.w2 against the
+    recentered tables (c = unit AABB center). One definition shared by
+    every consumer (primary frame build, per-instance object-space
+    apexes, per-shard tables)."""
+    ac = apex - unit_centers(scene)                       # (U, 3)
+    return (scene.unit_n * ac[:, None, :]).sum(-1) - scene.unit_e2w2
+
+
+def recentered_raymat(raymat: jax.Array, centers: jax.Array) -> jax.Array:
+    """Swap the moment rows of gathered ray matrices to per-unit frames.
+
+    raymat: (nt, TILE, 8) rows [d, m, s, 1] with m = a x d; centers:
+    (nt, 3) — the gathered unit centers. Returns raymat with
+    m' = (a - c) x d = m - c x d. ~12 flops/ray vs the ~4K-flop MT matmul
+    it feeds; XLA fuses it into the operand read."""
+    d = raymat[..., 0:3]
+    m2 = raymat[..., 3:6] - jnp.cross(centers[:, None, :], d)
+    return jnp.concatenate([d, m2, raymat[..., 6:8]], axis=-1)
+
+
 def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
                        cfg: RenderConfig,
                        need_q_frame: bool = True,
@@ -114,8 +143,8 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
         # computes apex.n - e2.w2 from the derived n/e2w2).
         t_num = q_frame = None
     else:
-        # t_num = a.n - e2.w2 — ray-independent, apex-dependent (per frame).
-        t_num = (scene.unit_n * apex).sum(-1) - scene.unit_e2w2    # (U, LPU)
+        # t_num = (a-c).n - e2.w2 — ray-independent, apex-dependent.
+        t_num = frame_t_num(scene, apex)                           # (U, LPU)
         lpu = scene.leaves_per_unit
         # Materializing the full q table is a whole-table HBM copy per
         # frame; only the XLA backend needs it (the Pallas kernel folds
@@ -352,15 +381,17 @@ def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg,
     the 2 KiB record.
     """
     lpu = scene.leaves_per_unit
+    centers = unit_centers(scene)[unit]                # (nt, 3)
     if scene.compressed:
         from . import compressed as comp
         q, nrm = comp.derive_q_jnp(scene.unit_grid[unit], apex,
-                                   scene.sub_level)    # (nt, 8, 4*LPU)
+                                   scene.sub_level,
+                                   centers=centers)    # (nt, 8, 4*LPU)
     else:
         q = q_frame[unit][..., :4 * lpu]               # (nt, 8, 4*LPU)
         nrm = scene.unit_nrm[unit]                     # (nt, LPU, 3)
     out = jax.lax.dot_general(
-        raymat, q,
+        recentered_raymat(raymat, centers), q,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)           # (nt, TILE, 4*LPU)

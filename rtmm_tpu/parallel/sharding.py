@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..models.scene import DeviceScene
-from ..ops import culling, raygen, shading, tiled, traversal
+from ..ops import culling, pallas_tiled, raygen, shading, tiled, traversal
 from ..ops.tiled import TILE
 
 BIG = jnp.float32(1e30)
@@ -290,8 +290,7 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
             t_num = q_frame = None
         else:
             lpu = scene_shard.leaves_per_unit
-            t_num = ((scene_shard.unit_n * apex).sum(-1)
-                     - scene_shard.unit_e2w2)
+            t_num = tiled.frame_t_num(scene_shard, apex)
             q_frame = (scene_shard.unit_qn
                        .at[:, 7, 3 * lpu:4 * lpu].set(t_num)
                        if backend == "xla" else None)
@@ -300,7 +299,6 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
             # The PRODUCTION kernel per shard: its in-kernel cluster walk
             # runs over this shard's local cluster slice (ccand indices
             # are shard-local, as are the meta/q tables it DMAs).
-            from ..ops import pallas_tiled
             sub_normals = culling.tile_sub_frustums(
                 ivp, width, height, pw, ph, n_sub=cfg.sub_frusta,
                 n_rows=cfg.sub_rows)

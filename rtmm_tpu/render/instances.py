@@ -172,13 +172,19 @@ def _bake(scene: DeviceScene, rot: jax.Array, trn: jax.Array,
     unit_aabb_min = jnp.where(u_lm, u_lv, BIG).min(axis=1)
     unit_aabb_max = jnp.where(u_lm, u_lv, -BIG).max(axis=1)
 
+    # Recentered u/v rows, absolute q16 — the jnp twin of
+    # models/scene.py::pack_units (see its recentering comment).
     lmf = ulm[..., None].astype(jnp.float32)
     v0, v1, v2 = ulv[:, :, 0], ulv[:, :, 1], ulv[:, :, 2]
+    center = 0.5 * (unit_aabb_min + unit_aabb_max)
+    v0c = (v0 - center[:, None, :]) * lmf
     e1 = (v1 - v0) * lmf
     e2 = (v2 - v0) * lmf
     nvec = jnp.cross(e1, e2)
-    w1 = jnp.cross(e2, v0 * lmf)
-    w2 = jnp.cross(v0 * lmf, e1)
+    w1 = jnp.cross(e2, v0c)
+    w2 = jnp.cross(v0c, e1)
+    w1_abs = jnp.cross(e2, v0 * lmf)
+    w2_abs = jnp.cross(v0 * lmf, e1)
     u_total = ulv.shape[0]
     unit_qn = jnp.zeros((u_total, 8, 4 * lpu + 128), jnp.float32)
     unit_qn = unit_qn.at[:, 0:3, 0 * lpu:1 * lpu].set(
@@ -197,11 +203,21 @@ def _bake(scene: DeviceScene, rot: jax.Array, trn: jax.Array,
     unit_nrm_pad = jnp.zeros((u_total, 8, npad), jnp.float32)
     unit_nrm_pad = unit_nrm_pad.at[:, 0:3, 0:lpu].set(
         unit_nrm.transpose(0, 2, 1))
+    e2w2_abs = (e2 * w2_abs).sum(-1)
     unit_q16 = jnp.zeros((u_total, 16, 4 * lpu), jnp.float32)
-    unit_q16 = unit_q16.at[:, 0:6, 0:3 * lpu].set(unit_qn[:, 0:6, 0:3 * lpu])
+    unit_q16 = unit_q16.at[:, 0:3, 0 * lpu:1 * lpu].set(
+        -nvec.transpose(0, 2, 1))
+    unit_q16 = unit_q16.at[:, 0:3, 1 * lpu:2 * lpu].set(
+        -w1_abs.transpose(0, 2, 1))
+    unit_q16 = unit_q16.at[:, 3:6, 1 * lpu:2 * lpu].set(
+        e2.transpose(0, 2, 1))
+    unit_q16 = unit_q16.at[:, 0:3, 2 * lpu:3 * lpu].set(
+        -w2_abs.transpose(0, 2, 1))
+    unit_q16 = unit_q16.at[:, 3:6, 2 * lpu:3 * lpu].set(
+        -e1.transpose(0, 2, 1))
     unit_q16 = unit_q16.at[:, 6:9, 3 * lpu:4 * lpu].set(
         nvec.transpose(0, 2, 1))
-    unit_q16 = unit_q16.at[:, 9, 3 * lpu:4 * lpu].set(-unit_e2w2)
+    unit_q16 = unit_q16.at[:, 9, 3 * lpu:4 * lpu].set(-e2w2_abs)
 
     # Clusters over the (already Morton-packed) units.
     n_cl = u_total // UNITS_PER_CLUSTER
@@ -309,7 +325,7 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
         cluster_hit_full = culling.cull_units(
             apex_o, normals_o, scene.cluster_aabb_min,
             scene.cluster_aabb_max, scene.cluster_valid)
-        t_num = (scene.unit_n * apex_o).sum(-1) - scene.unit_e2w2
+        t_num = tiled.frame_t_num(scene, apex_o)
         kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
 
         def object_raymat(dirs_g, s_g):

@@ -20,7 +20,10 @@ from ..models.scene import DeviceScene
 # stale files are orphaned instead of loaded into the new dataclass.
 # v4: unit_q -> unit_qn, cluster hierarchy tables, unit_leaf_idx.
 # v5: optional (None) hierarchy/unit tables; compressed-scene fields.
-FORMAT_VERSION = 5
+# v6: unit_qn/unit_e2w2 recentered about unit AABB centers (unit_grid
+#     records stay absolute — the kernel recenters at derive time, so
+#     compressed caches are layout-compatible but keyed anyway).
+FORMAT_VERSION = 6
 
 
 def asset_cache_key(path: str, tessellated: bool,

@@ -321,3 +321,42 @@ def test_ray_pipeline_covers_leaf_slot_tail():
         width=w, height=h, pipeline="tile")).render(ivp))
     npix = (np.abs(ray - tile).max(-1) > 1e-3).sum()
     assert npix == 0, f"ray pipeline differs on {npix} pixels"
+
+
+def _translate_mesh(mesh, off):
+    mesh.positions = (mesh.positions + off).astype(np.float32)
+    for t in mesh.triangles:
+        t.u_positions = (t.u_positions + off).astype(np.float32)
+    return mesh
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_far_from_origin_fast3_matches_tile(compressed):
+    """Recentering regression (models/scene.py::pack_units): the per-unit
+    AABB-center recentering keeps every cancelling MT partial product at
+    unit magnitude, so the 3-pass bf16 MXU scheme stays exact regardless
+    of where the asset sits. Pre-recentering, absolute-coordinate tables
+    at |p| ~ 1e3 lose ~10 product bits and fast3 renders garbage (the
+    real-TPU symptom was pallas != tile on half the covered pixels of a
+    10^6-triangle scene)."""
+    off = np.array([710.0, -530.0, 920.0], np.float32)
+    mesh = _translate_mesh(
+        procedural.make_icosphere(subdivisions=0, level=2, amplitude=0.1),
+        off)
+    ds = scene_mod.build_device_scene(mesh, compressed=compressed)
+    w, h = 128, 64
+    tb = camera.Trackball()
+    tb.set_camera(off.tolist(),
+                  [np.radians(-35.0), np.radians(25.0), 0.0], 3.0)
+    ivp = camera.inv_view_proj(tb, w, h)
+    tile = np.asarray(Renderer(ds, RenderConfig(
+        width=w, height=h, pipeline="tile")).render(ivp))
+    assert (tile.max(-1) > 0).sum() > 300, "scene not visible; bad test"
+    pal = np.asarray(render_pallas(
+        ds, jnp.asarray(ivp),
+        RenderConfig(width=w, height=h, mt_precision="fast3"),
+        interpret=True))
+    npix = (np.abs(tile - pal).max(-1) > 1e-3).sum()
+    rmse = np.sqrt(((tile - pal) ** 2).mean())
+    assert npix <= max(4, tile.size // 10000), f"{npix} pixels differ"
+    assert rmse <= 2e-4, rmse
