@@ -276,7 +276,14 @@ def _verify_image(scene, cfg, dist: float = 3.0) -> dict:
         a = render_image(scene_, m, cfg_p)
         b = render_image(scene_, m, cfg_t)
         d = jnp.abs(a - b).max(-1)
-        return (d > 1e-3).sum(dtype=jnp.int32), d.max()
+        # Threshold = 4/255: one clearly visible u8 quantization step in
+        # the PNG the renderer actually outputs. A same-process TPU A/B
+        # (config 3, 1080p) measured 358 px differing at >1e-3 even with
+        # BOTH backends at f32 HIGHEST precision (p50 diff 0.0012 —
+        # accumulation-order noise at silhouettes), so a 1e-3 gate can
+        # never pass at 2M pixels; real Mosaic miscompiles (the class
+        # this check exists for) measured 748 px at maxdiff 0.48.
+        return (d > 4.0 / 255.0).sum(dtype=jnp.int32), d.max()
 
     npix, maxdiff = diff_metrics(scene, ivp)
     return {"verify_npix": int(np.asarray(npix)),
@@ -467,9 +474,22 @@ def _run_with_process_retries() -> int:
         if r.returncode == 0 and line:
             print(line)
             return 0
-        print(r.stderr[-500:], file=sys.stderr)
+        # Surface the child's failure (the in-child attempt messages go
+        # to its stdout; the traceback to its stderr) for diagnosis.
+        print(f"--- child rc={r.returncode} stdout tail:\n"
+              f"{r.stdout[-500:]}\n--- stderr tail:\n{r.stderr[-800:]}",
+              file=sys.stderr)
+    n = 3
+    if "--config" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--config") + 1])
+    metric = {1: "tessellated_256_lowpoly", 2: "micromesh_256_lowpoly",
+              3: "primary_rays_1080p_subdiv3_micromesh",
+              4: "multi_instance_6x_1080p", 5: "pathtrace_subdiv5_3bounce",
+              6: "large_scene_51k_tris_1080p",
+              7: "compressed_1M_tris_64M_micro_1080p",
+              8: "instanced_tlas_64x_1080p"}.get(n, f"config_{n}")
     print(json.dumps({
-        "metric": "primary_rays_1080p_subdiv3_micromesh",
+        "metric": metric,
         "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
         "error": "TPU backend unavailable after 3 attempts"}))
     return 1
