@@ -312,6 +312,23 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                          *, lpu, t_min, t_max, nsub, nrows, fused_cfg,
                          kraygen, grid_su, gmat_ref, hi_prec):
     t_in, n_in, t_out, n_out, c_out = outs
+    # Cost-attribution instrument (RTMM_ABLATE=2xmatmul|2xepilogue|
+    # 2xnsel|2xpick, read at trace time): DUPLICATE one stage and fold a
+    # data-dependent zero of its result into the real value, so a
+    # same-process A/B's time delta IS that stage's per-visit cost —
+    # semantics (and therefore the walk's visit counts) are bit-identical.
+    # Two compiler hazards are defended against: DCE (the duplicate's
+    # result feeds the real value through _dep_zero, whose guard
+    # x > 1e38 / 2^30 is never true for scene-scale quantities) and CSE
+    # (the duplicate's input is perturbed by a DATA-DEPENDENT zero, so
+    # it is not syntactically equal to the original's input and cannot
+    # be merged with it).
+    import os as _os
+    _abl = _os.environ.get("RTMM_ABLATE", "")
+
+    def _dep_zero(x):
+        return jnp.where(x > 1e38, jnp.float32(1.0), jnp.float32(0.0))
+
     if kraygen:
         rm = _raygen_rows(frus_ref, b, nsub, fused_cfg)
     else:
@@ -464,10 +481,30 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                 q_cat, rm_buf[...],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+        if _abl == "2xmatmul":
+            qd = q_cat if not hi_prec else q_full
+            qd = qd + jnp.max(_dep_zero(tn_row)).astype(qd.dtype)
+            out = out + _dep_zero(jax.lax.dot_general(
+                qd, rm_buf[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
         det = out[0 * lpu:1 * lpu]
         u_num = out[1 * lpu:2 * lpu]
         v_num = out[2 * lpu:3 * lpu]
         tn_b = out[3 * lpu:4 * lpu]
+        if _abl == "2xepilogue":
+            det2 = det + jnp.max(_dep_zero(tn_b))
+            ok2 = jnp.abs(det2) >= MT_DET_EPS
+            inv2 = 1.0 / jnp.where(ok2, det2, 1.0)
+            uu2 = u_num * inv2
+            vv2 = v_num * inv2
+            t2 = tn_b * inv2 - s_row
+            ok2 &= ((uu2 >= -MT_UV_EPS) & (uu2 <= 1.0 + MT_UV_EPS)
+                    & (vv2 >= -MT_UV_EPS) & (uu2 + vv2 <= 1.0 + MT_UV_EPS)
+                    & (t2 >= t_min) & (t2 <= t_max))
+            t2 = jnp.where(ok2, t2, 1e30)
+            tb2 = t2.min(axis=0, keepdims=True)
+            det = det + _dep_zero(tb2)
         ok = jnp.abs(det) >= MT_DET_EPS
         inv = 1.0 / jnp.where(ok, det, 1.0)
         # (bf16 u/v epsilon compares were tried for half-width VPU ops:
@@ -490,6 +527,11 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         nsel = jax.lax.dot_general(
             n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if _abl == "2xnsel":
+            n2 = n_cat + jnp.max(_dep_zero(tb)).astype(n_cat.dtype)
+            nsel = nsel + _dep_zero(jax.lax.dot_general(
+                n2, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
         take = tb < best_t
         return (jnp.where(take, tb, best_t),
                 jnp.where(take, nsel, best_n))
@@ -589,6 +631,12 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             na, nb, ikey2 = pick2(jnp.where(removed, imax,
                                             ikey_of(ws, removed)))
             nv = nv + 1 + (ub < 128).astype(jnp.int32)
+            if _abl == "2xpick":
+                iz = jnp.where(nv > (1 << 30), jnp.int32(1), jnp.int32(0))
+                na2, _, _ = pick2(jnp.where(removed, imax,
+                                            ikey_of(ws, removed)) + iz)
+                nv = nv + jnp.where(na2 > (1 << 30), jnp.int32(1),
+                                    jnp.int32(0))
             return (na, nb, ikey2, bt, bn, ws, nv)
 
         def unit_cond(st):
