@@ -223,7 +223,11 @@ def main(argv=None) -> int:
                 _img, kst = render_pallas(ds, jnp.asarray(ivp), cfg,
                                           with_stats=True)
                 kv = np.asarray(kst["kernel_unit_visits"])
-                print(f"  kernel visits: {int(kv.sum())} (tile,unit) steps,"
+                ke = np.asarray(kst["kernel_unit_eligible"])
+                print(f"  kernel visits: {int(kv.sum())} (tile,unit) steps"
+                      f" of {int(ke.sum())} eligible"
+                      f" (slab pre-test skipped"
+                      f" {int(ke.sum()) - int(kv.sum())}),"
                       f" max/tile {int(kv.max())},"
                       f" nonempty tiles {int((kv > 0).sum())}")
         elif args.stats:

@@ -108,6 +108,28 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
     smask = [(col >= j * 128) & (col < (j + 1) * 128) for j in range(NS)]
 
+    # Per-ray scene-exit reach bound (once per group): rays that still
+    # miss everything contribute their slab exit through the inflated
+    # scene AABB (box tail scalars) instead of +inf to the per-sub worst
+    # bound — without it a sub with one miss ray never prunes anything
+    # (PERF.md: miss-dominated bounces kept worst = +inf forever). rv
+    # rows: [d(3), o x d(3), o(3), 1]; t is o-relative and directions are
+    # unit length, so exit is directly comparable with best_t. Dead lanes
+    # carry bt = 0 and never read the miss branch.
+    def _safe(dk):
+        tiny = jnp.float32(1e-12)
+        return jnp.where(jnp.abs(dk) < tiny,
+                         jnp.where(dk >= 0.0, tiny, -tiny), dk)
+
+    e_row = None
+    for k in range(3):
+        dk = _safe(rv[k:k + 1])
+        ok_ = rv[6 + k:7 + k]
+        e0 = (box_ref[0, b, NS * 16 + k] - ok_) / dk
+        e1 = (box_ref[0, b, NS * 16 + 3 + k] - ok_) / dk
+        ek = jnp.maximum(e0, e1)
+        e_row = ek if e_row is None else jnp.minimum(e_row, ek)
+
     def cmeta_dma(slot, ci):
         return pltpu.make_async_copy(
             meta_hbm.at[ccand_ref[0, b, ci]], meta_buf.at[b, slot],
@@ -122,9 +144,11 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
         )
 
     def worst_subs(bt):
-        """Per-sub-group worst hit (1e30 while any live ray of the sub
-        still misses; dead lanes carry bt=0 so they never block)."""
-        v = jnp.where(bt < 1e30, bt, 1e30)
+        """Per-sub-group worst-case reach: hits contribute their t, rays
+        that still miss contribute their scene-exit bound (they cannot
+        find a hit beyond it); dead lanes carry bt=0 so they never
+        block."""
+        v = jnp.where(bt < 1e30, bt, e_row)
         return tuple(jnp.max(jnp.where(smask[j], v, 0.0))
                      for j in range(NS))
 
@@ -324,15 +348,29 @@ def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
     # Per-SUB-group (128 sorted lanes) origin/reach boxes — the kernel
     # culls units per sub-group; whole-group boxes only feed the
     # cluster-window build below.
+    # Per-ray reach cap: a ray cannot find a hit beyond its slab EXIT
+    # through the inflated scene AABB (tiled.scene_exit_aabb), so the
+    # reach segment is o -> o + min(t_max, exit) * d instead of the full
+    # t_max sweep. For miss-heavy bounces (most secondary rays), rays
+    # pointing away from the scene collapse to degenerate segments, and
+    # the reach boxes / cluster windows / per-sub unit culls all tighten.
+    from . import tiled as _tiled
+    aabb6 = _tiled.scene_exit_aabb(scene)                     # (6,)
+    tiny = jnp.float32(1e-12)
+    dsafe = jnp.where(jnp.abs(d) < tiny,
+                      jnp.where(d >= 0.0, tiny, -tiny), d)
+    ex0 = (aabb6[0:3] - o) / dsafe
+    ex1 = (aabb6[3:6] - o) / dsafe
+    exit_t = jnp.clip(jnp.maximum(ex0, ex1).min(-1), 0.0, t_max)
+    end = o + exit_t[..., None] * d                           # (g, GROUP, 3)
+
     os = o.reshape(g, NS, 128, 3)
-    ds_ = d.reshape(g, NS, 128, 3)
+    es = end.reshape(g, NS, 128, 3)
     ls = live.reshape(g, NS, 128, 1)
     omin_s = jnp.where(ls, os, BIG).min(axis=2)               # (g, NS, 3)
     omax_s = jnp.where(ls, os, -BIG).max(axis=2)
-    dmin_s = jnp.where(ls, ds_, BIG).min(axis=2)
-    dmax_s = jnp.where(ls, ds_, -BIG).max(axis=2)
-    reach_min_s = omin_s + t_max * jnp.minimum(dmin_s, 0.0)
-    reach_max_s = omax_s + t_max * jnp.maximum(dmax_s, 0.0)
+    reach_min_s = jnp.minimum(omin_s, jnp.where(ls, es, BIG).min(axis=2))
+    reach_max_s = jnp.maximum(omax_s, jnp.where(ls, es, -BIG).max(axis=2))
     omin = omin_s.min(axis=1)                                 # (g, 3)
     omax = omax_s.max(axis=1)
     reach_min = reach_min_s.min(axis=1)
@@ -353,6 +391,11 @@ def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
         [omin_s, omax_s, reach_min_s, reach_max_s,
          jnp.zeros((g, NS, 4), jnp.float32)],
         axis=2).reshape(g, NS * 16)                           # (g, NS*16)
+    # Tail block: the 6 inflated scene-AABB scalars (the kernel derives
+    # each ray's exit-t reach bound from them + its o/d rows), pad to 16.
+    box = jnp.concatenate(
+        [box, jnp.broadcast_to(aabb6, (g, 6)),
+         jnp.zeros((g, 10), jnp.float32)], axis=1)            # (g, NS*16+16)
 
     kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
     # Dead lanes start "hit at 0" so they never block early exit; their
@@ -372,7 +415,9 @@ def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
         ccand, ccount, centry, remaining, bound = _grouped_cluster_window(
             scene, omin, omax, remaining, kc)
         best_t, best_n = one_window(ccand, ccount, centry, best_t, best_n)
-        worst = jnp.max(jnp.where(best_t < BIG, best_t, BIG), axis=1)
+        # Miss rays contribute their scene-exit reach (dead lanes carry
+        # best_t = 0), so beyond-reach windows are skipped.
+        worst = jnp.max(jnp.where(best_t < BIG, best_t, exit_t), axis=1)
         active = remaining.any(axis=1) & (worst >= bound)
         remaining &= active[:, None]
         return (active, remaining, best_t, best_n,
@@ -418,7 +463,7 @@ def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, gb, kc), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, gb, NS * 16), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, gb, NS * 16 + 16), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, gb, 16, GROUP), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -451,7 +496,7 @@ def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
         ],
         interpret=interpret,
     )(ccand.reshape(nb, gb, kc), ccount.reshape(nb, gb, 1),
-      centry.reshape(nb, gb, kc), box.reshape(nb, gb, NS * 16),
+      centry.reshape(nb, gb, kc), box.reshape(nb, gb, NS * 16 + 16),
       rv_t.reshape(nb, gb, 16, GROUP),
       t_in.reshape(nb, gb, GROUP), n_in.reshape(nb, gb, 8, GROUP),
       scene.cluster_unit_meta, scene.unit_q16, scene.unit_nrm_pad)

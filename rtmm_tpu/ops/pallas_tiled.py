@@ -18,11 +18,14 @@ candidates) with the things XLA cannot express:
     intersection.hlsl:228-242,472).
 
 Data layout per (tile, unit) step, chosen for native TPU tiling:
-  raymat   (8, TILE)    rows [dx,dy,dz, mx,my,mz, s, 1]  (TILE = 1024 lanes)
-  q        (8, 4*LPU)   [det | u_num | v_num | t_num] column blocks
-                        (DeviceScene.unit_q with the per-frame t_num row)
-  matmul   q^T . raymat ->  (4*LPU, TILE) on the MXU — one matmul computes
-                        every MT quantity for all rays x leaves at once
+  raymat   (6, TILE)    rows [dx,dy,dz, mx,my,mz]  (TILE = 1024 lanes;
+                        s lives in a separate row, used in the epilogue)
+  q        (6, 3*LPU)   [det | u_num | v_num] column blocks
+                        (rows 0-5 of DeviceScene.unit_qn)
+  matmul   q^T . raymat ->  (3*LPU, TILE) on the MXU — one matmul computes
+                        det/u/v for all rays x leaves at once
+  t_num    (LPU, 1)     exact per-unit transpose matmul (eye @ t_num row);
+                        t broadcast-multiplies against 1/det on the VPU
   epilogue VPU compare/select, min over the leaf sublanes
   normals  nrm_pad(8, NP) @ onehot(NP, TILE) -> (8, TILE) on the MXU
 """
@@ -73,7 +76,7 @@ def resolve_mt_precision(scene: DeviceScene, cfg: RenderConfig
 
 def _kernel(*refs, lpu: int, t_min: float, t_max: float,
             tiles_per_block: int, nsub: int, nrows: int, fused_cfg,
-            kraygen: bool, grid_su, hi_prec: bool):
+            kraygen: bool, grid_su, hi_prec: bool, fast2: bool):
     """fused_cfg: None = windowed mode (carry t/n in and out); a
     RenderConfig = single-window fused mode (shade in-kernel, write color
     rows, no carry inputs — saves one full (tiles, 8, TILE) HBM round-trip
@@ -127,9 +130,16 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
     else:
         tsem = None
     # Per-tile ray-matrix buffer (the recentered moment rows are
-    # re-written per unit): (26, TILE) bf16 hi/lo-cat for fast3,
-    # (8, TILE) f32 for HIGHEST.
+    # re-written per unit): (18, TILE) bf16 hi/lo-cat for fast3,
+    # (6, TILE) f32 for HIGHEST — MT rows 0-5 only (d + moment).
     rm_buf = it[i]
+    i += 1
+    # Per-tile running best hit (t (1, TILE), normal rows (8, TILE)) live
+    # in scratch REFS, not loop carries: the per-unit slab pre-test gates
+    # the MXU/epilogue stage with pl.when, and in-place ref mutation costs
+    # nothing where a lax.cond carry would copy 36 KB per unit (measured
+    # slower in the grouped kernel — pallas_grouped.py:154).
+    bt_scr, bn_scr = it[i:i + 2]
     # Several tiles per grid step amortize the per-program overhead (the
     # frame is mostly empty tiles whose only cost is grid machinery).
     # Kick off every tile's FIRST cluster-metadata DMA up front (per-tile
@@ -149,16 +159,19 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
         _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref,
                     raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
                     meta_buf, q_buf, tnum_buf, msem, usem, tsem, rm_buf,
+                    bt_scr, bn_scr,
                     lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub,
                     nrows=nrows, fused_cfg=fused_cfg, kraygen=kraygen,
-                    grid_su=grid_su, gmat_ref=gmat_ref, hi_prec=hi_prec)
+                    grid_su=grid_su, gmat_ref=gmat_ref, hi_prec=hi_prec,
+                    fast2=fast2)
 
 
 def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
                 outs, meta_hbm, q_hbm, tnum_hbm,
                 meta_buf, q_buf, tnum_buf, msem, usem, tsem, rm_buf,
+                bt_scr, bn_scr,
                 *, lpu, t_min, t_max, nsub, nrows, fused_cfg, kraygen,
-                grid_su, gmat_ref, hi_prec):
+                grid_su, gmat_ref, hi_prec, fast2):
     t_in, n_in, t_out, n_out, c_out = outs
     # count can exceed the cluster-list capacity (overflowing tiles keep
     # their true count; the host window loop re-runs them); clamp — reading
@@ -183,10 +196,10 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
         _trace_tile_nonempty(
             b, ccnt, ccand_ref, centry_ref, frus_ref, raymat_ref, outs,
             meta_hbm, q_hbm, tnum_hbm, meta_buf, q_buf, tnum_buf,
-            msem, usem, tsem, rm_buf,
+            msem, usem, tsem, rm_buf, bt_scr, bn_scr,
             lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub, nrows=nrows,
             fused_cfg=fused_cfg, kraygen=kraygen, grid_su=grid_su,
-            gmat_ref=gmat_ref, hi_prec=hi_prec)
+            gmat_ref=gmat_ref, hi_prec=hi_prec, fast2=fast2)
 
 
 def _raygen_rows(frus_ref, b, nsub, cfg):
@@ -245,9 +258,10 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu):
     vertex xyz (absolute coordinates). cx/cy/cz: the unit's AABB-center
     scalars — the derived w1/w2/t_num rows come out RECENTERED (same
     frame as pack_units' precomputed tables; pair with the per-unit
-    moment rows (apex-c) x d). Returns (q (8, 4*lpu) MT rows, tn
-    (1, lpu) per-frame t_num = (apex-c).n - e2.w2, nrm_v (8, lpu) rows
-    0-2 normalized normals).
+    moment rows (apex-c) x d). Returns (q (6, 3*lpu) MT rows — det|u|v
+    column blocks over the d + moment ray rows, tn (1, lpu) per-frame
+    t_num = (apex-c).n - e2.w2, nrm_v (8, lpu) rows 0-2 normalized
+    normals).
 
     One exact one-hot gather matmul (HIGHEST precision: the repo's
     standard 6-pass f32 emulation — M=8 keeps it cheap) expands the <=45
@@ -295,10 +309,9 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu):
     tn = ((ax - cx) * n[0:1] + (ay - cy) * n[1:2] + (az - cz) * n[2:3]
           - e2w2)
     z3 = jnp.zeros((3, lpu), jnp.float32)
-    rows02 = jnp.concatenate([-n, -w1, -w2, z3], axis=1)      # (3, 4*lpu)
-    rows35 = jnp.concatenate([z3, e2, -e1, z3], axis=1)
-    q = jnp.concatenate(
-        [rows02, rows35, jnp.zeros((2, 4 * lpu), jnp.float32)], axis=0)
+    rows02 = jnp.concatenate([-n, -w1, -w2], axis=1)          # (3, 3*lpu)
+    rows35 = jnp.concatenate([z3, e2, -e1], axis=1)
+    q = jnp.concatenate([rows02, rows35], axis=0)             # (6, 3*lpu)
     nn = jnp.maximum(jnp.sqrt((n * n).sum(axis=0, keepdims=True)), 1e-20)
     nrm_v = jnp.concatenate([n / nn, jnp.zeros((5, lpu), jnp.float32)],
                             axis=0)
@@ -308,9 +321,9 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu):
 def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                          raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
                          meta_buf, q_buf, tnum_buf, msem, usem, tsem,
-                         rm_buf,
+                         rm_buf, bt_scr, bn_scr,
                          *, lpu, t_min, t_max, nsub, nrows, fused_cfg,
-                         kraygen, grid_su, gmat_ref, hi_prec):
+                         kraygen, grid_su, gmat_ref, hi_prec, fast2):
     t_in, n_in, t_out, n_out, c_out = outs
     # Cost-attribution instrument (RTMM_ABLATE=2xmatmul|2xepilogue|
     # 2xnsel|2xpick, read at trace time): DUPLICATE one stage and fold a
@@ -325,6 +338,14 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # be merged with it).
     import os as _os
     _abl = _os.environ.get("RTMM_ABLATE", "")
+    # Per-ray slab pre-test gate (trace-time env knob, default OFF): on
+    # real-scale scenes the skip rate measured only ~11% (the eligible
+    # units ARE reachable: grazing beams legitimately cross many unit
+    # AABBs within each ray's best), which does not pay for the per-unit
+    # vector->scalar sync + branch the gate costs (config 6 measured 46.3
+    # -> 36.8 Mrays/s with it on). Kept selectable for scenes with deep
+    # occlusion where the skip rate is high.
+    _pretest = _os.environ.get("RTMM_PRETEST", "0") == "1"
 
     def _dep_zero(x):
         return jnp.where(x > 1e38, jnp.float32(1.0), jnp.float32(0.0))
@@ -336,24 +357,41 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     s_row = rm[6:7]                               # (1, TILE)
     if not hi_prec:
         # hi/lo bf16 split of the ray matrix (once per tile): emulates
-        # 3-pass f32 matmuls. One K=26 matmul instead of three K=8 passes:
+        # 3-pass f32 matmuls. One K=18 matmul instead of three K=6 passes:
         # each extra pass re-pays the MXU's per-output-tile overheads,
-        # which dominate at tiny K. The last two rows are all-ones: they
-        # pair with the per-frame t_num hi/lo rows on the q side (t_num =
-        # (a-c).n - e2.w2 depends on the camera apex; folding it here
-        # keeps unit_qn static — no whole-table copy per frame). The cat
-        # lives in a scratch BUFFER because the moment rows (3:6 hi,
-        # 11:14 lo, 19:22 hi) are re-written per unit with the RECENTERED
-        # moment (a - c) x d — that, plus the recentered w1/w2 in the q
-        # table, keeps every cancelling partial product at unit magnitude
-        # so the 3-pass scheme stays exact at any scene scale.
-        rm_hi = rm.astype(jnp.bfloat16)
-        rm_lo = (rm - rm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        rm_buf[...] = jnp.concatenate(
-            [rm_hi, rm_lo, rm_hi, jnp.ones((2, TILE), jnp.bfloat16)],
-            axis=0)
+        # which dominate at tiny K. Only ray rows 0-5 (d + moment) feed
+        # the MT contraction — q rows 6-7 were structurally zero, and the
+        # old all-ones t_num fold rows became a per-unit (LPU, 1)
+        # transpose matmul in process_unit (the t block of the old output
+        # was a rank-1 broadcast of t_num across the rays: paying M=LPU
+        # MXU rows + a (LPU, TILE) f32 output slice to broadcast a lane
+        # vector). The cat lives in a scratch BUFFER because the moment
+        # rows (3:6 hi, 9:12 lo, 15:18 hi) are re-written per unit with
+        # the RECENTERED moment (a - c) x d — that, plus the recentered
+        # w1/w2 in the q table, keeps every cancelling partial product at
+        # unit magnitude so the 3-pass scheme stays exact at any scene
+        # scale.
+        rm6 = rm[0:6]
+        rm_hi = rm6.astype(jnp.bfloat16)
+        rm_lo = (rm6 - rm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        if fast2:
+            # 2-pass scheme (q_hi.rm_hi + q_hi.rm_lo): drops the q-side
+            # low bits (~2^-9 relative det/u/v error) for K=12 — an A/B
+            # knob judged by the on-TPU image gate, NOT a default.
+            rm_buf[...] = jnp.concatenate([rm_hi, rm_lo], axis=0)
+        else:
+            rm_buf[...] = jnp.concatenate([rm_hi, rm_lo, rm_hi], axis=0)
     else:
-        rm_buf[...] = rm
+        rm_buf[...] = rm[0:6]
+
+    # Reciprocal direction rows for the per-unit slab pre-test (once per
+    # tile; the tiny-|d| clamp keeps 0 * inf NaNs out of the slab mins).
+    def _safe_dir(d):
+        tiny = jnp.float32(1e-12)
+        return jnp.where(jnp.abs(d) < tiny,
+                         jnp.where(d >= 0.0, tiny, -tiny), d)
+
+    invd = [1.0 / _safe_dir(rm[k:k + 1]) for k in range(3)]  # 3 x (1, TILE)
 
     def set_unit_moment(cx, cy, cz):
         """Write this unit's recentered moment rows m' = m - c x d into
@@ -369,15 +407,40 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             mp_hi = mp.astype(jnp.bfloat16)
             mp_lo = (mp - mp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             rm_buf[3:6] = mp_hi
-            rm_buf[11:14] = mp_lo
-            rm_buf[19:22] = mp_hi
+            rm_buf[9:12] = mp_lo
+            if not fast2:
+                rm_buf[15:18] = mp_hi
 
-    # Frustum scalars: [apex xyz, nsub sub-cones x 4 planes x xyz].
+    # Frustum scalars: [apex xyz, nsub sub-cones x 4 planes x xyz,
+    # (raygen scalars,) inflated scene AABB].
     ax = frus_ref[0, b, 0]
     ay = frus_ref[0, b, 1]
     az = frus_ref[0, b, 2]
 
+    # Per-ray scene-exit reach bound (once per tile): a ray's slab EXIT
+    # through the inflated scene AABB (tiled.scene_exit_aabb) upper-bounds
+    # the apex-relative t of any hit it can still find, so rays that miss
+    # everything stop forcing their sub-tile's worst bound to +inf (the
+    # silhouette-tile blowup: such subs walked every candidate). Exact:
+    # all geometry (incl. the MT uv-epsilon acceptance slop) lies inside
+    # the inflated box, and directions are unit length, so hit t <= slab
+    # exit. Rays that miss the box get an empty/negative interval — also
+    # a valid "no further hits" bound (worst_subs floors at 0).
+    sb = 3 + nsub * 12 + (18 if kraygen else 0)
+    exit_row = None
+    apx = (ax, ay, az)
+    for k in range(3):
+        e0 = (frus_ref[0, b, sb + k] - apx[k]) * invd[k]
+        e1 = (frus_ref[0, b, sb + 3 + k] - apx[k]) * invd[k]
+        ek = jnp.maximum(e0, e1)
+        exit_row = ek if exit_row is None else jnp.minimum(exit_row, ek)
+
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    # Identity for the per-unit t_num lane->sublane transpose matmul
+    # (kernels cannot capture array constants; two iotas build it).
+    eyem = (jax.lax.broadcasted_iota(jnp.int32, (lpu, lpu), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (lpu, lpu), 1)
+            ).astype(jnp.float32)
     # Sub-tile ray masks: pixel (r, c) sits at ray index r*TILE_W + c;
     # the sub-cone grid is nrows x ncols with j = row * ncols + col.
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
@@ -421,39 +484,43 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # (this tile's first cluster metadata DMA was started by _kernel's
     # block-level prefetch loop)
 
-    def process_unit(qslot, u, crow, best_t, best_n):
+    def process_unit(qslot, u, cx, cy, cz):
         """MXU Möller-Trumbore for one unit's LPU leaves (read from the
-        VMEM-resident cluster q block at lane u); returns updated
-        (best_t (1, TILE), best_n (8, TILE)). crow: (3, 128) the
-        cluster's unit AABB-center rows — lane u's scalars recenter this
-        unit's moment rows + (compressed) derived tables."""
-        ohf = (lane == u).astype(jnp.float32)              # (1, 128)
-        cx = jnp.sum(crow[0:1] * ohf)
-        cy = jnp.sum(crow[1:2] * ohf)
-        cz = jnp.sum(crow[2:3] * ohf)
+        VMEM-resident cluster q block at lane u); folds improvements into
+        the bt_scr/bn_scr running-best refs in place. cx/cy/cz: the
+        unit's AABB-center scalars — they recenter this unit's moment
+        rows + (compressed) derived tables."""
         set_unit_moment(cx, cy, cz)
         if grid_su is not None:
             q, tn_row, nrm_v = _derive_unit(q_buf[qslot, u], gmat_ref[...],
                                             ax, ay, az, cx, cy, cz, lpu)
         else:
             qn = q_buf[qslot, u]                  # (8, 4*LPU + 128)
-            q = qn[:, :4 * lpu]
+            # Only rows 0-5 carry MT data ([-n|-w1|-w2] over d rows,
+            # [0|e2|-e1] over moment rows) and only the first 3*LPU
+            # column blocks (det|u|v) contract against anything — the
+            # t block is handled by tn_col below.
+            q = qn[0:6, :3 * lpu]
             nrm_v = qn[:, 4 * lpu:4 * lpu + lpu]
             # The table's lane dim is padded to 128 (Mosaic DMA slices
             # must be lane-aligned); slice back to the LPU columns here.
             tn_row = tnum_buf[qslot, pl.ds(u, 1)][:, :lpu]     # (1, LPU)
+        # Per-leaf t_num as a SUBLANE column (LPU, 1): an exact one-hot
+        # transpose matmul (K=LPU, N=1 — tiny next to the MT matmul it
+        # replaces a whole M=LPU output block of: the old scheme paid
+        # M=LPU MXU rows + an (LPU, TILE) f32 output slice just to
+        # broadcast this lane vector across the rays, and rounded it
+        # through a bf16 hi/lo pair on the way; tn_col is exact f32,
+        # matching the XLA backend's f32 row-7 fold).
+        tn_col = jax.lax.dot_general(
+            eyem, tn_row, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # (LPU, 1)
         if hi_prec:
-            # True-f32 contraction (Mosaic HIGHEST, 6 passes): required
-            # once u_num/v_num cancellation exceeds the fast3 scheme's
-            # ~17 product bits (tiny units in a big scene — see
-            # resolve_mt_precision). t_num folds into row 7 against the
-            # ray matrix's constant-1 row, exactly as the XLA backend's
-            # q_frame does.
-            row7 = jnp.concatenate(
-                [jnp.zeros((1, 3 * lpu), jnp.float32), tn_row], axis=1)
-            q_full = jnp.concatenate([q[0:7], row7], axis=0)
+            # True-f32 contraction (Mosaic HIGHEST, 6 passes): a manual
+            # A/B knob (see resolve_mt_precision).
             out = jax.lax.dot_general(
-                q_full, rm_buf[...],
+                q, rm_buf[...],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
@@ -461,28 +528,21 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             # Single-pass bf16 speckles the image (the det/u/v epsilon
             # tests flip near edges). Three bf16 products with the hi/lo
             # splits give ~21-bit mantissas — ample for the reference's
-            # 1e-3 u/v epsilons on ordinary scenes — and fuse into ONE
-            # K=24 matmul (each extra pass re-pays the MXU's
-            # per-output-tile overheads, which dominate at tiny
-            # contraction depth).
+            # 1e-3 u/v epsilons — and fuse into ONE K=18 matmul (each
+            # extra pass re-pays the MXU's per-output-tile overheads,
+            # which dominate at tiny contraction depth).
             q_hi = q.astype(jnp.bfloat16)
-            q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            # Per-frame t_num rows (hi/lo vs all-ones ray rows): only the
-            # t-block columns carry t_num; det/u/v columns get zeros. Same
-            # precision as the old f32-row-7 scheme (t_hi*1 + t_lo*1).
-            tn_hi = tn_row.astype(jnp.bfloat16)
-            tn_lo = (tn_row - tn_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            t_rows = jnp.concatenate(
-                [jnp.zeros((2, 3 * lpu), jnp.bfloat16),
-                 jnp.concatenate([tn_hi, tn_lo], axis=0)],
-                axis=1)  # (2, 4*LPU)
-            q_cat = jnp.concatenate([q_hi, q_hi, q_lo, t_rows], axis=0)
+            if fast2:
+                q_cat = jnp.concatenate([q_hi, q_hi], axis=0)
+            else:
+                q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                q_cat = jnp.concatenate([q_hi, q_hi, q_lo], axis=0)
             out = jax.lax.dot_general(
                 q_cat, rm_buf[...],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         if _abl == "2xmatmul":
-            qd = q_cat if not hi_prec else q_full
+            qd = q_cat if not hi_prec else q
             qd = qd + jnp.max(_dep_zero(tn_row)).astype(qd.dtype)
             out = out + _dep_zero(jax.lax.dot_general(
                 qd, rm_buf[...],
@@ -491,14 +551,13 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         det = out[0 * lpu:1 * lpu]
         u_num = out[1 * lpu:2 * lpu]
         v_num = out[2 * lpu:3 * lpu]
-        tn_b = out[3 * lpu:4 * lpu]
         if _abl == "2xepilogue":
-            det2 = det + jnp.max(_dep_zero(tn_b))
+            det2 = det + jnp.max(_dep_zero(u_num))
             ok2 = jnp.abs(det2) >= MT_DET_EPS
             inv2 = 1.0 / jnp.where(ok2, det2, 1.0)
             uu2 = u_num * inv2
             vv2 = v_num * inv2
-            t2 = tn_b * inv2 - s_row
+            t2 = tn_col * inv2 - s_row
             ok2 &= ((uu2 >= -MT_UV_EPS) & (uu2 <= 1.0 + MT_UV_EPS)
                     & (vv2 >= -MT_UV_EPS) & (uu2 + vv2 <= 1.0 + MT_UV_EPS)
                     & (t2 >= t_min) & (t2 <= t_max))
@@ -512,7 +571,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         # support this comparison" — so the epilogue stays f32.)
         uu = u_num * inv
         vv = v_num * inv
-        t = tn_b * inv - s_row                    # (LPU, TILE)
+        t = tn_col * inv - s_row                  # (LPU, TILE)
         ok &= ((uu >= -MT_UV_EPS) & (uu <= 1.0 + MT_UV_EPS)
                & (vv >= -MT_UV_EPS) & (uu + vv <= 1.0 + MT_UV_EPS)
                & (t >= t_min) & (t <= t_max))
@@ -532,19 +591,23 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             nsel = nsel + _dep_zero(jax.lax.dot_general(
                 n2, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
-        take = tb < best_t
-        return (jnp.where(take, tb, best_t),
-                jnp.where(take, nsel, best_n))
+        bt_cur = bt_scr[...]
+        take = tb < bt_cur
+        bt_scr[...] = jnp.where(take, tb, bt_cur)
+        bn_scr[...] = jnp.where(take, nsel, bn_scr[...])
 
-    def worst_subs(bt):
-        """Per-sub-tile worst apex-relative hit (1e30 while any ray of the
-        sub-tile still misses)."""
-        v = jnp.where(bt < 1e30, bt + s_row, 1e30)
+    def worst_subs():
+        """Per-sub-tile worst-case reach: each ray contributes its hit's
+        apex-relative t, or — while it still misses everything — its
+        scene-AABB exit t (it cannot find a hit beyond that), so even
+        all-miss sub-tiles get a finite prune bound."""
+        bt = bt_scr[...]
+        v = jnp.where(bt < 1e30, bt + s_row, exit_row)
         return tuple(jnp.max(jnp.where(smask[j], v, 0.0))
                      for j in range(nsub))
 
     def cluster_body(carry):
-        ci, best_t, best_n, worsts, nvis = carry
+        ci, worsts, nvis, nelig = carry
         cslot = jax.lax.rem(ci, 2)
 
         @pl.when(ci + 1 < ccnt)
@@ -613,42 +676,94 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             ikey = jnp.where(lane == u1, imax, ikey)
             return u0, u1, ikey
 
+        def unit_step(u, en):
+            """Per-RAY slab pre-test of unit lane u's (inflated) AABB
+            against each ray's own running best — the per-ray analog of
+            the reference's nearest-first traversal prune that the
+            scalar per-sub bounds cannot express. Only when some ray
+            could still hit does the MXU/epilogue stage run (pl.when on
+            in-place refs; a lax.cond carry would copy 36 KB per unit —
+            measured slower in the grouped kernel). Conservative by
+            construction (the inflation covers the MT uv-epsilon slop),
+            so skipped units can only ever contribute non-winning hits:
+            the image is bit-identical with the pre-test on or off.
+            Returns 1 if the unit was processed, else 0."""
+            ohf = (lane == u).astype(jnp.float32)          # (1, 128)
+            if _pretest:
+                mn = [jnp.sum(meta[k:k + 1] * ohf) for k in range(3)]
+                mx = [jnp.sum(meta[3 + k:4 + k] * ohf) for k in range(3)]
+                ctr = [0.5 * (mn[k] + mx[k]) for k in range(3)]
+            else:
+                # The one-hot extraction is exact (one nonzero lane), so
+                # extracting the precomputed center row equals the
+                # 0.5*(mn+mx) scalar form bit-for-bit.
+                ctr = [jnp.sum(crow[k:k + 1] * ohf) for k in range(3)]
+            if _pretest:
+                # An accepted MT hit can sit MT_UV_EPS (barycentric)
+                # outside its leaf triangle, i.e. up to ~eps * extent
+                # outside the exact leaf-vert AABB; inflate by 2x that
+                # plus an absolute floor before testing.
+                pads = [2.0 * MT_UV_EPS * (mx[k] - mn[k]) + 1e-6
+                        for k in range(3)]
+                apx = (ax, ay, az)
+                tn = jnp.zeros((1, TILE), jnp.float32)
+                tf = jnp.full((1, TILE), jnp.float32(3.4e38))
+                for k in range(3):
+                    t0 = (mn[k] - pads[k] - apx[k]) * invd[k]
+                    t1 = (mx[k] + pads[k] - apx[k]) * invd[k]
+                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                # Per-ray apex-relative best, capped by the scene exit.
+                reach = jnp.minimum(bt_scr[...] + s_row, exit_row)
+                could = (tn <= tf) & (tn <= reach)
+                anyhit = en & (jnp.max(could.astype(jnp.float32)) > 0.0)
+
+                @pl.when(anyhit)
+                def _():
+                    process_unit(cslot, u, ctr[0], ctr[1], ctr[2])
+                return anyhit.astype(jnp.int32)
+            # Gate off: process unconditionally (dup slots recompute their
+            # partner — idempotent take — exactly the pre-refactor walk).
+            process_unit(cslot, u, ctr[0], ctr[1], ctr[2])
+            return en.astype(jnp.int32)
+
         # Wait for this cluster's resident q block (prefetched), then walk
         # its eligible units two per iteration — all reads are VMEM slices,
-        # so the per-unit cost is picks + MXU/VPU only (no DMA machinery).
+        # so the per-unit cost is picks + pre-tests + gated MXU/VPU only
+        # (no DMA machinery).
         qblock_wait(cslot, ci)
         removed0 = lane >= 128   # nothing removed yet (all-False row)
         u0, u1, ikey0 = pick2(ikey_of(worsts, removed0))
 
         def unit_body(st):
-            ua, ub, ikey, bt, bn, ws, nv = st
-            bt, bn = process_unit(cslot, ua, crow, bt, bn)
-            ub_safe = jnp.where(ub < 128, ub, ua)
-            # A dup slot recomputes ua (idempotent take); harmless.
-            bt, bn = process_unit(cslot, ub_safe, crow, bt, bn)
-            ws = worst_subs(bt)
+            ua, ub, ikey, ws, nv, ne = st
+            np_a = unit_step(ua, ua < 128)
+            hasb = ub < 128
+            np_b = unit_step(jnp.where(hasb, ub, ua), hasb)
+            ws = worst_subs()
             removed = ikey >= imax
             na, nb, ikey2 = pick2(jnp.where(removed, imax,
                                             ikey_of(ws, removed)))
-            nv = nv + 1 + (ub < 128).astype(jnp.int32)
+            nv = nv + np_a + np_b
+            ne = ne + 1 + hasb.astype(jnp.int32)
             if _abl == "2xpick":
                 iz = jnp.where(nv > (1 << 30), jnp.int32(1), jnp.int32(0))
                 na2, _, _ = pick2(jnp.where(removed, imax,
                                             ikey_of(ws, removed)) + iz)
                 nv = nv + jnp.where(na2 > (1 << 30), jnp.int32(1),
                                     jnp.int32(0))
-            return (na, nb, ikey2, bt, bn, ws, nv)
+            return (na, nb, ikey2, ws, nv, ne)
 
         def unit_cond(st):
             return st[0] < 128
 
-        _, _, _, best_t, best_n, worsts, nvis = jax.lax.while_loop(
+        _, _, _, worsts, nvis, nelig = jax.lax.while_loop(
             unit_cond, unit_body,
-            (u0, u1, ikey0, best_t, best_n, worsts, nvis))
-        return ci + 1, best_t, best_n, worsts, nvis
+            (u0, u1, ikey0, worsts, nvis, nelig))
+        return ci + 1, worsts, nvis, nelig
 
     def cluster_cond(carry):
-        ci, _bt, _bn, worsts, _nv = carry
+        ci, worsts, _nv, _ne = carry
         wmax = worsts[0]
         for j in range(1, nsub):
             wmax = jnp.maximum(wmax, worsts[j])
@@ -665,16 +780,17 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # previous window's already-overwritten row. Do not rely on row 3 of
     # best_n being zero mid-loop.
     if fused_cfg is None:
-        bt0 = t_in[0, b].reshape(1, TILE)
-        bn0 = n_in[0, b]                          # (8, TILE)
+        bt_scr[...] = t_in[0, b].reshape(1, TILE)
+        bn_scr[...] = n_in[0, b]                  # (8, TILE)
         nv0 = jnp.max(n_in[0, b, 3:4]).astype(jnp.int32)
+        ne0 = jnp.max(n_in[0, b, 4:5]).astype(jnp.int32)
     else:
-        bt0 = jnp.full((1, TILE), 1e30, jnp.float32)
-        bn0 = jnp.zeros((8, TILE), jnp.float32)
-        nv0 = jnp.int32(0)
-    c_final, best_t, best_n, _, nvis = jax.lax.while_loop(
+        bt_scr[...] = jnp.full((1, TILE), 1e30, jnp.float32)
+        bn_scr[...] = jnp.zeros((8, TILE), jnp.float32)
+        nv0 = ne0 = jnp.int32(0)
+    c_final, _, nvis, nelig = jax.lax.while_loop(
         cluster_cond, cluster_body,
-        (jnp.int32(0), bt0, bn0, worst_subs(bt0), nv0))
+        (jnp.int32(0), worst_subs(), nv0, ne0))
 
     # Drain: whenever the cluster loop stopped at c_final < ccnt (early-exit
     # bound, possibly before the first iteration), the metadata DMA for
@@ -687,11 +803,18 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         cmeta_dma(jax.lax.rem(c_final, 2), c_final).wait()
         qblock_wait(jax.lax.rem(c_final, 2), c_final)
 
+    # Counters ride the otherwise-padded normal rows: row 3 = units
+    # PROCESSED (MXU steps actually run), row 4 = units ELIGIBLE (walk
+    # picks — processed + pre-test skips). Windowed carries read both
+    # back from the previous window's already-overwritten rows.
+    best_t = bt_scr[...]
+    best_n = bn_scr[...]
     nv_row = jnp.full((1, TILE), nvis.astype(jnp.float32))
+    ne_row = jnp.full((1, TILE), nelig.astype(jnp.float32))
     if fused_cfg is None:
         t_out[0, b] = best_t[0]
         n_out[0, b] = jnp.concatenate(
-            [best_n[0:3], nv_row, best_n[4:8]], axis=0)
+            [best_n[0:3], nv_row, ne_row, best_n[5:8]], axis=0)
     else:
         # Fused epilogue: normalize the selected normal, shade against the
         # view direction (-d = -rows 0..2 of the ray matrix), Reinhard — the
@@ -703,7 +826,8 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             nx / nn, ny / nn, nz / nn, -rm[0:1], -rm[1:2], -rm[2:3],
             hit, fused_cfg)
         c_out[0, b] = jnp.concatenate(
-            [r, g, bl, nv_row, jnp.zeros((4, TILE), jnp.float32)], axis=0)
+            [r, g, bl, nv_row, ne_row, jnp.zeros((3, TILE), jnp.float32)],
+            axis=0)
 
 
 def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
@@ -758,7 +882,8 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
                                kraygen=kraygen,
                                grid_su=(scene.sub_level if compressed
                                         else None),
-                               hi_prec=cfg.mt_precision == "highest")
+                               hi_prec=cfg.mt_precision == "highest",
+                               fast2=cfg.mt_precision == "fast2")
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.SMEM)
@@ -804,9 +929,16 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
 
     # Per-tile ray-matrix buffer (moment rows re-written per unit with
     # the recentered (a - c) x d; see _trace_tile_nonempty).
-    rm_scratch = (pltpu.VMEM((8, TILE), jnp.float32)
-                  if cfg.mt_precision == "highest"
-                  else pltpu.VMEM((26, TILE), jnp.bfloat16))
+    if cfg.mt_precision == "highest":
+        rm_scratch = pltpu.VMEM((6, TILE), jnp.float32)
+    elif cfg.mt_precision == "fast2":
+        rm_scratch = pltpu.VMEM((12, TILE), jnp.bfloat16)
+    else:
+        rm_scratch = pltpu.VMEM((18, TILE), jnp.bfloat16)
+    # Running-best refs (t + normal rows): in-place state for the
+    # pre-test-gated unit stage (see _trace_tile_nonempty).
+    best_scratch = [pltpu.VMEM((1, TILE), jnp.float32),
+                    pltpu.VMEM((8, TILE), jnp.float32)]
     if compressed:
         from . import compressed as comp
         scratch = [
@@ -816,7 +948,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
             pltpu.SemaphoreType.DMA((tb, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             rm_scratch,
-        ]
+        ] + best_scratch
     else:
         scratch = [
             pltpu.VMEM((tb, 2, 8, 128), jnp.float32),
@@ -826,7 +958,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             rm_scratch,
-        ]
+        ] + best_scratch
     out = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -849,7 +981,9 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
     """Render one frame with the Pallas backend. Returns (H, W, 3), or
     ((H, W, 3), stats) with stats["kernel_unit_visits"] = the exact
     per-tile (ty, tx) count of (tile, unit) MXU steps the kernel executed
-    (its row-3 counter — free observability for tuning the culling)."""
+    (row-3 counter) and stats["kernel_unit_eligible"] = the walk's picks
+    before the per-ray slab pre-test (row-4 counter) — eligible - visits
+    is the work the pre-test skipped."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     width, height = cfg.width, cfg.height
@@ -890,6 +1024,7 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
                             fused=True)
         colors = rows[:, 0:3].transpose(0, 2, 1)     # (tiles, TILE, 3)
         visits = rows[:, 3, 0]
+        eligible = rows[:, 4, 0]
     else:
         def trace_window(ccand, ccount, centry, best_t, best_n):
             return trace_pallas(scene, raymat_t, fi.t_num, frus,
@@ -903,6 +1038,7 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
 
         best_n = nrm[:, 0:3].transpose(0, 2, 1)     # (tiles, TILE, 3)
         visits = nrm[:, 3, 0]
+        eligible = nrm[:, 4, 0]
         hit_mask = best_t < BIG
         n_unit = best_n / jnp.maximum(
             jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
@@ -912,5 +1048,7 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
            .transpose(0, 2, 1, 3, 4).reshape(ph, pw, 3))[:height, :width]
     if with_stats:
         return img, {"kernel_unit_visits":
-                     visits.reshape(ty, tx).astype(jnp.int32)}
+                     visits.reshape(ty, tx).astype(jnp.int32),
+                     "kernel_unit_eligible":
+                     eligible.reshape(ty, tx).astype(jnp.int32)}
     return img

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..models.scene import DeviceScene
 from . import culling, raygen, shading
+from . import intersect
 from .intersect import MT_DET_EPS, MT_UV_EPS
 
 BIG = jnp.float32(1e30)
@@ -65,6 +66,27 @@ class FrameInputs(NamedTuple):
     # per-unit cull, or None on paths that never reach the Pallas kernel.
     sub_normals: jax.Array | None = None
     t_num: jax.Array | None = None  # (U, LPU) per-frame a.n - e2.w2
+    # (6,) inflated scene AABB [min xyz, max xyz] (scene_exit_aabb) — the
+    # kernel's per-ray reach bound for rays that still miss everything.
+    scene_aabb: jax.Array | None = None
+
+
+def scene_exit_aabb(scene: DeviceScene) -> jax.Array:
+    """(6,) f32 [min xyz, max xyz]: the union of valid cluster AABBs,
+    inflated so that every hit the MT epilogue can ACCEPT (uv within
+    MT_UV_EPS outside a leaf, i.e. up to ~eps * extent outside the exact
+    geometry AABB) still lies inside. A ray's slab EXIT through this box
+    upper-bounds the apex-relative t of any hit it may still find in this
+    scene — the reach bound the kernel substitutes for +inf on rays that
+    miss everything (the reference's per-ray traversal stops at its AABB
+    exit for free; intersection.hlsl:533-557 early-outs on the base
+    bounding triangle the same way)."""
+    big3 = jnp.full((3,), BIG, jnp.float32)
+    valid = scene.cluster_valid[:, None]
+    mn = jnp.where(valid, scene.cluster_aabb_min, big3).min(axis=0)
+    mx = jnp.where(valid, scene.cluster_aabb_max, -big3).max(axis=0)
+    pad = 2.0 * intersect.MT_UV_EPS * (mx - mn) + 1e-6
+    return jnp.concatenate([mn - pad, mx + pad]).astype(jnp.float32)
 
 
 def unit_centers(scene: DeviceScene) -> jax.Array:
@@ -152,7 +174,7 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
         q_frame = (scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
                    if need_q_frame else None)
     return FrameInputs(raymat, q_frame, dirs, apex, normals, cluster_hit,
-                       sub_normals, t_num)
+                       sub_normals, t_num, scene_exit_aabb(scene))
 
 
 def _select_nearest_clusters(cl_dist: jax.Array, remaining: jax.Array,
@@ -245,7 +267,7 @@ def cluster_window(scene: DeviceScene, apex: jax.Array,
 
 def frustum_pack_len(n_sub: int, with_raygen: bool = False) -> int:
     """Length of the per-tile frustum scalar pack (rounded up to 64)."""
-    return -(-(3 + n_sub * 12 + (18 if with_raygen else 0)) // 64) * 64
+    return -(-(3 + n_sub * 12 + (18 if with_raygen else 0) + 6) // 64) * 64
 
 
 def frustum_scalars(fi: FrameInputs,
@@ -254,8 +276,9 @@ def frustum_scalars(fi: FrameInputs,
     """(tiles, frustum_pack_len(...)) f32 per-tile frustum pack for the
     kernel's SMEM: [apex xyz, n_sub sub-cones x 4 planes x xyz, then —
     for the in-kernel-raygen fused mode — the tile's pixel origin (px0,
-    py0) and the 16 inv-view-proj scalars, pad]; n_sub comes from
-    fi.sub_normals (set by cfg.sub_frusta)."""
+    py0) and the 16 inv-view-proj scalars, then the 6 inflated scene-AABB
+    scalars (fi.scene_aabb — the kernel's per-ray reach bound), pad];
+    n_sub comes from fi.sub_normals (set by cfg.sub_frusta)."""
     n_tiles = fi.normals.shape[0]
     n_sub = fi.sub_normals.shape[1]
     ns = n_sub * 12
@@ -270,6 +293,11 @@ def frustum_scalars(fi: FrameInputs,
             raygen_ivp.astype(jnp.float32).reshape(16), (n_tiles, 16))
         parts += [px0[:, None], py0[:, None], m16]
         used += 18
+    if fi.scene_aabb is None:
+        raise ValueError("FrameInputs.scene_aabb is required for the "
+                         "Pallas frustum pack (tiled.scene_exit_aabb)")
+    parts.append(jnp.broadcast_to(fi.scene_aabb, (n_tiles, 6)))
+    used += 6
     pack = frustum_pack_len(n_sub, raygen_ivp is not None)
     parts.append(jnp.zeros((n_tiles, pack - used), jnp.float32))
     return jnp.concatenate(parts, axis=1)
@@ -283,6 +311,19 @@ def trace_windowed_clusters(scene: DeviceScene, fi: FrameInputs,
     Typically a single window — multiple only when some tile's frustum hits
     more than kc clusters."""
     s_apex = fi.raymat[..., 6]
+    # Per-ray scene-exit reach (same bound the kernel applies in its
+    # worst_subs): miss rays stop holding their tile's worst at +inf, so
+    # the window loop can skip whole windows of beyond-reach clusters.
+    if fi.scene_aabb is not None:
+        d = fi.raymat[..., 0:3]
+        tiny = jnp.float32(1e-12)
+        ds = jnp.where(jnp.abs(d) < tiny,
+                       jnp.where(d >= 0.0, tiny, -tiny), d)
+        t0 = (fi.scene_aabb[0:3] - fi.apex) / ds
+        t1 = (fi.scene_aabb[3:6] - fi.apex) / ds
+        exit_t = jnp.maximum(t0, t1).min(-1)          # (tiles, TILE)
+    else:
+        exit_t = BIG
 
     def cond(st):
         return st[0].any()
@@ -292,7 +333,7 @@ def trace_windowed_clusters(scene: DeviceScene, fi: FrameInputs,
         ccand, ccount, centry, remaining, bound = cluster_window(
             scene, fi.apex, remaining, kc)
         best_t, best_n = trace_window(ccand, ccount, centry, best_t, best_n)
-        worst = jnp.max(jnp.where(best_t < BIG, best_t + s_apex, BIG),
+        worst = jnp.max(jnp.where(best_t < BIG, best_t + s_apex, exit_t),
                         axis=1)
         active = remaining.any(axis=1) & (worst >= bound)
         remaining &= active[:, None]

@@ -305,7 +305,8 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
             sub_normals = jax.lax.dynamic_slice_in_dim(
                 sub_normals, tile0, n_tiles_local, 0)
             fi = tiled.FrameInputs(raymat, None, dirs, apex, normals,
-                                   cluster_hit, sub_normals, t_num)
+                                   cluster_hit, sub_normals, t_num,
+                                   tiled.scene_exit_aabb(scene_shard))
             raymat_t = raymat.transpose(0, 2, 1)
             frus = tiled.frustum_scalars(fi)
             kc = max(1, min(cfg.kernel_clusters_per_window,

@@ -354,7 +354,8 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
             dirs_o, raymat = object_raymat(dirs_w[tidx], s_w[tidx])
             fi = tiled.FrameInputs(
                 raymat, None, dirs_o, apex_o, normals_o[tidx],
-                cluster_hit_full[tidx], sub_normals_o[tidx], t_num)
+                cluster_hit_full[tidx], sub_normals_o[tidx], t_num,
+                tiled.scene_exit_aabb(scene))
             frus = tiled.frustum_scalars(fi)
             raymat_t = raymat.transpose(0, 2, 1)
 
@@ -389,7 +390,8 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
                        if interpret else None)
             fi = tiled.FrameInputs(raymat, q_frame, dirs_o, apex_o,
                                    normals_o, cluster_hit_full,
-                                   sub_normals_o, t_num)
+                                   sub_normals_o, t_num,
+                                   tiled.scene_exit_aabb(scene))
             # Carry converts world -> object (t scales, normal rows
             # rotate) so the kernel's early exit prunes against hits from
             # prior instances.
