@@ -37,7 +37,7 @@ BIG = np.float32(1e30)
                  "unit_nrm_pad", "unit_q16", "unit_grid",
                  "cluster_aabb_min", "cluster_aabb_max", "cluster_valid",
                  "cluster_unit_meta"],
-    meta_fields=["max_level", "compressed", "sub_level"])
+    meta_fields=["max_level", "compressed", "sub_level", "indexed"])
 @dataclasses.dataclass(frozen=True)
 class DeviceScene:
     """All arrays are padded to T triangles; NI = (4^L-1)/3, NF = 4^L.
@@ -112,6 +112,11 @@ class DeviceScene:
     max_level: int         # static
     compressed: bool = False   # static: unit_grid-only scene (see above)
     sub_level: int = 0     # static: grid sub-level of a unit (compressed)
+    # Static: compressed records carry per-unit leaf-corner lane indices
+    # (rows 3-4, ops/compressed.py IDX_ROWS) encoding the stitched
+    # topology — set for mixed-level / decimated-presence meshes, whose
+    # units have no shared all-present gather matrix.
+    indexed: bool = False
 
     @property
     def num_triangles(self) -> int:
@@ -182,11 +187,6 @@ def build_device_scene(mesh: mesh_mod.MicroMesh, tessellated: bool = False,
             raise ValueError("compressed mode traces the micro-mesh "
                              "directly; tessellated (-T) mode precomputes "
                              "triangles by definition")
-        if not uniform:
-            raise ValueError(
-                "compressed mode requires a uniform-level all-present mesh "
-                "(mixed levels / decimated presence need the stitched leaf "
-                "tables; build with compressed=False)")
         return build_compressed_scene(mesh)
     # Non-uniform meshes batch by (level, presence-pattern) group: the
     # stitched topology is shared within a group, so the precompute
@@ -456,9 +456,20 @@ def build_compressed_scene(mesh: mesh_mod.MicroMesh) -> DeviceScene:
     are unchanged; only the per-unit MT tables are derived at trace time
     (ops/compressed.py). Matches the reference's direct-tracing memory
     model (intersection.hlsl:465-470; README.md:7-12).
+
+    Mixed-level / decimated-presence meshes take the INDEXED variant
+    (_build_compressed_indexed): records gain two corner-index rows that
+    encode each unit's stitched leaf topology (the reference's 6-case
+    presence re-stitching, intersection.hlsl:339-371), so one kernel
+    traces any level mix directly — no pre-tessellation anywhere.
     """
     from ..ops import compressed as comp
     from ..ops import precompute
+
+    uniform = (mesh.has_uniform_subdivision_level()
+               and all(t.u_present.all() for t in mesh.triangles))
+    if not uniform:
+        return _build_compressed_indexed(mesh)
 
     lvl = mesh.max_level
     gcoords, su = comp.subtree_grid_coords(lvl)
@@ -518,6 +529,106 @@ def build_compressed_scene(mesh: mesh_mod.MicroMesh) -> DeviceScene:
         unit_nrm_pad=None, unit_q16=None, unit_grid=dev(unit_grid),
         **{k: dev(v) for k, v in clusters.items()},
         max_level=lvl, compressed=True, sub_level=su)
+
+
+def _build_compressed_indexed(mesh: mesh_mod.MicroMesh) -> DeviceScene:
+    """Indexed compressed build for mixed-level / stitched meshes.
+
+    Triangles batch by (level, presence) class exactly like the standard
+    non-uniform build; each class computes its stitched unit topology
+    ONCE (ops/compressed.stitched_unit_topology) and every triangle of
+    the class emits `spt` units whose records hold displaced grid
+    positions (rows 0-2, unreferenced lanes zeroed) + the class's corner
+    lane indices (rows 3-4). Degenerate sentinel columns derive zero
+    triangles and are rejected by the det epsilon — the same masking the
+    standard tables get from zero rows.
+    """
+    from ..ops import compressed as comp
+    from ..ops import precompute
+
+    groups: dict[tuple, list[int]] = {}
+    for i, t in enumerate(mesh.triangles):
+        key = (t.subdivision_level, t.u_present.tobytes())
+        groups.setdefault(key, []).append(i)
+
+    t_real = mesh.num_triangles
+    t_pad = max(_round_up(t_real, 8), 8)
+    aabb_min = np.full((t_pad, 3), BIG, np.float32)
+    aabb_max = np.full((t_pad, 3), -BIG, np.float32)
+    tri_valid = np.zeros((t_pad,), bool)
+    tri_valid[:t_real] = True
+
+    recs, u_mins, u_maxs = [], [], []
+    for (lvl_g, _), ids in groups.items():
+        present = mesh.triangles[ids[0]].u_present
+        idx3, ref, su_g = comp.stitched_unit_topology(lvl_g, present)
+        gcoords, _ = comp.subtree_grid_coords(lvl_g)
+        spt, gpts = gcoords.shape[:2]
+        idxrows = comp.pack_index_rows(idx3)          # (spt, 2, GRID_LANES)
+        refs = ref[:, :gpts]                          # (spt, gpts)
+        chunk = max(1, 4_000_000 // max(spt * gpts, 1))
+        for s in range(0, len(ids), chunk):
+            sel = np.asarray(ids[s:s + chunk], np.int64)
+            v0, v1, v2, d0, d1, d2, scales = precompute.base_and_scales(
+                mesh, 0, 0, ids=sel)
+            pos = comp.grid_positions(v0, v1, v2, d0, d1, d2, scales,
+                                      gcoords, lvl_g)  # (n, spt, gpts, 3)
+            n = sel.shape[0]
+            rm = refs[None, :, :, None]
+            rec = np.zeros((n, spt, comp.IDX_ROWS, comp.GRID_LANES),
+                           np.float32)
+            rec[:, :, 0:3, :gpts] = np.where(rm, pos, 0.0).transpose(
+                0, 1, 3, 2)
+            rec[:, :, 3:6, :] = idxrows[None]
+            recs.append(rec.reshape(n * spt, comp.IDX_ROWS,
+                                    comp.GRID_LANES))
+            umin = np.where(rm, pos, BIG).min(axis=2)   # (n, spt, 3)
+            umax = np.where(rm, pos, -BIG).max(axis=2)
+            u_mins.append(umin.reshape(-1, 3))
+            u_maxs.append(umax.reshape(-1, 3))
+            aabb_min[sel] = umin.min(axis=1)
+            aabb_max[sel] = umax.max(axis=1)
+
+    unit_grid = np.concatenate(recs) if recs else np.zeros(
+        (0, comp.IDX_ROWS, comp.GRID_LANES), np.float32)
+    unit_aabb_min = np.concatenate(u_mins) if u_mins else np.zeros(
+        (0, 3), np.float32)
+    unit_aabb_max = np.concatenate(u_maxs) if u_maxs else np.zeros(
+        (0, 3), np.float32)
+    u_real = unit_grid.shape[0]
+    u_pad = max(_round_up(u_real, UNITS_PER_CLUSTER), UNITS_PER_CLUSTER)
+
+    # Morton order over unit AABB centers, zero-record padding (all-zero
+    # indexed records gather lane 0 of zero positions -> degenerate).
+    centers = 0.5 * (unit_aabb_min + unit_aabb_max)
+    order = (np.argsort(_morton_codes(centers), kind="stable")
+             if u_real else np.zeros(0, np.int64))
+    pad = u_pad - u_real
+    unit_grid = np.concatenate(
+        [unit_grid[order],
+         np.zeros((pad, comp.IDX_ROWS, comp.GRID_LANES), np.float32)])
+    unit_aabb_min = np.concatenate(
+        [unit_aabb_min[order], np.full((pad, 3), BIG, np.float32)])
+    unit_aabb_max = np.concatenate(
+        [unit_aabb_max[order], np.full((pad, 3), -BIG, np.float32)])
+    unit_valid = np.zeros((u_pad,), bool)
+    unit_valid[:u_real] = True
+
+    clusters = build_clusters(unit_aabb_min, unit_aabb_max, unit_valid)
+
+    dev = lambda x: None if x is None else jax.device_put(x)  # noqa: E731
+    return DeviceScene(
+        aabb_min=dev(aabb_min), aabb_max=dev(aabb_max),
+        plane_t=None, plane_b=None, plane_n=None, plane_o=None,
+        node_verts=None, node_minmax=None, node_pass=None,
+        leaf_verts=None, leaf_mask=None, tri_valid=dev(tri_valid),
+        unit_aabb_min=dev(unit_aabb_min), unit_aabb_max=dev(unit_aabb_max),
+        unit_valid=dev(unit_valid), unit_leaf_idx=None,
+        unit_qn=None, unit_n=None, unit_e2w2=None, unit_nrm=None,
+        unit_nrm_pad=None, unit_q16=None, unit_grid=dev(unit_grid),
+        **{k: dev(v) for k, v in clusters.items()},
+        max_level=mesh.max_level, compressed=True,
+        sub_level=comp.SUB_LEVEL, indexed=True)
 
 
 def _part1by2(x: np.ndarray) -> np.ndarray:

@@ -40,6 +40,18 @@ GRID_ROWS = 4       # record rows: 0-2 = grid-point xyz, 3 = spare
 GRID_LANES = 128    # lane-aligned record width (45 used at sub-level 3)
 SUB_LEVEL = 3       # unit = level-(L-3) subtree -> 64 leaves, 45 vertices
 LPU = 64            # leaf columns per unit (4^SUB_LEVEL)
+# Indexed records (mixed-level / stitched-presence scenes): three extra
+# rows carry per-unit leaf-corner lane indices, so the stitched topology
+# — the reference's 6-case presence re-stitching
+# (intersection.hlsl:339-371) — is encoded in the unit itself and ONE
+# kernel traces any level mix. Row 3+j, lanes 0..LPU-1: corner-j lane
+# indices (one row per corner keeps every kernel slice at lane offset 0 —
+# Mosaic penalizes non-128-aligned lane offsets). Index GRID_LANES-1 is
+# the degenerate sentinel: lane 127 of every record is zero (<= 45 grid
+# points used), so padded leaf columns derive v0 = v1 = v2 = 0 ->
+# det == 0 -> rejected by the standard epsilon.
+IDX_ROWS = 6
+IDX_SENTINEL = GRID_LANES - 1
 
 
 @functools.cache
@@ -90,6 +102,70 @@ def subtree_grid_coords(level: int) -> tuple[np.ndarray, int]:
     return coords // den, su
 
 
+def stitched_unit_topology(level: int, present: np.ndarray):
+    """Per-subtree leaf-corner lane indices for a stitched triangle class.
+
+    level: the triangle's subdivision level; present: (M,) bool presence
+    over its grid vertices (finest-grid storage order). The stitched leaf
+    set (subdivision.enumerate_leaves — the reference's 6-case presence
+    re-stitching, intersection.hlsl:339-371) still has every corner AT a
+    grid point, so a unit's topology is fully described by 3*LPU lane
+    indices into its own grid record. Shared by every triangle of the
+    same (level, presence) class — computed once per class.
+
+    Returns (idx (spt, 3, LPU) int32 corner lane indices (IDX_SENTINEL
+    pads unused columns), ref (spt, GRID_LANES) bool referenced-lane
+    mask, su).
+    """
+    from . import subdivision
+
+    gcoords, su = subtree_grid_coords(level)          # (spt, gpts, 2)
+    spt, gpts = gcoords.shape[:2]
+    lane_of = [{tuple(c): i for i, c in enumerate(map(tuple, gcoords[s]))}
+               for s in range(spt)]
+
+    def present_at(c):
+        return present[subdivision.grid_index(c)]
+
+    slots, corners = subdivision.enumerate_leaves(level, present_at)
+    idx = np.full((spt, 3, LPU), IDX_SENTINEL, np.int32)
+    ref = np.zeros((spt, GRID_LANES), bool)
+    counts = np.zeros(spt, np.int64)
+    shift = 2 * (su - 1)
+    for slot, cor in zip(slots, corners):
+        s = 0 if level == 0 else int(slot) // 4 >> shift
+        k = counts[s]
+        counts[s] += 1
+        for j in range(3):
+            ln = lane_of[s][tuple(cor[j])]
+            idx[s, j, k] = ln
+            ref[s, ln] = True
+    assert counts.max(initial=0) <= LPU
+    return idx, ref, su
+
+
+def uniform_unit_indices(su: int) -> np.ndarray:
+    """(3, LPU) corner lane indices of the all-present topology — the
+    indexed-record equivalent of leaf_gather_matrix(su) (same emission
+    order); columns beyond 4^su get the degenerate sentinel."""
+    g = leaf_gather_matrix(su)                        # (GRID_LANES, 3*LPU)
+    idx = np.full((3, LPU), IDX_SENTINEL, np.int32)
+    for j in range(3):
+        blk = g[:, j * LPU:(j + 1) * LPU]
+        lanes, cols = np.nonzero(blk)
+        idx[j, cols] = lanes
+    return idx
+
+
+def pack_index_rows(idx: np.ndarray) -> np.ndarray:
+    """(..., 3, LPU) int corner indices -> (..., 3, GRID_LANES) f32 record
+    rows (row j lanes 0..LPU-1 = corner-j indices; layout above)."""
+    lead = idx.shape[:-2]
+    rows = np.full(lead + (3, GRID_LANES), float(IDX_SENTINEL), np.float32)
+    rows[..., :, 0 * LPU:1 * LPU] = idx
+    return rows
+
+
 def grid_positions(v0, v1, v2, d0, d1, d2, scales, gcoords, level):
     """Displaced positions of every (triangle, subtree, grid point).
 
@@ -115,8 +191,14 @@ def grid_positions(v0, v1, v2, d0, d1, d2, scales, gcoords, level):
     return (base + s[..., None] * dirs).astype(np.float32)
 
 
+def _corner_indices_np(grid: np.ndarray) -> np.ndarray:
+    """(U, IDX_ROWS, GRID_LANES) indexed record -> (U, 3, LPU) int64."""
+    return grid[:, 3:6, 0 * LPU:1 * LPU].astype(np.int64)
+
+
 def derive_unit_tables_np(grid: np.ndarray, apex: np.ndarray, su: int,
-                          centers: np.ndarray | None = None):
+                          centers: np.ndarray | None = None,
+                          indexed: bool = False):
     """NumPy reference of the trace-time derivation (tests + host oracle).
 
     grid: (U, GRID_ROWS, GRID_LANES) unit records; apex: (3,); centers:
@@ -130,11 +212,17 @@ def derive_unit_tables_np(grid: np.ndarray, apex: np.ndarray, su: int,
     if centers is None:
         centers = np.zeros((grid.shape[0], 3), grid.dtype)
     pos = grid[:, 0:3, :]                                     # (U, 3, GL)
-    g = leaf_gather_matrix(su)
-    v = pos @ g                                               # (U, 3, 3*LPU)
-    v0 = v[:, :, 0 * LPU:1 * LPU].transpose(0, 2, 1)          # (U, LPU, 3)
-    v1 = v[:, :, 1 * LPU:2 * LPU].transpose(0, 2, 1)
-    v2 = v[:, :, 2 * LPU:3 * LPU].transpose(0, 2, 1)
+    if indexed:
+        idx = _corner_indices_np(grid)                        # (U, 3, LPU)
+        take = lambda j: np.take_along_axis(                  # noqa: E731
+            pos, idx[:, j][:, None, :], axis=2).transpose(0, 2, 1)
+        v0, v1, v2 = take(0), take(1), take(2)                # (U, LPU, 3)
+    else:
+        g = leaf_gather_matrix(su)
+        v = pos @ g                                           # (U, 3, 3*LPU)
+        v0 = v[:, :, 0 * LPU:1 * LPU].transpose(0, 2, 1)      # (U, LPU, 3)
+        v1 = v[:, :, 1 * LPU:2 * LPU].transpose(0, 2, 1)
+        v2 = v[:, :, 2 * LPU:3 * LPU].transpose(0, 2, 1)
     e1 = v1 - v0
     e2 = v2 - v0
     v0c = v0 - centers[:, None, :]
@@ -154,21 +242,35 @@ def derive_unit_tables_np(grid: np.ndarray, apex: np.ndarray, su: int,
     return dict(q=q, nrm=(n / norm).astype(np.float32))
 
 
-def derive_q_jnp(grid, apex, su: int, centers=None):
+def derive_q_jnp(grid, apex, su: int, centers=None, indexed: bool = False):
     """JAX derivation for the XLA tiled backend: per gathered candidate.
 
-    grid: (n, GRID_ROWS, GRID_LANES); apex: (3,); centers: (n, 3) unit
-    AABB centers (recentered frame — pair with tiled.recentered_raymat;
-    None = absolute). Returns (q (n, 8, 4*LPU) with t_num folded into
-    row 7 of the t block, nrm (n, LPU, 3)) — drop-in for q_frame[unit] /
-    scene.unit_nrm[unit].
+    grid: (n, GRID_ROWS | IDX_ROWS, GRID_LANES); apex: (3,); centers:
+    (n, 3) unit AABB centers (recentered frame — pair with
+    tiled.recentered_raymat; None = absolute). indexed: per-unit corner
+    lane indices in rows 3-4 (stitched/mixed-level scenes) instead of the
+    shared all-present gather matrix. Returns (q (n, 8, 4*LPU) with t_num
+    folded into row 7 of the t block, nrm (n, LPU, 3)) — drop-in for
+    q_frame[unit] / scene.unit_nrm[unit].
     """
     import jax.numpy as jnp
 
     pos = grid[:, 0:3, :]
-    g = jnp.asarray(leaf_gather_matrix(su))
-    v = jnp.einsum("nck,kl->ncl", pos, g,
-                   preferred_element_type=jnp.float32)        # (n, 3, 3*LPU)
+    if indexed:
+        # Per-unit one-hot gather built from the index rows (matmul, not
+        # take_along_axis — per-candidate gathers are pathological on
+        # TPU): oh[n, g, c] = (g == idx[n, c]).
+        idx = jnp.concatenate(
+            [grid[:, 3, 0 * LPU:1 * LPU], grid[:, 4, 0 * LPU:1 * LPU],
+             grid[:, 5, 0 * LPU:1 * LPU]], axis=1)            # (n, 3*LPU)
+        giota = jnp.arange(GRID_LANES, dtype=grid.dtype)
+        oh = (giota[None, :, None] == idx[:, None, :]).astype(grid.dtype)
+        v = jnp.einsum("nck,nkl->ncl", pos, oh,
+                       preferred_element_type=jnp.float32)    # (n, 3, 3*LPU)
+    else:
+        g = jnp.asarray(leaf_gather_matrix(su))
+        v = jnp.einsum("nck,kl->ncl", pos, g,
+                       preferred_element_type=jnp.float32)    # (n, 3, 3*LPU)
     v0 = v[:, :, 0 * LPU:1 * LPU]                             # (n, 3, LPU)
     v1 = v[:, :, 1 * LPU:2 * LPU]
     v2 = v[:, :, 2 * LPU:3 * LPU]

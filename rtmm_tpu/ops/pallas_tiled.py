@@ -76,7 +76,8 @@ def resolve_mt_precision(scene: DeviceScene, cfg: RenderConfig
 
 def _kernel(*refs, lpu: int, t_min: float, t_max: float,
             tiles_per_block: int, nsub: int, nrows: int, fused_cfg,
-            kraygen: bool, grid_su, hi_prec: bool, fast2: bool):
+            kraygen: bool, grid_su, hi_prec: bool, fast2: bool,
+            indexed: bool = False):
     """fused_cfg: None = windowed mode (carry t/n in and out); a
     RenderConfig = single-window fused mode (shade in-kernel, write color
     rows, no carry inputs — saves one full (tiles, 8, TILE) HBM round-trip
@@ -85,7 +86,10 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
     frustum pack — no raymat input at all. grid_su: None = standard scene
     (q_hbm holds precomputed unit_qn MT tables + a t_num table input);
     an int = compressed scene (q_hbm holds the per-unit grid-vertex
-    records; MT rows AND t_num are derived in-kernel — see _derive_unit)."""
+    records; MT rows AND t_num are derived in-kernel — see _derive_unit).
+    indexed: the records carry per-unit corner-index rows (stitched /
+    mixed-level scenes, ops/compressed.py IDX_ROWS) instead of sharing
+    one all-present gather matrix (no gmat input at all)."""
     compressed = grid_su is not None
     it = list(refs)
     ccand_ref, ccount_ref, centry_ref, frus_ref = it[:4]
@@ -95,7 +99,7 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
         raymat_ref = it[i]
         i += 1
     gmat_ref = None
-    if compressed:
+    if compressed and not indexed:
         gmat_ref = it[i]       # (GRID_LANES, 3*LPU) leaf gather matrix
         i += 1
     t_in = n_in = None
@@ -163,7 +167,7 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
                     lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub,
                     nrows=nrows, fused_cfg=fused_cfg, kraygen=kraygen,
                     grid_su=grid_su, gmat_ref=gmat_ref, hi_prec=hi_prec,
-                    fast2=fast2)
+                    fast2=fast2, indexed=indexed)
 
 
 def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
@@ -171,7 +175,7 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
                 meta_buf, q_buf, tnum_buf, msem, usem, tsem, rm_buf,
                 bt_scr, bn_scr,
                 *, lpu, t_min, t_max, nsub, nrows, fused_cfg, kraygen,
-                grid_su, gmat_ref, hi_prec, fast2):
+                grid_su, gmat_ref, hi_prec, fast2, indexed):
     t_in, n_in, t_out, n_out, c_out = outs
     # count can exceed the cluster-list capacity (overflowing tiles keep
     # their true count; the host window loop re-runs them); clamp — reading
@@ -199,7 +203,8 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
             msem, usem, tsem, rm_buf, bt_scr, bn_scr,
             lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub, nrows=nrows,
             fused_cfg=fused_cfg, kraygen=kraygen, grid_su=grid_su,
-            gmat_ref=gmat_ref, hi_prec=hi_prec, fast2=fast2)
+            gmat_ref=gmat_ref, hi_prec=hi_prec, fast2=fast2,
+            indexed=indexed)
 
 
 def _raygen_rows(frus_ref, b, nsub, cfg):
@@ -248,7 +253,8 @@ def _raygen_rows(frus_ref, b, nsub, cfg):
         axis=0)
 
 
-def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu):
+def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu,
+                 indexed: bool = False):
     """Derive one unit's MT table from its VMEM-resident grid-vertex
     record (the compressed-scene analog of reading the precomputed
     unit_qn block) — the reference's on-the-fly leaf reconstruction
@@ -280,8 +286,20 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu):
         # derived array, and Mosaic's tpu.concatenate cannot merge pieces
         # whose non-concat-dim offsets differ ("result/input offset
         # mismatch") — offset-0 operands keep the whole derivation legal.
+        if indexed:
+            # Per-unit one-hot built from the record's corner-index row
+            # (stitched/mixed-level topology): oh[g, k] = (g == idx[k]).
+            # Exact — indices are small ints in f32; the sentinel index
+            # hits the guaranteed-zero lane 127 (degenerate leaf).
+            from .compressed import GRID_LANES
+            idx_row = grid_block[3 + j:4 + j, 0:lpu]          # (1, lpu)
+            gi = jax.lax.broadcasted_iota(
+                jnp.float32, (GRID_LANES, lpu), 0)
+            oh = (gi == idx_row).astype(jnp.float32)          # (GL, lpu)
+        else:
+            oh = gmat[:, j * lpu:(j + 1) * lpu]
         return jax.lax.dot_general(
-            pos, gmat[:, j * lpu:(j + 1) * lpu],
+            pos, oh,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)    # (3, lpu)
@@ -323,7 +341,8 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                          meta_buf, q_buf, tnum_buf, msem, usem, tsem,
                          rm_buf, bt_scr, bn_scr,
                          *, lpu, t_min, t_max, nsub, nrows, fused_cfg,
-                         kraygen, grid_su, gmat_ref, hi_prec, fast2):
+                         kraygen, grid_su, gmat_ref, hi_prec, fast2,
+                         indexed):
     t_in, n_in, t_out, n_out, c_out = outs
     # Cost-attribution instrument (RTMM_ABLATE=2xmatmul|2xepilogue|
     # 2xnsel|2xpick, read at trace time): DUPLICATE one stage and fold a
@@ -492,8 +511,10 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         rows + (compressed) derived tables."""
         set_unit_moment(cx, cy, cz)
         if grid_su is not None:
-            q, tn_row, nrm_v = _derive_unit(q_buf[qslot, u], gmat_ref[...],
-                                            ax, ay, az, cx, cy, cz, lpu)
+            q, tn_row, nrm_v = _derive_unit(
+                q_buf[qslot, u],
+                None if indexed else gmat_ref[...],
+                ax, ay, az, cx, cy, cz, lpu, indexed=indexed)
         else:
             qn = q_buf[qslot, u]                  # (8, 4*LPU + 128)
             # Only rows 0-5 carry MT data ([-n|-w1|-w2] over d rows,
@@ -883,7 +904,8 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
                                grid_su=(scene.sub_level if compressed
                                         else None),
                                hi_prec=cfg.mt_precision == "highest",
-                               fast2=cfg.mt_precision == "fast2")
+                               fast2=cfg.mt_precision == "fast2",
+                               indexed=compressed and scene.indexed)
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.SMEM)
@@ -900,13 +922,15 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
         head_args = head_args + (raymat_t.reshape(nb, tb, 8, TILE),)
     if compressed:
         from . import compressed as comp
-        gmat = jnp.asarray(comp.leaf_gather_matrix(scene.sub_level))
-        # The gather matrix is a per-call constant (kernels cannot capture
-        # array constants): one whole-array VMEM block shared by every
-        # grid program.
-        head_specs = head_specs + [pl.BlockSpec(
-            gmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)]
-        head_args = head_args + (gmat,)
+        if not scene.indexed:
+            gmat = jnp.asarray(comp.leaf_gather_matrix(scene.sub_level))
+            # The gather matrix is a per-call constant (kernels cannot
+            # capture array constants): one whole-array VMEM block shared
+            # by every grid program. Indexed scenes need none — each
+            # record carries its own corner indices.
+            head_specs = head_specs + [pl.BlockSpec(
+                gmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)]
+            head_args = head_args + (gmat,)
         tail_args = (scene.cluster_unit_meta, scene.unit_grid)
     else:
         tail_args = (scene.cluster_unit_meta, scene.unit_qn, t_num)
@@ -941,9 +965,10 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
                     pltpu.VMEM((8, TILE), jnp.float32)]
     if compressed:
         from . import compressed as comp
+        grows = comp.IDX_ROWS if scene.indexed else comp.GRID_ROWS
         scratch = [
             pltpu.VMEM((tb, 2, 8, 128), jnp.float32),
-            pltpu.VMEM((2, UPC, comp.GRID_ROWS, comp.GRID_LANES),
+            pltpu.VMEM((2, UPC, grows, comp.GRID_LANES),
                        jnp.float32),
             pltpu.SemaphoreType.DMA((tb, 2)),
             pltpu.SemaphoreType.DMA((2,)),

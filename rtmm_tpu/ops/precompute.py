@@ -176,13 +176,16 @@ def build_triangle_tables(tri: mesh_mod.MicroTriangle,
         leaf_slots=leaf_slots, leaf_verts=leaf_verts, tess_verts=tess_verts)
 
 
-def base_and_scales(mesh: mesh_mod.MicroMesh, start: int, stop: int):
+def base_and_scales(mesh: mesh_mod.MicroMesh, start: int, stop: int,
+                    ids=None):
     """Base corner positions/directions + displacement scales for a slice
-    of a uniform all-present mesh (the inputs of the compressed-unit
+    (or explicit `ids` — triangles must share grid shape, i.e. one
+    (level, presence) class) of a mesh (the inputs of the compressed-unit
     build). Returns (v0, v1, v2, d0, d1, d2 (N, 3), scales (N, M)) — the
     exact scale arithmetic of build_uniform_tables (mesh.cpp:398-416
     robust dot-ratio form)."""
-    tris = mesh.triangles[start:stop]
+    tris = (mesh.triangles[start:stop] if ids is None
+            else [mesh.triangles[int(i)] for i in ids])
     bidx = np.stack([t.base_vertex_indices for t in tris])       # (N, 3)
     u_pos = np.stack([t.u_positions for t in tris]).astype(np.float32)
     u_disp = np.stack([t.u_displacements for t in tris]).astype(np.float32)

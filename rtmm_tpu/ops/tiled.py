@@ -426,8 +426,8 @@ def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg,
     if scene.compressed:
         from . import compressed as comp
         q, nrm = comp.derive_q_jnp(scene.unit_grid[unit], apex,
-                                   scene.sub_level,
-                                   centers=centers)    # (nt, 8, 4*LPU)
+                                   scene.sub_level, centers=centers,
+                                   indexed=scene.indexed)  # (nt, 8, 4*LPU)
     else:
         q = q_frame[unit][..., :4 * lpu]               # (nt, 8, 4*LPU)
         nrm = scene.unit_nrm[unit]                     # (nt, LPU, 3)

@@ -70,7 +70,8 @@ def _scene_specs(scene: DeviceScene, n_scene: int):
     c_ok = scene.num_clusters % n_scene == 0
     specs = {}
     meta = {f.name for f in dataclasses.fields(scene)
-            if f.name in ("max_level", "compressed", "sub_level")}
+            if f.name in ("max_level", "compressed", "sub_level",
+                          "indexed")}
     for f in dataclasses.fields(scene):
         if f.name in meta or getattr(scene, f.name) is None:
             continue   # optional tables absent from this build: stay None

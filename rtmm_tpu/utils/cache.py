@@ -23,7 +23,9 @@ from ..models.scene import DeviceScene
 # v6: unit_qn/unit_e2w2 recentered about unit AABB centers (unit_grid
 #     records stay absolute — the kernel recenters at derive time, so
 #     compressed caches are layout-compatible but keyed anyway).
-FORMAT_VERSION = 6
+# v7: indexed compressed scenes (mixed-level/stitched; `indexed` meta,
+#     IDX_ROWS records).
+FORMAT_VERSION = 7
 
 
 def asset_cache_key(path: str, tessellated: bool,
@@ -55,7 +57,7 @@ def _meta_arrays(scene: DeviceScene) -> dict:
     return {name: np.asarray(getattr(scene, name)) for name in _META_FIELDS}
 
 
-_META_FIELDS = ("max_level", "compressed", "sub_level")
+_META_FIELDS = ("max_level", "compressed", "sub_level", "indexed")
 
 
 def load_scene(cache_path: str) -> DeviceScene:
@@ -66,7 +68,10 @@ def load_scene(cache_path: str) -> DeviceScene:
               if f.name not in _META_FIELDS}
     return DeviceScene(max_level=int(z["max_level"]),
                        compressed=bool(z["compressed"]),
-                       sub_level=int(z["sub_level"]), **kwargs)
+                       sub_level=int(z["sub_level"]),
+                       indexed=(bool(z["indexed"])
+                                if "indexed" in z.files else False),
+                       **kwargs)
 
 
 def build_device_scene_cached(asset_path: str, tessellated: bool = False,

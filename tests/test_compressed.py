@@ -156,10 +156,6 @@ def test_compressed_memory_footprint():
 
 
 def test_compressed_guards():
-    mesh = procedural.make_plane(grid=(2, 2), level=2, amplitude=0.25,
-                                 mixed_levels=True)
-    with pytest.raises(ValueError, match="uniform"):
-        scene_mod.build_device_scene(mesh, compressed=True)
     uni = procedural.make_plane(grid=(2, 2), level=2, amplitude=0.25)
     with pytest.raises(ValueError, match="tessellated"):
         scene_mod.build_device_scene(uni, tessellated=True, compressed=True)
@@ -171,3 +167,106 @@ def test_compressed_guards():
     from rtmm_tpu.render.pathtrace import PathTracer
     with pytest.raises(NotImplementedError):
         PathTracer(ds, CFG).render(_ivp())
+
+
+# ---- Indexed compressed scenes (mixed levels / stitched presence) ----
+# The records gain per-unit corner-index rows encoding the stitched leaf
+# topology (the reference's 6-case presence re-stitching,
+# intersection.hlsl:339-371), so direct tracing covers EVERY mesh class —
+# no pre-tessellation fallback anywhere.
+
+
+def _mixed_mesh():
+    return procedural.make_icosphere(subdivisions=1, level=3,
+                                     amplitude=0.12, mixed_levels=True)
+
+
+def test_indexed_build_selected_for_mixed_meshes():
+    ds = scene_mod.build_device_scene(_mixed_mesh(), compressed=True)
+    assert ds.indexed and ds.compressed
+    assert ds.unit_grid.shape[1] == comp.IDX_ROWS
+    uni = scene_mod.build_device_scene(
+        procedural.make_plane(grid=(2, 2), level=3, amplitude=0.2),
+        compressed=True)
+    assert not uni.indexed
+    assert uni.unit_grid.shape[1] == comp.GRID_ROWS
+
+
+def test_indexed_leaf_set_bitwise_matches_stitched_tables():
+    """The derived (record positions + index rows) nondegenerate leaf set
+    equals the standard stitched leaf_verts table EXACTLY — same closed
+    form at the same grid points, topology included."""
+    mesh = _mixed_mesh()
+    cs = scene_mod.build_device_scene(mesh, compressed=True)
+    ss = scene_mod.build_device_scene(mesh)
+    grid = np.asarray(cs.unit_grid)
+    idx = comp._corner_indices_np(grid)
+    pos = grid[:, 0:3, :]
+    take = lambda j: np.take_along_axis(  # noqa: E731
+        pos, idx[:, j][:, None, :], axis=2).transpose(0, 2, 1)
+    v0, v1, v2 = take(0), take(1), take(2)
+    deg = (np.abs(np.cross(v1 - v0, v2 - v0)).sum(-1) == 0)
+    der = np.stack([v0, v1, v2], axis=2)          # (U, LPU, 3, 3)
+    der_set = {der[u, k].tobytes() for u in range(der.shape[0])
+               for k in range(comp.LPU) if not deg[u, k]}
+    slv = np.asarray(ss.leaf_verts)[np.asarray(ss.leaf_mask)]
+    std_set = {slv[i].tobytes() for i in range(slv.shape[0])}
+    assert der_set == std_set
+
+
+def test_indexed_derive_np_matches_jnp():
+    import jax.numpy as jnp
+
+    ds = scene_mod.build_device_scene(_mixed_mesh(), compressed=True)
+    apex = np.asarray([0.3, -1.2, 2.5], np.float32)
+    grid = np.asarray(ds.unit_grid)
+    ctr = 0.5 * (np.asarray(ds.unit_aabb_min) + np.asarray(ds.unit_aabb_max))
+    ref = comp.derive_unit_tables_np(grid, apex, ds.sub_level,
+                                     centers=ctr, indexed=True)
+    q, nrm = comp.derive_q_jnp(jnp.asarray(grid), jnp.asarray(apex),
+                               ds.sub_level, centers=jnp.asarray(ctr),
+                               indexed=True)
+    np.testing.assert_allclose(np.asarray(q), ref["q"], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nrm), ref["nrm"],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_indexed_tile_matches_standard_tile():
+    mesh = _mixed_mesh()
+    cfg = dataclasses.replace(CFG, pipeline="tile")
+    a = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh), cfg).render(_ivp()))
+    b = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh, compressed=True),
+        cfg).render(_ivp()))
+    assert _npix(a, b) <= 5, f"{_npix(a, b)} pixels diverge"
+
+
+def test_indexed_pallas_matches_indexed_tile():
+    """The in-kernel per-unit one-hot gather (interpret mode) must agree
+    with the XLA indexed derivation image-for-image."""
+    ds = scene_mod.build_device_scene(_mixed_mesh(), compressed=True)
+    a = np.asarray(Renderer(
+        ds, dataclasses.replace(CFG, pipeline="tile")).render(_ivp()))
+    b = np.asarray(Renderer(
+        ds, dataclasses.replace(CFG, pipeline="pallas")).render(_ivp()))
+    assert _npix(a, b) <= 5, f"{_npix(a, b)} pixels diverge"
+
+
+def test_indexed_matches_tessellated_oracle():
+    """The correctness oracle on a decimated-presence mixed-level mesh:
+    direct (indexed compressed) trace == tessellated ground truth."""
+    mesh = procedural.make_plane(grid=(4, 4), level=3, amplitude=0.25,
+                                 mixed_levels=True)
+    assert not all(t.u_present.all() for t in mesh.triangles)
+    cfg = dataclasses.replace(CFG, pipeline="tile")
+    img_c = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh, compressed=True),
+        cfg).render(_ivp()))
+    img_t = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh, tessellated=True),
+        cfg).render(_ivp()))
+    bg = np.asarray(cfg.background)
+    assert (np.abs(img_c - bg).max(-1) > 1e-5).mean() > 0.05, "not visible"
+    rmse = np.sqrt(((img_c - img_t) ** 2).mean())
+    assert rmse <= 1e-3, rmse
