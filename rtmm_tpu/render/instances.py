@@ -266,10 +266,9 @@ def render_instanced(scene: DeviceScene, instances: list[Instance],
     only a (N, 3, 3) rotation + (N, 3) translation + (N,) scale stack is
     instance-specific.
     """
-    if scene.compressed:
-        raise NotImplementedError(
-            "two-level instanced traversal reads the precomputed unit_qn "
-            "tables; build the base scene with compressed=False")
+    # Compressed scenes work as-is: the kernel / XLA tile backend derive
+    # the MT tables per unit from the (object-space) grid records; only
+    # the precomputed-table t_num/q_frame inputs are skipped below.
     rot = jnp.asarray(np.stack([i.rotation for i in instances]), jnp.float32)
     trn = jnp.asarray(np.stack([i.translation for i in instances]),
                       jnp.float32)
@@ -325,7 +324,8 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
         cluster_hit_full = culling.cull_units(
             apex_o, normals_o, scene.cluster_aabb_min,
             scene.cluster_aabb_max, scene.cluster_valid)
-        t_num = tiled.frame_t_num(scene, apex_o)
+        t_num = (None if scene.compressed
+                 else tiled.frame_t_num(scene, apex_o))
         kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
 
         def object_raymat(dirs_g, s_g):
@@ -387,7 +387,7 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
             # Only the XLA correctness path gathers whole q blocks; the
             # Pallas branch keeps unit_qn static and folds t_num in-kernel.
             q_frame = (scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
-                       if interpret else None)
+                       if interpret and not scene.compressed else None)
             fi = tiled.FrameInputs(raymat, q_frame, dirs_o, apex_o,
                                    normals_o, cluster_hit_full,
                                    sub_normals_o, t_num,
@@ -453,7 +453,8 @@ def _xla_window(scene, fi, cfg):
             bt, bn = carry
             from ..ops import tiled as tiled_mod
             tb, nb = tiled_mod.trace_candidate(
-                scene, fi.raymat, fi.q_frame, cand[:, c], c < count, cfg)
+                scene, fi.raymat, fi.q_frame, cand[:, c], c < count, cfg,
+                apex=fi.apex)
             take = tb < bt
             return (jnp.where(take, tb, bt),
                     jnp.where(take[..., None], nb, bn))

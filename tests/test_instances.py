@@ -161,3 +161,30 @@ def test_instanced_tile_compaction_matches_full():
     diff = np.abs(a - b).max(-1)
     npix = int((diff > 1e-4).sum())
     assert npix <= 5, f"{npix} pixels diverge"
+
+
+def test_two_level_traversal_compressed_scene(base_scene):
+    """Instanced two-level traversal over a COMPRESSED base scene: the
+    kernel derives each unit's MT rows from the (object-space) grid
+    records per instance — direct tracing composes with instancing, like
+    the reference's per-BLAS intersection shader under TLAS transforms
+    (GPUMesh.cpp:238-278)."""
+    from rtmm_tpu.models import procedural, scene as scene_mod
+
+    mesh = procedural.make_icosphere(subdivisions=0, level=3, amplitude=0.12)
+    std = scene_mod.build_device_scene(mesh)
+    cmp_ = scene_mod.build_device_scene(mesh, compressed=True)
+    ring = []
+    for i in range(4):
+        a = 2.0 * np.pi * i / 4
+        ring.append(inst_mod.Instance.from_euler(
+            [1.8 * np.cos(a), 1.8 * np.sin(a), 0.0], (0.0, a, 0.3 * i),
+            0.8))
+    ivp = _ivp(dist=5.0)
+    a_img = np.asarray(inst_mod.render_instanced(std, ring, ivp, CFG))
+    b_img = np.asarray(inst_mod.render_instanced(cmp_, ring, ivp, CFG))
+    bg = np.asarray(CFG.background, np.float32)
+    assert (np.abs(b_img - bg).max(-1) > 1e-5).mean() > 0.05
+    diff = np.abs(a_img - b_img).max(-1)
+    npix = int((diff > 1e-3).sum())
+    assert npix <= 3, f"{npix} pixels diverge compressed vs standard"

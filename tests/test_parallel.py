@@ -96,13 +96,17 @@ def test_tiled_sharded_pallas_backend_matches_single(setup):
     assert npix <= 5, f"{npix} pixels diverge"
 
 
-def test_tiled_sharded_pallas_compressed_scene(setup):
+@pytest.mark.parametrize("mixed", [False, True])
+def test_tiled_sharded_pallas_compressed_scene(setup, mixed):
     """Compressed (derive-at-trace-time) scenes shard too: unit_grid
     splits over the 'scene' axis and each shard's kernel derives its
-    local slice."""
+    local slice. mixed=True: INDEXED records (stitched mixed-level
+    topology) shard the same way."""
     import dataclasses
-    mesh_obj = procedural.make_plane(grid=(2, 2), level=2, amplitude=0.15)
+    mesh_obj = procedural.make_plane(grid=(2, 2), level=2, amplitude=0.15,
+                                     mixed_levels=mixed)
     ds_c = scene_mod.build_device_scene(mesh_obj, compressed=True)
+    assert ds_c.indexed == mixed
     cfg_t = RenderConfig(width=128, height=64, max_candidates=8,
                          pipeline="tile")
     tb = camera.Trackball()
