@@ -242,6 +242,92 @@ def derive_unit_tables_np(grid: np.ndarray, apex: np.ndarray, su: int,
     return dict(q=q, nrm=(n / norm).astype(np.float32))
 
 
+def derive_q16_np(grid: np.ndarray, su: int, indexed: bool = False):
+    """NumPy reference: the arbitrary-origin (secondary-bounce) MT table.
+
+    Derives models/scene.py::pack_units' unit_q16 layout — ray rows
+    [d(3), o x d(3), o(3), 1, pad(6)], ABSOLUTE coordinates — from grid
+    records (same closed form, so values match the precomputed table up
+    to fp reassociation). Returns dict(q16 (U, 16, 4*LPU),
+    nrm (U, LPU, 3))."""
+    pos = grid[:, 0:3, :]
+    if indexed:
+        idx = _corner_indices_np(grid)
+        take = lambda j: np.take_along_axis(                  # noqa: E731
+            pos, idx[:, j][:, None, :], axis=2).transpose(0, 2, 1)
+        v0, v1, v2 = take(0), take(1), take(2)                # (U, LPU, 3)
+    else:
+        g = leaf_gather_matrix(su)
+        v = pos @ g
+        v0 = v[:, :, 0 * LPU:1 * LPU].transpose(0, 2, 1)
+        v1 = v[:, :, 1 * LPU:2 * LPU].transpose(0, 2, 1)
+        v2 = v[:, :, 2 * LPU:3 * LPU].transpose(0, 2, 1)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = np.cross(e1, e2)
+    w1a = np.cross(e2, v0)
+    w2a = np.cross(v0, e1)
+    e2w2a = (e2 * w2a).sum(-1).astype(np.float32)
+    u = grid.shape[0]
+    q16 = np.zeros((u, 16, 4 * LPU), np.float32)
+    q16[:, 0:3, 0 * LPU:1 * LPU] = -n.transpose(0, 2, 1)
+    q16[:, 0:3, 1 * LPU:2 * LPU] = -w1a.transpose(0, 2, 1)
+    q16[:, 3:6, 1 * LPU:2 * LPU] = e2.transpose(0, 2, 1)
+    q16[:, 0:3, 2 * LPU:3 * LPU] = -w2a.transpose(0, 2, 1)
+    q16[:, 3:6, 2 * LPU:3 * LPU] = -e1.transpose(0, 2, 1)
+    q16[:, 6:9, 3 * LPU:4 * LPU] = n.transpose(0, 2, 1)
+    q16[:, 9, 3 * LPU:4 * LPU] = -e2w2a
+    norm = np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    return dict(q16=q16, nrm=(n / norm).astype(np.float32))
+
+
+def derive_q16_jnp(grid, su: int, indexed: bool = False):
+    """XLA twin of derive_q16_np for the grouped (secondary-ray) engine:
+    per gathered candidate, returns (q16 (n, 16, 4*LPU), nrm (n, LPU, 3))
+    — drop-in for scene.unit_q16[unit] / scene.unit_nrm[unit]."""
+    import jax.numpy as jnp
+
+    pos = grid[:, 0:3, :]
+    if indexed:
+        idx = jnp.concatenate(
+            [grid[:, 3, 0 * LPU:1 * LPU], grid[:, 4, 0 * LPU:1 * LPU],
+             grid[:, 5, 0 * LPU:1 * LPU]], axis=1)            # (n, 3*LPU)
+        giota = jnp.arange(GRID_LANES, dtype=grid.dtype)
+        oh = (giota[None, :, None] == idx[:, None, :]).astype(grid.dtype)
+        v = jnp.einsum("nck,nkl->ncl", pos, oh,
+                       preferred_element_type=jnp.float32)
+    else:
+        g = jnp.asarray(leaf_gather_matrix(su))
+        v = jnp.einsum("nck,kl->ncl", pos, g,
+                       preferred_element_type=jnp.float32)    # (n, 3, 3*LPU)
+    v0 = v[:, :, 0 * LPU:1 * LPU]                             # (n, 3, LPU)
+    v1 = v[:, :, 1 * LPU:2 * LPU]
+    v2 = v[:, :, 2 * LPU:3 * LPU]
+    e1 = v1 - v0
+    e2 = v2 - v0
+
+    def cross_rows(a, b):
+        return jnp.stack([a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+                          a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+                          a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]], axis=1)
+
+    n = cross_rows(e1, e2)                                    # (n, 3, LPU)
+    w1a = cross_rows(e2, v0)
+    w2a = cross_rows(v0, e1)
+    e2w2a = (e2 * w2a).sum(axis=1)                            # (n, LPU)
+    z3 = jnp.zeros_like(n)
+    z1 = jnp.zeros_like(e2w2a)[:, None]
+    rows02 = jnp.concatenate([-n, -w1a, -w2a, z3], axis=2)    # (n, 3, 4LPU)
+    rows35 = jnp.concatenate([z3, e2, -e1, z3], axis=2)
+    rows68 = jnp.concatenate([z3, z3, z3, n], axis=2)
+    row9 = jnp.concatenate([z1, z1, z1, -e2w2a[:, None]], axis=2)
+    zrows = jnp.zeros((grid.shape[0], 6, 4 * LPU), jnp.float32)
+    q16 = jnp.concatenate([rows02, rows35, rows68, row9, zrows], axis=1)
+    norm = jnp.maximum(
+        jnp.sqrt((n * n).sum(axis=1, keepdims=True)), 1e-20)
+    return q16, (n / norm).transpose(0, 2, 1)
+
+
 def derive_q_jnp(grid, apex, su: int, centers=None, indexed: bool = False):
     """JAX derivation for the XLA tiled backend: per gathered candidate.
 

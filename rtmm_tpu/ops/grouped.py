@@ -109,8 +109,17 @@ def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
         def body(ci, carry):
             best_t, best_n = carry
             unit = cand_c[:, ci]                               # (gc,)
-            q = scene.unit_q16[unit]                           # (gc, 16, 4LPU)
-            nrm = scene.unit_nrm[unit]                         # (gc, LPU, 3)
+            if scene.compressed:
+                # Derive the arbitrary-origin MT table from the unit's
+                # grid record at trace time (direct tracing on the
+                # secondary-bounce engine too).
+                from . import compressed as comp
+                q, nrm = comp.derive_q16_jnp(scene.unit_grid[unit],
+                                             scene.sub_level,
+                                             indexed=scene.indexed)
+            else:
+                q = scene.unit_q16[unit]                       # (gc,16,4LPU)
+                nrm = scene.unit_nrm[unit]                     # (gc, LPU, 3)
             out = jax.lax.dot_general(
                 rv_c, q, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,

@@ -47,11 +47,70 @@ UPC = culling.UNITS_PER_CLUSTER
 NS = GROUP // 128
 
 
+def _derive_q16_unit(grid_block, gmat, lpu, indexed):
+    """One unit's arbitrary-origin MT table (16, 4*lpu) + normal rows
+    (8, lpu), derived from its VMEM grid record — the grouped-engine twin
+    of pallas_tiled._derive_unit, in ABSOLUTE coordinates (the grouped ray
+    rows [d, o x d, o, 1] need no recentering). compressed.derive_q16_np
+    is the host oracle; offset-0 gathers/concats keep Mosaic legal (see
+    pallas_tiled._derive_unit)."""
+    pos = grid_block[0:3, :]                      # (3, GRID_LANES)
+
+    def gather(j):
+        if indexed:
+            from .compressed import GRID_LANES
+            idx_row = grid_block[3 + j:4 + j, 0:lpu]          # (1, lpu)
+            gi = jax.lax.broadcasted_iota(
+                jnp.float32, (GRID_LANES, lpu), 0)
+            oh = (gi == idx_row).astype(jnp.float32)
+        else:
+            oh = gmat[:, j * lpu:(j + 1) * lpu]
+        return jax.lax.dot_general(
+            pos, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (3, lpu)
+
+    v0 = gather(0)
+    v1 = gather(1)
+    v2 = gather(2)
+    e1 = v1 - v0
+    e2 = v2 - v0
+
+    def cross(a, b):
+        return jnp.concatenate(
+            [a[1:2] * b[2:3] - a[2:3] * b[1:2],
+             a[2:3] * b[0:1] - a[0:1] * b[2:3],
+             a[0:1] * b[1:2] - a[1:2] * b[0:1]], axis=0)
+
+    n = cross(e1, e2)                             # (3, lpu)
+    w1a = cross(e2, v0)
+    w2a = cross(v0, e1)
+    e2w2 = (e2 * w2a).sum(axis=0, keepdims=True)  # (1, lpu)
+    z3 = jnp.zeros((3, lpu), jnp.float32)
+    z1 = jnp.zeros((1, lpu), jnp.float32)
+    rows02 = jnp.concatenate([-n, -w1a, -w2a, z3], axis=1)    # (3, 4*lpu)
+    rows35 = jnp.concatenate([z3, e2, -e1, z3], axis=1)
+    rows68 = jnp.concatenate([z3, z3, z3, n], axis=1)
+    row9 = jnp.concatenate([z1, z1, z1, -e2w2], axis=1)
+    q = jnp.concatenate(
+        [rows02, rows35, rows68, row9,
+         jnp.zeros((6, 4 * lpu), jnp.float32)], axis=0)       # (16, 4*lpu)
+    nn = jnp.maximum(jnp.sqrt((n * n).sum(axis=0, keepdims=True)), 1e-20)
+    nrm_v = jnp.concatenate([n / nn, jnp.zeros((5, lpu), jnp.float32)],
+                            axis=0)               # (8, lpu)
+    return q, nrm_v
+
+
 def _kernel(ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
             t_in, n_in, meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
             meta_buf, q_buf, nrm_buf, msem, usem,
             *, lpu: int, npad: int, t_min: float, t_max: float,
-            groups_per_block: int):
+            groups_per_block: int, grid_su=None, indexed: bool = False):
+    # grid_su not None = compressed scene: q_hbm holds grid records, the
+    # q16 table + shading normals are derived per unit in-kernel
+    # (_derive_q16_unit); nrm_hbm then carries the shared gather matrix
+    # (uniform topology) or a dummy (indexed records carry their own
+    # corner indices).
     for b in range(groups_per_block):
         cnt_b = jnp.minimum(ccount_ref[0, b, 0], ccand_ref.shape[2])
 
@@ -65,13 +124,14 @@ def _kernel(ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
         _trace_group(b, ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
                      t_in, n_in, meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
                      meta_buf, q_buf, nrm_buf, msem, usem,
-                     lpu=lpu, npad=npad, t_min=t_min, t_max=t_max)
+                     lpu=lpu, npad=npad, t_min=t_min, t_max=t_max,
+                     grid_su=grid_su, indexed=indexed)
 
 
 def _trace_group(b, ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
                  t_in, n_in, meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
                  meta_buf, q_buf, nrm_buf, msem, usem,
-                 *, lpu, npad, t_min, t_max):
+                 *, lpu, npad, t_min, t_max, grid_su=None, indexed=False):
     ccnt = jnp.minimum(ccount_ref[0, b, 0], ccand_ref.shape[2])
 
     @pl.when(ccnt == 0)
@@ -85,13 +145,16 @@ def _trace_group(b, ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
             b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref, t_in, n_in,
             meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
             meta_buf, q_buf, nrm_buf, msem, usem,
-            lpu=lpu, npad=npad, t_min=t_min, t_max=t_max)
+            lpu=lpu, npad=npad, t_min=t_min, t_max=t_max,
+            grid_su=grid_su, indexed=indexed)
 
 
 def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                           t_in, n_in, meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
                           meta_buf, q_buf, nrm_buf, msem, usem,
-                          *, lpu, npad, t_min, t_max):
+                          *, lpu, npad, t_min, t_max, grid_su=None,
+                          indexed=False):
+    compressed = grid_su is not None
     rv = rv_ref[0, b]                             # (16, GROUP)
     rv_hi = rv.astype(jnp.bfloat16)
     rv_lo = (rv - rv_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -136,6 +199,11 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
             msem.at[b, slot])
 
     def unit_dmas(slot, unit):
+        if compressed:
+            # One grid-record DMA per unit (2-3 KiB vs 16 KiB of q16 +
+            # normal table); q16 AND normals are derived in-kernel.
+            return (pltpu.make_async_copy(q_hbm.at[unit], q_buf.at[slot],
+                                          usem.at[slot, 0]),)
         return (
             pltpu.make_async_copy(q_hbm.at[unit], q_buf.at[slot],
                                   usem.at[slot, 0]),
@@ -153,7 +221,12 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                      for j in range(NS))
 
     def process_unit(uslot, best_t, best_n):
-        q = q_buf[uslot]                          # (16, 4*LPU)
+        if compressed:
+            q, nrm_d = _derive_q16_unit(
+                q_buf[uslot], None if indexed else nrm_hbm[...], lpu,
+                indexed)
+        else:
+            q = q_buf[uslot]                      # (16, 4*LPU)
         q_hi = q.astype(jnp.bfloat16)
         q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         q_cat = jnp.concatenate([q_hi, q_hi, q_lo], axis=0)   # (48, 4*LPU)
@@ -177,7 +250,7 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
         oh_b = ((t <= tb) & ok).astype(jnp.bfloat16)
         # hi/lo normal split fused into one K=2*LPU matmul (lax.cond-gating
         # this measured slower: the cond's carry copies cost more).
-        nrm_v = nrm_buf[uslot][:, :lpu]
+        nrm_v = nrm_d if compressed else nrm_buf[uslot][:, :lpu]
         n_hi = nrm_v.astype(jnp.bfloat16)
         n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         n_cat = jnp.concatenate([n_hi, n_lo], axis=1)   # (8, 2*LPU)
@@ -435,7 +508,8 @@ def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
             interpret, groups_per_block):
     g = rv_t.shape[0]
     lpu = scene.leaves_per_unit
-    npad = scene.unit_nrm_pad.shape[2]
+    compressed = scene.compressed
+    npad = 128 if compressed else scene.unit_nrm_pad.shape[2]
     kc = ccand.shape[1]
     gb = groups_per_block
     pad = (-g) % gb
@@ -451,7 +525,10 @@ def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
 
     kernel = functools.partial(_kernel, lpu=lpu, npad=npad,
                                t_min=cfg.t_min, t_max=cfg.t_max,
-                               groups_per_block=gb)
+                               groups_per_block=gb,
+                               grid_su=(scene.sub_level if compressed
+                                        else None),
+                               indexed=compressed and scene.indexed)
     out_shape = (
         jax.ShapeDtypeStruct((nb, gb, GROUP), jnp.float32),
         jax.ShapeDtypeStruct((nb, gb, 8, GROUP), jnp.float32),
@@ -473,8 +550,27 @@ def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
     ]
+    if compressed:
+        from . import compressed as comp
+        # Slot 3 of the tail carries the shared all-present gather matrix
+        # as a whole-array VMEM block (uniform topology), or a dummy for
+        # indexed records (each record holds its own corner indices).
+        if scene.indexed:
+            gmat = jnp.zeros((8, 128), jnp.float32)
+        else:
+            gmat = jnp.asarray(comp.leaf_gather_matrix(scene.sub_level))
+        in_specs.append(pl.BlockSpec(gmat.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        q_tail = scene.unit_grid
+        nrm_tail = gmat
+        grows = comp.IDX_ROWS if scene.indexed else comp.GRID_ROWS
+        q_scratch = pltpu.VMEM((3, grows, comp.GRID_LANES), jnp.float32)
+    else:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        q_tail = scene.unit_q16
+        nrm_tail = scene.unit_nrm_pad
+        q_scratch = pltpu.VMEM((3, 16, 4 * lpu), jnp.float32)
     out_specs = (
         pl.BlockSpec((1, gb, GROUP), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -489,7 +585,7 @@ def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((gb, 2, 8, 128), jnp.float32),
-            pltpu.VMEM((3, 16, 4 * lpu), jnp.float32),
+            q_scratch,
             pltpu.VMEM((3, 8, npad), jnp.float32),
             pltpu.SemaphoreType.DMA((gb, 2)),
             pltpu.SemaphoreType.DMA((3, 2)),
@@ -499,5 +595,5 @@ def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
       centry.reshape(nb, gb, kc), box.reshape(nb, gb, NS * 16 + 16),
       rv_t.reshape(nb, gb, 16, GROUP),
       t_in.reshape(nb, gb, GROUP), n_in.reshape(nb, gb, 8, GROUP),
-      scene.cluster_unit_meta, scene.unit_q16, scene.unit_nrm_pad)
+      scene.cluster_unit_meta, q_tail, nrm_tail)
     return (t.reshape(-1, GROUP)[:g], nrm.reshape(-1, 8, GROUP)[:g])

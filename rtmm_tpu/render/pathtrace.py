@@ -177,13 +177,16 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
                cfg: RenderConfig, pt: PathTraceConfig):
     """Returns (image (H, W, 3), stats dict with per-bounce live counts)."""
     height, width = cfg.height, cfg.width
-    if scene.compressed:
-        raise NotImplementedError(
-            "the path tracer's secondary-ray engines read the precomputed "
-            "unit_q16/unit_nrm tables; build the scene with "
-            "compressed=False (compressed mode currently covers the "
-            "primary tile/pallas pipelines)")
+    # Compressed scenes work on every engine: the grouped XLA engine and
+    # the grouped Pallas kernel both derive the arbitrary-origin MT table
+    # + shading normals per unit from the grid records at trace time
+    # (ops/compressed.derive_q16_jnp / pallas_grouped._derive_q16_unit).
     engine = pt.engine
+    if engine == "perray" and scene.compressed:
+        raise ValueError(
+            "the per-ray reference engine walks the hierarchy tables, "
+            "which compressed scenes do not build; use the grouped or "
+            "pallas engine (both derive the MT tables from grid records)")
     if engine == "auto":
         try:
             on_tpu = jax.devices()[0].platform != "cpu"

@@ -164,9 +164,10 @@ def test_compressed_guards():
     import jax.numpy as jnp
     with pytest.raises(ValueError, match="compressed"):
         traversal.trace(ds, jnp.zeros((4, 3)), jnp.ones((4, 3)), CFG)
-    from rtmm_tpu.render.pathtrace import PathTracer
-    with pytest.raises(NotImplementedError):
-        PathTracer(ds, CFG).render(_ivp())
+    from rtmm_tpu.render.pathtrace import PathTraceConfig, PathTracer
+    with pytest.raises(ValueError, match="per-ray"):
+        PathTracer(ds, CFG, PathTraceConfig(
+            bounces=1, samples_per_pixel=1, engine="perray")).render(_ivp())
 
 
 # ---- Indexed compressed scenes (mixed levels / stitched presence) ----

@@ -203,3 +203,25 @@ def test_pallas_grouped_multi_cluster():
     npix = int((diff > 1e-4).sum())
     assert npix <= 5, f"{npix} pixels diverge between engines"
     assert float(diff.max()) < 0.05, f"hit lost (maxdiff {diff.max():.3f})"
+
+
+@pytest.mark.parametrize("engine", ["grouped", "pallas"])
+@pytest.mark.parametrize("mixed", [False, True])
+def test_pathtrace_compressed_matches_standard(engine, mixed):
+    """Direct tracing on the path tracer: a compressed scene (grid
+    records only; q16 + normals derived at trace time — in-kernel for
+    the pallas engine) must reproduce the standard-table render
+    pixel-for-pixel up to epsilon flips. mixed=True covers INDEXED
+    records (stitched mixed-level topology) on the secondary engines."""
+    mesh = procedural.make_plane(grid=(2, 2), level=2, amplitude=0.2,
+                                 mixed_levels=mixed)
+    std = scene_mod.build_device_scene(mesh)
+    cmp_ = scene_mod.build_device_scene(mesh, compressed=True)
+    assert cmp_.indexed == mixed
+    ptc = PathTraceConfig(bounces=2, samples_per_pixel=1, ray_chunk=1536,
+                          engine=engine)
+    a, _ = PathTracer(std, CFG, ptc).render(_ivp())
+    b, _ = PathTracer(cmp_, CFG, ptc).render(_ivp())
+    a, b = np.asarray(a), np.asarray(b)
+    npix = int((np.abs(a - b).max(-1) > 1e-3).sum())
+    assert npix <= 5, f"{npix} pixels diverge"
