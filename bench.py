@@ -89,6 +89,16 @@ def _build_config_raw(n: int):
         # need ~35 GiB; the grid records are ~2 GiB on a 16 GiB chip.
         return ("compressed_1M_tris_64M_micro_1080p", _million_tri_scene(),
                 RenderConfig(width=1920, height=1080), 1)
+    if n == 9:
+        # Config-6 A/B through compressed direct tracing: same 51,200-tri
+        # scene, but the kernel DMAs 2 KiB grid records instead of 12 KiB
+        # precomputed MT tables per unit (6x less HBM traffic per
+        # candidate) and derives the tables on the MXU/VPU.
+        mesh = procedural.make_plane(grid=(160, 160), level=2,
+                                     amplitude=0.05)
+        scene = scene_mod.build_device_scene(mesh, compressed=True)
+        return ("large_scene_51k_tris_compressed_1080p", scene,
+                RenderConfig(width=1920, height=1080), 1)
     if n == 4:
         from rtmm_tpu.render import instances as inst_mod
         mesh = procedural.make_icosphere(subdivisions=1, level=3,

@@ -95,15 +95,105 @@ def bake_instances(scene: DeviceScene, instances: list[Instance]
         heights — the expanded node verts already have deltas baked in)
       * MT tables (q, n, e2w2) are recomputed from the transformed leaves.
     """
-    if scene.compressed:
-        raise NotImplementedError(
-            "instance baking transforms the precomputed leaf/MT tables; "
-            "build the base scene with compressed=False")
     rot = jnp.asarray(np.stack([i.rotation for i in instances]), jnp.float32)
     trn = jnp.asarray(np.stack([i.translation for i in instances]),
                       jnp.float32)
     scl = jnp.asarray(np.asarray([i.scale for i in instances]), jnp.float32)
+    if scene.compressed:
+        return _bake_compressed(scene, rot, trn, scl)
     return _bake(scene, rot, trn, scl)
+
+
+@jax.jit
+def _bake_compressed(scene: DeviceScene, rot: jax.Array, trn: jax.Array,
+                     scl: jax.Array) -> DeviceScene:
+    """Bake instances of a compressed scene: grid records transform
+    analytically (positions p -> s R p + t; corner-index rows copy), so
+    direct tracing survives baking — nothing is ever pre-tessellated.
+
+    Unit AABBs use the conservative |R| slab transform of the object
+    AABBs (exact geometry lives in the records; AABBs only cull). Zero
+    padding lanes transform to t, which is safe: padded leaf columns
+    derive three EQUAL corners -> det == 0 -> rejected."""
+    m = rot.shape[0]
+    grid = scene.unit_grid                         # (U, R, GL)
+    pos = grid[:, 0:3, :]
+    posw = (jnp.einsum("mij,ujl->muil", rot, pos,
+                       precision=jax.lax.Precision.HIGHEST)
+            * scl[:, None, None, None] + trn[:, None, :, None])
+    rest = jnp.broadcast_to(grid[None, :, 3:, :],
+                            (m,) + grid[:, 3:, :].shape)  # (M, U, R-3, GL)
+    gridw = jnp.concatenate(
+        [posw.reshape(m * grid.shape[0], 3, grid.shape[2]),
+         rest.reshape(m * grid.shape[0], -1, grid.shape[2])], axis=1)
+
+    # Conservative world AABBs: c_w = s R c + t, h_w = s |R| h.
+    c_o = 0.5 * (scene.unit_aabb_min + scene.unit_aabb_max)
+    h_o = 0.5 * (scene.unit_aabb_max - scene.unit_aabb_min)
+    valid_o = scene.unit_valid
+    c_w = (jnp.einsum("mij,uj->mui", rot, c_o) * scl[:, None, None]
+           + trn[:, None, :])
+    h_w = jnp.einsum("mij,uj->mui", jnp.abs(rot),
+                     jnp.where(valid_o[:, None], h_o, 0.0)
+                     ) * scl[:, None, None]
+    vmask = jnp.broadcast_to(valid_o[None, :, None], c_w.shape)
+    umin = jnp.where(vmask, c_w - h_w, BIG).reshape(-1, 3)
+    umax = jnp.where(vmask, c_w + h_w, -BIG).reshape(-1, 3)
+    unit_valid = jnp.broadcast_to(valid_o[None], (m,) + valid_o.shape
+                                  ).reshape(-1)
+
+    # Morton reorder (jit twin of the host pack) + clusters.
+    order = _morton_leaf_order(0.5 * (umin + umax), unit_valid)
+    gridw = gridw[order]
+    umin = umin[order]
+    umax = umax[order]
+    unit_valid = unit_valid[order]
+    u_total = gridw.shape[0]
+    pad = (-u_total) % UNITS_PER_CLUSTER
+    if pad:
+        gridw = jnp.pad(gridw, ((0, pad), (0, 0), (0, 0)))
+        umin = jnp.pad(umin, ((0, pad), (0, 0)), constant_values=BIG)
+        umax = jnp.pad(umax, ((0, pad), (0, 0)), constant_values=-BIG)
+        unit_valid = jnp.pad(unit_valid, ((0, pad),))
+        u_total += pad
+
+    n_cl = u_total // UNITS_PER_CLUSTER
+    cl_mask = unit_valid.reshape(n_cl, UNITS_PER_CLUSTER, 1)
+    cluster_aabb_min = jnp.where(
+        cl_mask, umin.reshape(n_cl, UNITS_PER_CLUSTER, 3), BIG).min(axis=1)
+    cluster_aabb_max = jnp.where(
+        cl_mask, umax.reshape(n_cl, UNITS_PER_CLUSTER, 3), -BIG).max(axis=1)
+    cluster_valid = cl_mask[..., 0].any(axis=1)
+    meta = jnp.zeros((n_cl, 8, 128), jnp.float32)
+    meta = meta.at[:, 0:3, :UNITS_PER_CLUSTER].set(
+        umin.reshape(n_cl, UNITS_PER_CLUSTER, 3).transpose(0, 2, 1))
+    meta = meta.at[:, 3:6, :UNITS_PER_CLUSTER].set(
+        umax.reshape(n_cl, UNITS_PER_CLUSTER, 3).transpose(0, 2, 1))
+    meta = meta.at[:, 6, :UNITS_PER_CLUSTER].set(
+        unit_valid.reshape(n_cl, UNITS_PER_CLUSTER).astype(jnp.float32))
+
+    # Per-triangle AABBs (coarse culling only), same |R| transform.
+    tc_o = 0.5 * (scene.aabb_min + scene.aabb_max)
+    th_o = 0.5 * (scene.aabb_max - scene.aabb_min)
+    tvalid = scene.tri_valid
+    tc_w = (jnp.einsum("mij,tj->mti", rot, tc_o) * scl[:, None, None]
+            + trn[:, None, :])
+    th_w = jnp.einsum("mij,tj->mti", jnp.abs(rot),
+                      jnp.where(tvalid[:, None], th_o, 0.0)
+                      ) * scl[:, None, None]
+    tmask = jnp.broadcast_to(tvalid[None, :, None], tc_w.shape)
+    aabb_min = jnp.where(tmask, tc_w - th_w, BIG).reshape(-1, 3)
+    aabb_max = jnp.where(tmask, tc_w + th_w, -BIG).reshape(-1, 3)
+
+    return dataclasses.replace(
+        scene,
+        aabb_min=aabb_min, aabb_max=aabb_max,
+        tri_valid=jnp.broadcast_to(tvalid[None], (m,) + tvalid.shape
+                                   ).reshape(-1),
+        unit_aabb_min=umin, unit_aabb_max=umax, unit_valid=unit_valid,
+        unit_grid=gridw,
+        cluster_aabb_min=cluster_aabb_min, cluster_aabb_max=cluster_aabb_max,
+        cluster_valid=cluster_valid, cluster_unit_meta=meta)
 
 
 @jax.jit

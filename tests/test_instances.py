@@ -188,3 +188,28 @@ def test_two_level_traversal_compressed_scene(base_scene):
     diff = np.abs(a_img - b_img).max(-1)
     npix = int((diff > 1e-3).sum())
     assert npix <= 3, f"{npix} pixels diverge compressed vs standard"
+
+
+def test_bake_compressed_matches_bake_standard():
+    """Baking instances of a compressed scene transforms the grid RECORDS
+    (positions only; index rows copy) — the baked scene still traces
+    directly. Must match the standard baked render pixel-for-pixel up to
+    epsilon flips."""
+    from rtmm_tpu.models import procedural, scene as scene_mod
+
+    mesh = procedural.make_icosphere(subdivisions=0, level=3, amplitude=0.12)
+    std = scene_mod.build_device_scene(mesh)
+    cmp_ = scene_mod.build_device_scene(mesh, compressed=True)
+    ring = [inst_mod.Instance.from_euler(
+        [1.5 * np.cos(a), 1.5 * np.sin(a), 0.1], (0.1, a, 0.2), 0.9)
+        for a in (0.0, 2.1, 4.2)]
+    ivp = _ivp(dist=4.5)
+    a_img = np.asarray(Renderer(
+        inst_mod.bake_instances(std, ring), CFG).render(ivp))
+    baked_c = inst_mod.bake_instances(cmp_, ring)
+    assert baked_c.compressed and baked_c.unit_qn is None
+    b_img = np.asarray(Renderer(baked_c, CFG).render(ivp))
+    bg = np.asarray(CFG.background, np.float32)
+    assert (np.abs(b_img - bg).max(-1) > 1e-5).mean() > 0.05
+    npix = int((np.abs(a_img - b_img).max(-1) > 1e-3).sum())
+    assert npix <= 3, f"{npix} pixels diverge"
