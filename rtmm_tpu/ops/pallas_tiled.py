@@ -66,6 +66,13 @@ def resolve_mt_precision(scene: DeviceScene, cfg: RenderConfig
     import dataclasses as _dc
     import os as _os
 
+    # A/B override hooks (bench/experiment only): sub-cone grid shape.
+    sf = _os.environ.get("RTMM_SUB_FRUSTA")
+    sr = _os.environ.get("RTMM_SUB_ROWS")
+    if sf or sr:
+        cfg = _dc.replace(cfg,
+                          sub_frusta=int(sf) if sf else cfg.sub_frusta,
+                          sub_rows=int(sr) if sr else cfg.sub_rows)
     env = _os.environ.get("RTMM_MT_PRECISION")   # A/B override hook
     if env:
         return _dc.replace(cfg, mt_precision=env)
@@ -365,6 +372,21 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # -> 36.8 Mrays/s with it on). Kept selectable for scenes with deep
     # occlusion where the skip rate is high.
     _pretest = _os.environ.get("RTMM_PRETEST", "0") == "1"
+    # Sub-band gated MT (trace-time env knob): run the MT matmul/epilogue
+    # only on the sub-tile lane bands whose sub-cone the picked unit is
+    # actually eligible for, instead of all TILE rays. A unit's screen
+    # footprint usually reaches 1-2 of a tile's sub-cones, and the
+    # per-visit cost is dominated by the (3*LPU, TILE) matmul output +
+    # epilogue, so gating cuts the dominant term by the eligible-band
+    # fraction. Uses the exact per-sub predicates the walk already
+    # computes (insides[j] & dist <= worst[j]), which are sound per ray
+    # (see unit_step), so the image is bit-identical to the ungated walk.
+    # Requires the sub-cone grid to be full-width row bands (ncols == 1,
+    # i.e. sub_rows == sub_frusta): only then is a sub-cone a CONTIGUOUS
+    # lane range of the row-major tile. Disabled under RTMM_ABLATE (the
+    # instrument attributes the ungated stages).
+    _subgate = (_os.environ.get("RTMM_SUBGATE", "0") == "1"
+                and nsub == nrows and not _abl)
 
     def _dep_zero(x):
         return jnp.where(x > 1e38, jnp.float32(1.0), jnp.float32(0.0))
@@ -412,23 +434,25 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
     invd = [1.0 / _safe_dir(rm[k:k + 1]) for k in range(3)]  # 3 x (1, TILE)
 
-    def set_unit_moment(cx, cy, cz):
+    def set_unit_moment(cx, cy, cz, lo=0, nl=TILE):
         """Write this unit's recentered moment rows m' = m - c x d into
         the ray-matrix buffer (m = a x d is per-tile; c x d is ~9 VPU row
-        ops — noise next to the MT matmul it feeds)."""
-        mpx = rm[3:4] - (cy * rm[2:3] - cz * rm[1:2])
-        mpy = rm[4:5] - (cz * rm[0:1] - cx * rm[2:3])
-        mpz = rm[5:6] - (cx * rm[1:2] - cy * rm[0:1])
-        mp = jnp.concatenate([mpx, mpy, mpz], axis=0)      # (3, TILE)
+        ops — noise next to the MT matmul it feeds). lo/nl (static)
+        restrict the write to one sub-band's lanes under _subgate."""
+        hi = lo + nl
+        mpx = rm[3:4, lo:hi] - (cy * rm[2:3, lo:hi] - cz * rm[1:2, lo:hi])
+        mpy = rm[4:5, lo:hi] - (cz * rm[0:1, lo:hi] - cx * rm[2:3, lo:hi])
+        mpz = rm[5:6, lo:hi] - (cx * rm[1:2, lo:hi] - cy * rm[0:1, lo:hi])
+        mp = jnp.concatenate([mpx, mpy, mpz], axis=0)      # (3, nl)
         if hi_prec:
-            rm_buf[3:6] = mp
+            rm_buf[3:6, lo:hi] = mp
         else:
             mp_hi = mp.astype(jnp.bfloat16)
             mp_lo = (mp - mp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            rm_buf[3:6] = mp_hi
-            rm_buf[9:12] = mp_lo
+            rm_buf[3:6, lo:hi] = mp_hi
+            rm_buf[9:12, lo:hi] = mp_lo
             if not fast2:
-                rm_buf[15:18] = mp_hi
+                rm_buf[15:18, lo:hi] = mp_hi
 
     # Frustum scalars: [apex xyz, nsub sub-cones x 4 planes x xyz,
     # (raygen scalars,) inflated scene AABB].
@@ -503,13 +527,15 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # (this tile's first cluster metadata DMA was started by _kernel's
     # block-level prefetch loop)
 
-    def process_unit(qslot, u, cx, cy, cz):
+    def process_unit(qslot, u, cx, cy, cz, elig=None):
         """MXU Möller-Trumbore for one unit's LPU leaves (read from the
         VMEM-resident cluster q block at lane u); folds improvements into
         the bt_scr/bn_scr running-best refs in place. cx/cy/cz: the
         unit's AABB-center scalars — they recenter this unit's moment
-        rows + (compressed) derived tables."""
-        set_unit_moment(cx, cy, cz)
+        rows + (compressed) derived tables. elig (set under _subgate):
+        one scalar bool per sub-band — the per-unit table prep runs once,
+        but the MT matmul/epilogue/select stage runs only on eligible
+        bands' lane ranges."""
         if grid_su is not None:
             q, tn_row, nrm_v = _derive_unit(
                 q_buf[qslot, u],
@@ -540,11 +566,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         if hi_prec:
             # True-f32 contraction (Mosaic HIGHEST, 6 passes): a manual
             # A/B knob (see resolve_mt_precision).
-            out = jax.lax.dot_general(
-                q, rm_buf[...],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            q_mt = q
         else:
             # Single-pass bf16 speckles the image (the det/u/v epsilon
             # tests flip near edges). Three bf16 products with the hi/lo
@@ -554,68 +576,88 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             # which dominate at tiny contraction depth).
             q_hi = q.astype(jnp.bfloat16)
             if fast2:
-                q_cat = jnp.concatenate([q_hi, q_hi], axis=0)
+                q_mt = jnp.concatenate([q_hi, q_hi], axis=0)
             else:
                 q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                q_cat = jnp.concatenate([q_hi, q_hi, q_lo], axis=0)
-            out = jax.lax.dot_general(
-                q_cat, rm_buf[...],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        if _abl == "2xmatmul":
-            qd = q_cat if not hi_prec else q
-            qd = qd + jnp.max(_dep_zero(tn_row)).astype(qd.dtype)
-            out = out + _dep_zero(jax.lax.dot_general(
-                qd, rm_buf[...],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        det = out[0 * lpu:1 * lpu]
-        u_num = out[1 * lpu:2 * lpu]
-        v_num = out[2 * lpu:3 * lpu]
-        if _abl == "2xepilogue":
-            det2 = det + jnp.max(_dep_zero(u_num))
-            ok2 = jnp.abs(det2) >= MT_DET_EPS
-            inv2 = 1.0 / jnp.where(ok2, det2, 1.0)
-            uu2 = u_num * inv2
-            vv2 = v_num * inv2
-            t2 = tn_col * inv2 - s_row
-            ok2 &= ((uu2 >= -MT_UV_EPS) & (uu2 <= 1.0 + MT_UV_EPS)
-                    & (vv2 >= -MT_UV_EPS) & (uu2 + vv2 <= 1.0 + MT_UV_EPS)
-                    & (t2 >= t_min) & (t2 <= t_max))
-            t2 = jnp.where(ok2, t2, 1e30)
-            tb2 = t2.min(axis=0, keepdims=True)
-            det = det + _dep_zero(tb2)
-        ok = jnp.abs(det) >= MT_DET_EPS
-        inv = 1.0 / jnp.where(ok, det, 1.0)
-        # (bf16 u/v epsilon compares were tried for half-width VPU ops:
-        # Mosaic rejects bf16 vector cmpf on v5e — "Target does not
-        # support this comparison" — so the epilogue stays f32.)
-        uu = u_num * inv
-        vv = v_num * inv
-        t = tn_col * inv - s_row                  # (LPU, TILE)
-        ok &= ((uu >= -MT_UV_EPS) & (uu <= 1.0 + MT_UV_EPS)
-               & (vv >= -MT_UV_EPS) & (uu + vv <= 1.0 + MT_UV_EPS)
-               & (t >= t_min) & (t <= t_max))
-        t = jnp.where(ok, t, 1e30)
-        tb = t.min(axis=0, keepdims=True)         # (1, TILE)
-        oh_b = ((t <= tb) & ok).astype(jnp.bfloat16)   # one-hot: bf16-exact
+                q_mt = jnp.concatenate([q_hi, q_hi, q_lo], axis=0)
         # hi/lo normal split fused into one K=2*LPU matmul (as above).
         n_hi = nrm_v.astype(jnp.bfloat16)
         n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         n_cat = jnp.concatenate([n_hi, n_lo], axis=1)  # (8, 2*LPU)
-        oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, TILE)
-        nsel = jax.lax.dot_general(
-            n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if _abl == "2xnsel":
-            n2 = n_cat + jnp.max(_dep_zero(tb)).astype(n_cat.dtype)
-            nsel = nsel + _dep_zero(jax.lax.dot_general(
-                n2, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        bt_cur = bt_scr[...]
-        take = tb < bt_cur
-        bt_scr[...] = jnp.where(take, tb, bt_cur)
-        bn_scr[...] = jnp.where(take, nsel, bn_scr[...])
+
+        def mt_lanes(lo, nl):
+            """MT matmul + epilogue + normal select on one lane range
+            (the whole tile ungated; one sub-band under _subgate)."""
+            hi_l = lo + nl
+            set_unit_moment(cx, cy, cz, lo, nl)
+            out = jax.lax.dot_general(
+                q_mt, rm_buf[:, lo:hi_l],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                **({"precision": jax.lax.Precision.HIGHEST}
+                   if hi_prec else {}))
+            if _abl == "2xmatmul":
+                qd = q_mt + jnp.max(_dep_zero(tn_row)).astype(q_mt.dtype)
+                out = out + _dep_zero(jax.lax.dot_general(
+                    qd, rm_buf[:, lo:hi_l],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            det = out[0 * lpu:1 * lpu]
+            u_num = out[1 * lpu:2 * lpu]
+            v_num = out[2 * lpu:3 * lpu]
+            s_sl = s_row[:, lo:hi_l]
+            if _abl == "2xepilogue":
+                det2 = det + jnp.max(_dep_zero(u_num))
+                ok2 = jnp.abs(det2) >= MT_DET_EPS
+                inv2 = 1.0 / jnp.where(ok2, det2, 1.0)
+                uu2 = u_num * inv2
+                vv2 = v_num * inv2
+                t2 = tn_col * inv2 - s_sl
+                ok2 &= ((uu2 >= -MT_UV_EPS) & (uu2 <= 1.0 + MT_UV_EPS)
+                        & (vv2 >= -MT_UV_EPS)
+                        & (uu2 + vv2 <= 1.0 + MT_UV_EPS)
+                        & (t2 >= t_min) & (t2 <= t_max))
+                t2 = jnp.where(ok2, t2, 1e30)
+                tb2 = t2.min(axis=0, keepdims=True)
+                det = det + _dep_zero(tb2)
+            ok = jnp.abs(det) >= MT_DET_EPS
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            # (bf16 u/v epsilon compares were tried for half-width VPU
+            # ops: Mosaic rejects bf16 vector cmpf on v5e — "Target does
+            # not support this comparison" — so the epilogue stays f32.)
+            uu = u_num * inv
+            vv = v_num * inv
+            t = tn_col * inv - s_sl               # (LPU, nl)
+            ok &= ((uu >= -MT_UV_EPS) & (uu <= 1.0 + MT_UV_EPS)
+                   & (vv >= -MT_UV_EPS) & (uu + vv <= 1.0 + MT_UV_EPS)
+                   & (t >= t_min) & (t <= t_max))
+            t = jnp.where(ok, t, 1e30)
+            tb = t.min(axis=0, keepdims=True)     # (1, nl)
+            oh_b = ((t <= tb) & ok).astype(jnp.bfloat16)  # one-hot exact
+            oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, nl)
+            nsel = jax.lax.dot_general(
+                n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if _abl == "2xnsel":
+                n2 = n_cat + jnp.max(_dep_zero(tb)).astype(n_cat.dtype)
+                nsel = nsel + _dep_zero(jax.lax.dot_general(
+                    n2, oh_cat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            bt_cur = bt_scr[:, lo:hi_l]
+            take = tb < bt_cur
+            bt_scr[:, lo:hi_l] = jnp.where(take, tb, bt_cur)
+            bn_scr[:, lo:hi_l] = jnp.where(take, nsel,
+                                           bn_scr[:, lo:hi_l])
+
+        if elig is None:
+            mt_lanes(0, TILE)
+        else:
+            nl = TILE // nsub
+            for j in range(nsub):
+                @pl.when(elig[j])
+                def _(j=j):
+                    mt_lanes(j * nl, nl)
 
     def worst_subs():
         """Per-sub-tile worst-case reach: each ray contributes its hit's
@@ -697,7 +739,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             ikey = jnp.where(lane == u1, imax, ikey)
             return u0, u1, ikey
 
-        def unit_step(u, en):
+        def unit_step(u, en, ws):
             """Per-RAY slab pre-test of unit lane u's (inflated) AABB
             against each ray's own running best — the per-ray analog of
             the reference's nearest-first traversal prune that the
@@ -719,6 +761,27 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                 # extracting the precomputed center row equals the
                 # 0.5*(mn+mx) scalar form bit-for-bit.
                 ctr = [jnp.sum(crow[k:k + 1] * ohf) for k in range(3)]
+            if _subgate:
+                # Per-sub-band eligibility of THIS unit under the current
+                # worst bounds — the same sound per-ray predicate the walk
+                # prunes with (a unit outside sub j's cone, or farther
+                # than every sub-j ray's own improvement bound, cannot
+                # improve any sub-j ray), extracted at lane u. ws is the
+                # walk state's bounds (monotone nonincreasing), so gating
+                # is conservative wrt the pick that selected u.
+                elig = tuple(
+                    en & (jnp.sum(jnp.where(
+                        insides[j] & (dist <= ws[j]), ohf, 0.0)) > 0.0)
+                    for j in range(nsub))
+                anyp = elig[0]
+                for j in range(1, nsub):
+                    anyp = anyp | elig[j]
+
+                @pl.when(anyp)
+                def _():
+                    process_unit(cslot, u, ctr[0], ctr[1], ctr[2],
+                                 elig=elig)
+                return anyp.astype(jnp.int32)
             if _pretest:
                 # An accepted MT hit can sit MT_UV_EPS (barycentric)
                 # outside its leaf triangle, i.e. up to ~eps * extent
@@ -758,9 +821,9 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
         def unit_body(st):
             ua, ub, ikey, ws, nv, ne = st
-            np_a = unit_step(ua, ua < 128)
+            np_a = unit_step(ua, ua < 128, ws)
             hasb = ub < 128
-            np_b = unit_step(jnp.where(hasb, ub, ua), hasb)
+            np_b = unit_step(jnp.where(hasb, ub, ua), hasb, ws)
             ws = worst_subs()
             removed = ikey >= imax
             na, nb, ikey2 = pick2(jnp.where(removed, imax,

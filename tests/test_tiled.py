@@ -360,3 +360,23 @@ def test_far_from_origin_fast3_matches_tile(compressed):
     rmse = np.sqrt(((tile - pal) ** 2).mean())
     assert npix <= max(4, tile.size // 10000), f"{npix} pixels differ"
     assert rmse <= 2e-4, rmse
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_pallas_subgate_bitwise_identical(compressed, monkeypatch):
+    """RTMM_SUBGATE=1 (sub-band gated MT: the matmul/epilogue runs only
+    on lane bands whose sub-cone the picked unit is eligible for) must be
+    BITWISE identical to the ungated walk — gating uses the walk's own
+    sound per-sub predicates, so skipped work can only be non-winning.
+    Requires the row-band sub grid (sub_rows == sub_frusta)."""
+    mesh = procedural.make_icosphere(subdivisions=1, level=3, amplitude=0.15)
+    ds = scene_mod.build_device_scene(mesh, compressed=compressed)
+    ivp = jnp.asarray(_ivp(256, 64, dist=1.6))
+    cfg = RenderConfig(width=256, height=64, sub_frusta=4, sub_rows=4)
+    monkeypatch.delenv("RTMM_SUBGATE", raising=False)
+    base = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
+    monkeypatch.setenv("RTMM_SUBGATE", "1")
+    gated = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
+    bg = np.asarray(cfg.background, np.float32)
+    assert (np.abs(base - bg).max(-1) > 1e-5).mean() > 0.1
+    np.testing.assert_array_equal(base, gated)
