@@ -103,7 +103,7 @@ def _derive_q16_unit(grid_block, gmat, lpu, indexed):
 
 def _kernel(ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
             t_in, n_in, meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
-            meta_buf, q_buf, nrm_buf, msem, usem,
+            meta_buf, q_buf, nrm_buf, msem, usem, bt_scr, bn_scr,
             *, lpu: int, npad: int, t_min: float, t_max: float,
             groups_per_block: int, grid_su=None, indexed: bool = False):
     # grid_su not None = compressed scene: q_hbm holds grid records, the
@@ -123,14 +123,14 @@ def _kernel(ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
     for b in range(groups_per_block):
         _trace_group(b, ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
                      t_in, n_in, meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
-                     meta_buf, q_buf, nrm_buf, msem, usem,
+                     meta_buf, q_buf, nrm_buf, msem, usem, bt_scr, bn_scr,
                      lpu=lpu, npad=npad, t_min=t_min, t_max=t_max,
                      grid_su=grid_su, indexed=indexed)
 
 
 def _trace_group(b, ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
                  t_in, n_in, meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
-                 meta_buf, q_buf, nrm_buf, msem, usem,
+                 meta_buf, q_buf, nrm_buf, msem, usem, bt_scr, bn_scr,
                  *, lpu, npad, t_min, t_max, grid_su=None, indexed=False):
     ccnt = jnp.minimum(ccount_ref[0, b, 0], ccand_ref.shape[2])
 
@@ -144,7 +144,7 @@ def _trace_group(b, ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
         _trace_group_nonempty(
             b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref, t_in, n_in,
             meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
-            meta_buf, q_buf, nrm_buf, msem, usem,
+            meta_buf, q_buf, nrm_buf, msem, usem, bt_scr, bn_scr,
             lpu=lpu, npad=npad, t_min=t_min, t_max=t_max,
             grid_su=grid_su, indexed=indexed)
 
@@ -152,9 +152,21 @@ def _trace_group(b, ccand_ref, ccount_ref, centry_ref, box_ref, rv_ref,
 def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                           t_in, n_in, meta_hbm, q_hbm, nrm_hbm, t_out, n_out,
                           meta_buf, q_buf, nrm_buf, msem, usem,
+                          bt_scr, bn_scr,
                           *, lpu, npad, t_min, t_max, grid_su=None,
                           indexed=False):
+    import os as _os
     compressed = grid_su is not None
+    # Sub-group gated MT (default ON; RTMM_SUBGATE=0 disables for A/B):
+    # the MT matmul/epilogue/select runs only on the 128-lane sub-groups
+    # the picked unit is eligible for (insides[j] & dists[j] <= ws[j] —
+    # the walk's own sound per-sub predicates, extracted at the unit's
+    # lane). Secondary-bounce groups are miss/dead dominated (live rays
+    # collapse across bounces), so most picked units touch 1-2 of the 8
+    # sub-groups — the ungated kernel paid the full (4*LPU, GROUP) matmul
+    # output for them regardless. Bitwise identical: skipped sub-groups
+    # can only ever contribute non-winning hits.
+    _subgate = _os.environ.get("RTMM_SUBGATE", "1") != "0"
     rv = rv_ref[0, b]                             # (16, GROUP)
     rv_hi = rv.astype(jnp.bfloat16)
     rv_lo = (rv - rv_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -211,16 +223,20 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                                   usem.at[slot, 1]),
         )
 
-    def worst_subs(bt):
+    def worst_subs():
         """Per-sub-group worst-case reach: hits contribute their t, rays
         that still miss contribute their scene-exit bound (they cannot
         find a hit beyond it); dead lanes carry bt=0 so they never
         block."""
+        bt = bt_scr[...]
         v = jnp.where(bt < 1e30, bt, e_row)
         return tuple(jnp.max(jnp.where(smask[j], v, 0.0))
                      for j in range(NS))
 
-    def process_unit(uslot, best_t, best_n):
+    def process_unit(uslot, elig=None):
+        """Fold one unit's MT hits into the bt_scr/bn_scr running best.
+        elig (under _subgate): one scalar bool per 128-lane sub-group —
+        the matmul/epilogue/select stage runs only on eligible lanes."""
         if compressed:
             q, nrm_d = _derive_q16_unit(
                 q_buf[uslot], None if indexed else nrm_hbm[...], lpu,
@@ -230,40 +246,54 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
         q_hi = q.astype(jnp.bfloat16)
         q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         q_cat = jnp.concatenate([q_hi, q_hi, q_lo], axis=0)   # (48, 4*LPU)
-        out = jax.lax.dot_general(
-            q_cat, rv_cat, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        det = out[0 * lpu:1 * lpu]
-        u_num = out[1 * lpu:2 * lpu]
-        v_num = out[2 * lpu:3 * lpu]
-        tn = out[3 * lpu:4 * lpu]
-        ok = jnp.abs(det) >= MT_DET_EPS
-        inv = 1.0 / jnp.where(ok, det, 1.0)
-        u = u_num * inv
-        v = v_num * inv
-        t = tn * inv                              # (LPU, GROUP)
-        ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
-               & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
-               & (t >= t_min) & (t <= t_max))
-        t = jnp.where(ok, t, 1e30)
-        tb = t.min(axis=0, keepdims=True)         # (1, GROUP)
-        oh_b = ((t <= tb) & ok).astype(jnp.bfloat16)
         # hi/lo normal split fused into one K=2*LPU matmul (lax.cond-gating
         # this measured slower: the cond's carry copies cost more).
         nrm_v = nrm_d if compressed else nrm_buf[uslot][:, :lpu]
         n_hi = nrm_v.astype(jnp.bfloat16)
         n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         n_cat = jnp.concatenate([n_hi, n_lo], axis=1)   # (8, 2*LPU)
-        oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, GROUP)
-        nsel = jax.lax.dot_general(
-            n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        take = tb < best_t
-        return (jnp.where(take, tb, best_t),
-                jnp.where(take, nsel, best_n))
+
+        def mt_lanes(lo, nl):
+            hi_l = lo + nl
+            out = jax.lax.dot_general(
+                q_cat, rv_cat[:, lo:hi_l],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            det = out[0 * lpu:1 * lpu]
+            u_num = out[1 * lpu:2 * lpu]
+            v_num = out[2 * lpu:3 * lpu]
+            tn = out[3 * lpu:4 * lpu]
+            ok = jnp.abs(det) >= MT_DET_EPS
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            u = u_num * inv
+            v = v_num * inv
+            t = tn * inv                          # (LPU, nl)
+            ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
+                   & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
+                   & (t >= t_min) & (t <= t_max))
+            t = jnp.where(ok, t, 1e30)
+            tb = t.min(axis=0, keepdims=True)     # (1, nl)
+            oh_b = ((t <= tb) & ok).astype(jnp.bfloat16)
+            oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, nl)
+            nsel = jax.lax.dot_general(
+                n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            bt_cur = bt_scr[:, lo:hi_l]
+            take = tb < bt_cur
+            bt_scr[:, lo:hi_l] = jnp.where(take, tb, bt_cur)
+            bn_scr[:, lo:hi_l] = jnp.where(take, nsel,
+                                           bn_scr[:, lo:hi_l])
+
+        if elig is None:
+            mt_lanes(0, GROUP)
+        else:
+            for j in range(NS):
+                @pl.when(elig[j])
+                def _(j=j):
+                    mt_lanes(j * 128, 128)
 
     def cluster_body(carry):
-        ci, best_t, best_n, worsts = carry
+        ci, worsts = carry
         cslot = jax.lax.rem(ci, 2)
 
         @pl.when(ci + 1 < ccnt)
@@ -335,7 +365,7 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                 d.start()
 
         def unit_body(st):
-            u, n1, uslot, removed, bt, bn, ws = st
+            u, n1, uslot, removed, ws = st
             n2 = first(elig_key(ws, removed))
             removed = jnp.where(lane == n2, inf, removed)
 
@@ -345,41 +375,60 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                 for d in unit_dmas(slot2, cl * UPC + n2):
                     d.start()
 
+            # The DMA wait is unconditional even when gating skips every
+            # sub-group (the pick pipeline started it two iterations ago;
+            # an un-awaited DMA leaks its semaphore device-wide).
             for d in unit_dmas(uslot, cl * UPC + u):
                 d.wait()
 
-            bt, bn = process_unit(uslot, bt, bn)
-            ws = worst_subs(bt)
-            return (n1, n2, jax.lax.rem(uslot + 1, 3), removed, bt, bn, ws)
+            if _subgate:
+                # Per-sub-group eligibility of THIS unit under the
+                # current bounds, extracted at its lane (ws is monotone
+                # nonincreasing, so this is conservative wrt the pick).
+                ohf = (lane == u).astype(jnp.float32)
+                elig = tuple(
+                    jnp.sum(jnp.where(insides[j] & (dists[j] <= ws[j]),
+                                      ohf, 0.0)) > 0.0
+                    for j in range(NS))
+                anyp = elig[0]
+                for j in range(1, NS):
+                    anyp = anyp | elig[j]
+
+                @pl.when(anyp)
+                def _():
+                    process_unit(uslot, elig=elig)
+            else:
+                process_unit(uslot)
+            ws = worst_subs()
+            return (n1, n2, jax.lax.rem(uslot + 1, 3), removed, ws)
 
         def unit_cond(st):
             return st[0] < 128
 
-        _, _, _, _, best_t, best_n, worsts = jax.lax.while_loop(
+        _, _, _, _, worsts = jax.lax.while_loop(
             unit_cond, unit_body,
-            (u0, u1, jnp.int32(0), removed0, best_t, best_n, worsts))
-        return ci + 1, best_t, best_n, worsts
+            (u0, u1, jnp.int32(0), removed0, worsts))
+        return ci + 1, worsts
 
     def cluster_cond(carry):
-        ci, _bt, _bn, worsts = carry
+        ci, worsts = carry
         wmax = worsts[0]
         for j in range(1, NS):
             wmax = jnp.maximum(wmax, worsts[j])
         cidx = jnp.minimum(ci, centry_ref.shape[2] - 1)
         return (ci < ccnt) & (wmax >= centry_ref[0, b, cidx])
 
-    bt0 = t_in[0, b].reshape(1, GROUP)
-    bn0 = n_in[0, b]                              # (8, GROUP)
-    c_final, best_t, best_n, _ = jax.lax.while_loop(
-        cluster_cond, cluster_body,
-        (jnp.int32(0), bt0, bn0, worst_subs(bt0)))
+    bt_scr[...] = t_in[0, b].reshape(1, GROUP)
+    bn_scr[...] = n_in[0, b]                      # (8, GROUP)
+    c_final, _ = jax.lax.while_loop(
+        cluster_cond, cluster_body, (jnp.int32(0), worst_subs()))
 
     @pl.when(c_final < ccnt)
     def _():
         cmeta_dma(jax.lax.rem(c_final, 2), c_final).wait()
 
-    t_out[0, b] = best_t[0]
-    n_out[0, b] = best_n
+    t_out[0, b] = bt_scr[...][0]
+    n_out[0, b] = bn_scr[...]
 
 
 def _grouped_cluster_window(scene: DeviceScene, omin, omax, remaining,
@@ -589,6 +638,11 @@ def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
             pltpu.VMEM((3, 8, npad), jnp.float32),
             pltpu.SemaphoreType.DMA((gb, 2)),
             pltpu.SemaphoreType.DMA((3, 2)),
+            # Running best t/normal rows: in-place refs so the sub-group
+            # gated MT stage can pl.when-skip ineligible lanes (a
+            # while-carry would copy 36 KB per unit; see pallas_tiled).
+            pltpu.VMEM((1, GROUP), jnp.float32),
+            pltpu.VMEM((8, GROUP), jnp.float32),
         ],
         interpret=interpret,
     )(ccand.reshape(nb, gb, kc), ccount.reshape(nb, gb, 1),

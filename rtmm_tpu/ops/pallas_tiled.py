@@ -541,6 +541,16 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                 q_buf[qslot, u],
                 None if indexed else gmat_ref[...],
                 ax, ay, az, cx, cy, cz, lpu, indexed=indexed)
+            if _abl == "2xderive":
+                # Attribute the in-kernel table derivation (gathers +
+                # cross products): duplicate it on a data-dependently
+                # perturbed record and fold a zero of its result in.
+                q2, tn2, nv2 = _derive_unit(
+                    q_buf[qslot, u] + _dep_zero(jnp.max(q)),
+                    None if indexed else gmat_ref[...],
+                    ax, ay, az, cx, cy, cz, lpu, indexed=indexed)
+                q = q + _dep_zero(jnp.max(jnp.abs(q2)) + jnp.max(tn2)
+                                  + jnp.max(nv2))
         else:
             qn = q_buf[qslot, u]                  # (8, 4*LPU + 128)
             # Only rows 0-5 carry MT data ([-n|-w1|-w2] over d rows,

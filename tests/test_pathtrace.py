@@ -1,4 +1,5 @@
 """Path tracer tests (benchmark config 5 semantics)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -225,3 +226,31 @@ def test_pathtrace_compressed_matches_standard(engine, mixed):
     a, b = np.asarray(a), np.asarray(b)
     npix = int((np.abs(a - b).max(-1) > 1e-3).sum())
     assert npix <= 5, f"{npix} pixels diverge"
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_grouped_kernel_subgate_bitwise(compressed, monkeypatch):
+    """The grouped kernel's sub-group gated MT stage (RTMM_SUBGATE,
+    default on) must be BITWISE identical to the ungated trace: gating
+    uses the walk's own per-sub predicates (insides & dist <= worst), so
+    skipped sub-groups can only ever contribute non-winning hits."""
+    from rtmm_tpu.models import procedural, scene as scene_mod
+    from rtmm_tpu.ops import pallas_grouped
+
+    mesh = procedural.make_icosphere(subdivisions=1, level=3,
+                                     amplitude=0.15)
+    ds = scene_mod.build_device_scene(mesh, compressed=compressed)
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform(-2.0, 2.0, (2, 1024, 3)).astype(np.float32))
+    d = rng.normal(size=(2, 1024, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    live = jnp.asarray(rng.uniform(size=(2, 1024)) < 0.6)
+    monkeypatch.setenv("RTMM_SUBGATE", "0")
+    t0, n0, _ = pallas_grouped.trace_sorted(ds, o, d, live, CFG,
+                                            interpret=True)
+    monkeypatch.setenv("RTMM_SUBGATE", "1")
+    t1, n1, _ = pallas_grouped.trace_sorted(ds, o, d, live, CFG,
+                                            interpret=True)
+    assert (np.asarray(t0)[np.asarray(live)] < 1e29).sum() > 50
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
