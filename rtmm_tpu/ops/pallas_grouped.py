@@ -55,6 +55,16 @@ def _derive_q16_unit(grid_block, gmat, lpu, indexed):
     is the host oracle; offset-0 gathers/concats keep Mosaic legal (see
     pallas_tiled._derive_unit)."""
     pos = grid_block[0:3, :]                      # (3, GRID_LANES)
+    # Bit-exact one-pass bf16 gather (vs 6-pass HIGHEST): x = b1+b2+b3
+    # exactly, one-hot contractions of each term are exact products, and
+    # the f32 rebuild is exact (see pallas_tiled._derive_unit). Term rows
+    # at vreg-aligned offsets 0/8/16 keep the output slices relayout-free.
+    p1 = pos.astype(jnp.bfloat16)
+    r12 = pos - p1.astype(jnp.float32)
+    p2 = r12.astype(jnp.bfloat16)
+    p3 = (r12 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
+    zpad = jnp.zeros((5, pos.shape[1]), jnp.bfloat16)
+    pos_cat = jnp.concatenate([p1, zpad, p2, zpad, p3], axis=0)  # (19, GL)
 
     def gather(j):
         if indexed:
@@ -62,13 +72,13 @@ def _derive_q16_unit(grid_block, gmat, lpu, indexed):
             idx_row = grid_block[3 + j:4 + j, 0:lpu]          # (1, lpu)
             gi = jax.lax.broadcasted_iota(
                 jnp.float32, (GRID_LANES, lpu), 0)
-            oh = (gi == idx_row).astype(jnp.float32)
+            oh = (gi == idx_row).astype(jnp.bfloat16)
         else:
-            oh = gmat[:, j * lpu:(j + 1) * lpu]
-        return jax.lax.dot_general(
-            pos, oh, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (3, lpu)
+            oh = gmat[:, j * lpu:(j + 1) * lpu].astype(jnp.bfloat16)
+        g9 = jax.lax.dot_general(
+            pos_cat, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (19, lpu)
+        return g9[0:3] + g9[8:11] + g9[16:19]
 
     v0 = gather(0)
     v1 = gather(1)

@@ -276,16 +276,31 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu,
     t_num = (apex-c).n - e2.w2, nrm_v (8, lpu) rows 0-2 normalized
     normals).
 
-    One exact one-hot gather matmul (HIGHEST precision: the repo's
-    standard 6-pass f32 emulation — M=8 keeps it cheap) expands the <=45
-    grid vertices to the 64 leaves' corner columns [v0|v1|v2]; crosses /
+    One exact one-hot gather matmul per corner expands the <=45 grid
+    vertices to the 64 leaves' corner columns [v0|v1|v2]; crosses /
     dot products are VPU row arithmetic in the (3, lanes) layout the MT
     matmul wants, so no transposes appear anywhere. Zero grid lanes
     (padding units, sub-level < 3 leaves) derive zero rows -> det == 0 ->
     rejected by the same epsilon that masks absent leaves in the
     precomputed tables.
+
+    The gather is bit-exact in ONE bf16 MXU pass (vs the generic 6-pass
+    HIGHEST f32 emulation): an f32 splits exactly into three bf16 terms
+    (x = b1 + b2 + b3, each residual has <= 8 mantissa bits), a one-hot
+    contraction of each term is an exact product, and the f32 sum of the
+    three gathered components reconstructs x bit-for-bit (the partial
+    sums are representable: the terms' mantissas do not overlap beyond
+    f32's 24 bits).
     """
     pos = grid_block[0:3, :]                        # (3, GRID_LANES)
+    p1 = pos.astype(jnp.bfloat16)
+    r12 = pos - p1.astype(jnp.float32)
+    p2 = r12.astype(jnp.bfloat16)
+    p3 = (r12 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
+    zpad = jnp.zeros((5, pos.shape[1]), jnp.bfloat16)
+    # Terms at row offsets 0/8/16: the f32 output's term blocks then sit
+    # at vreg-aligned sublane offsets (slices stay relayout-free).
+    pos_cat = jnp.concatenate([p1, zpad, p2, zpad, p3], axis=0)  # (19, GL)
 
     def gather(j):
         # One matmul per corner (not one (3, 3*LPU) matmul sliced after):
@@ -302,14 +317,14 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu,
             idx_row = grid_block[3 + j:4 + j, 0:lpu]          # (1, lpu)
             gi = jax.lax.broadcasted_iota(
                 jnp.float32, (GRID_LANES, lpu), 0)
-            oh = (gi == idx_row).astype(jnp.float32)          # (GL, lpu)
+            oh = (gi == idx_row).astype(jnp.bfloat16)         # (GL, lpu)
         else:
-            oh = gmat[:, j * lpu:(j + 1) * lpu]
-        return jax.lax.dot_general(
-            pos, oh,
+            oh = gmat[:, j * lpu:(j + 1) * lpu].astype(jnp.bfloat16)
+        g9 = jax.lax.dot_general(
+            pos_cat, oh,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)    # (3, lpu)
+            preferred_element_type=jnp.float32)     # (19, lpu)
+        return g9[0:3] + g9[8:11] + g9[16:19]       # exact f32 rebuild
 
     v0 = gather(0)
     v1 = gather(1)
@@ -484,6 +499,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     eyem = (jax.lax.broadcasted_iota(jnp.int32, (lpu, lpu), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (lpu, lpu), 1)
             ).astype(jnp.float32)
+    eye3 = jnp.concatenate([eyem] * 3, axis=1).astype(jnp.bfloat16)
     # Sub-tile ray masks: pixel (r, c) sits at ray index r*TILE_W + c;
     # the sub-cone grid is nrows x ncols with j = row * ncols + col.
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
@@ -569,10 +585,18 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         # broadcast this lane vector across the rays, and rounded it
         # through a bf16 hi/lo pair on the way; tn_col is exact f32,
         # matching the XLA backend's f32 row-7 fold).
+        # Lane -> sublane transpose of t_num as ONE bf16 pass (identity
+        # one-hot gather of the exact 3-term bf16 split; same bit-exact
+        # scheme as _derive_unit's gathers — the old form paid HIGHEST's
+        # 6 passes for the same result).
+        t1 = tn_row.astype(jnp.bfloat16)
+        tr = tn_row - t1.astype(jnp.float32)
+        t2 = tr.astype(jnp.bfloat16)
+        t3 = (tr - t2.astype(jnp.float32)).astype(jnp.bfloat16)
+        tn_cat = jnp.concatenate([t1, t2, t3], axis=1)      # (1, 3*LPU)
         tn_col = jax.lax.dot_general(
-            eyem, tn_row, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)       # (LPU, 1)
+            eye3, tn_cat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (LPU, 1)
         if hi_prec:
             # True-f32 contraction (Mosaic HIGHEST, 6 passes): a manual
             # A/B knob (see resolve_mt_precision).
