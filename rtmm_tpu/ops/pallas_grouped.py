@@ -395,14 +395,17 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                 # Per-sub-group eligibility of THIS unit under the
                 # current bounds, extracted at its lane (ws is monotone
                 # nonincreasing, so this is conservative wrt the pick).
+                # All NS bits ride ONE weighted one-hot reduction (each
+                # vector->scalar move is a pipeline sync).
                 ohf = (lane == u).astype(jnp.float32)
-                elig = tuple(
-                    jnp.sum(jnp.where(insides[j] & (dists[j] <= ws[j]),
-                                      ohf, 0.0)) > 0.0
-                    for j in range(NS))
-                anyp = elig[0]
-                for j in range(1, NS):
-                    anyp = anyp | elig[j]
+                bits = jnp.zeros((1, 128), jnp.float32)
+                for j in range(NS):
+                    bits += jnp.where(insides[j] & (dists[j] <= ws[j]),
+                                      jnp.float32(1 << j), 0.0)
+                bi = jnp.sum(bits * ohf).astype(jnp.int32)
+                elig = tuple(jax.lax.bitwise_and(bi, 1 << j) > 0
+                             for j in range(NS))
+                anyp = bi > 0
 
                 @pl.when(anyp)
                 def _():

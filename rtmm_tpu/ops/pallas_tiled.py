@@ -793,8 +793,13 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             else:
                 # The one-hot extraction is exact (one nonzero lane), so
                 # extracting the precomputed center row equals the
-                # 0.5*(mn+mx) scalar form bit-for-bit.
-                ctr = [jnp.sum(crow[k:k + 1] * ohf) for k in range(3)]
+                # 0.5*(mn+mx) scalar form bit-for-bit. ONE lane reduce to
+                # a (3, 1) vector; the centers stay vector-valued ((1, 1)
+                # slices broadcast everywhere they are used) — a
+                # vector->scalar move per component would be 3 pipeline
+                # syncs per unit.
+                ctrv = jnp.sum(crow * ohf, axis=1, keepdims=True)  # (3, 1)
+                ctr = [ctrv[k:k + 1] for k in range(3)]
             if _subgate:
                 # Per-sub-band eligibility of THIS unit under the current
                 # worst bounds — the same sound per-ray predicate the walk
@@ -802,14 +807,19 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                 # than every sub-j ray's own improvement bound, cannot
                 # improve any sub-j ray), extracted at lane u. ws is the
                 # walk state's bounds (monotone nonincreasing), so gating
-                # is conservative wrt the pick that selected u.
+                # is conservative wrt the pick that selected u. All nsub
+                # bits ride ONE weighted one-hot reduction (each
+                # vector->scalar move is a pipeline sync; 2^j weights are
+                # exact in f32 for nsub <= 8).
+                bits = jnp.zeros((1, 128), jnp.float32)
+                for j in range(nsub):
+                    bits += jnp.where(insides[j] & (dist <= ws[j]),
+                                      jnp.float32(1 << j), 0.0)
+                bi = jnp.sum(bits * ohf).astype(jnp.int32)
                 elig = tuple(
-                    en & (jnp.sum(jnp.where(
-                        insides[j] & (dist <= ws[j]), ohf, 0.0)) > 0.0)
+                    en & (jax.lax.bitwise_and(bi, 1 << j) > 0)
                     for j in range(nsub))
-                anyp = elig[0]
-                for j in range(1, nsub):
-                    anyp = anyp | elig[j]
+                anyp = en & (bi > 0)
 
                 @pl.when(anyp)
                 def _():
