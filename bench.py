@@ -257,6 +257,46 @@ def _bench_render(scene, cfg, metric, dist: float = 3.0):
     return width * height / dt / 1e6
 
 
+def diff_metrics(a_, b_):
+    """Backend-agreement metrics for one (H, W, 3) frame pair.
+
+    Two-tier pixel gate, calibrated by on-TPU measurement:
+    * noise tier (> 4/255, one clearly visible u8 step in the PNG the
+      renderer outputs): fast3-vs-f32 epsilon flips at leaf silhouettes
+      land here (config 4 measured 234 px of 2M, 91% within 2 px of an
+      edge, 0 px at the same scene with both backends at HIGHEST). A
+      >1e-3 gate could never pass: 358 px differ at that level even
+      f32-vs-f32 (accumulation order).
+    * big tier (> 0.25, a different-surface/miss-level error): epsilon
+      flips measured 3 px here; real Mosaic-miscompile classes measured
+      748 px at maxdiff 0.48 (and 34,995 at 0.62) — hundreds-to-
+      thousands of big diffs is the miscompile signature this check
+      exists to catch.
+    Cell tier (gates the subpixel-leaf regime instead of the pixel
+    tiers): mean |diff| over 6x6 cells. With hundreds of micro-triangles
+    per pixel (config 7: ~500 leaves/px at the reduced verify res) two
+    CORRECT single-sample renderers decorrelate — f32-epsilon t-ties
+    flip which subpixel leaf wins and the facet normals differ
+    arbitrarily — so per-pixel budgets cannot separate flips (measured
+    985 px / 91 big, scattered) from miscompiles (contiguous surface
+    regions). Averaging 36 pixels bounds the scattered-flip
+    contribution (0.76% density x ~0.3 magnitude ~ 0.002 per cell)
+    while a regional miscompile drives whole cells past 0.05.
+
+    Returns (npix > 4/255, npix > 0.25, max pixel diff,
+    ncells mean > 0.05, max cell mean).
+    """
+    import jax.numpy as jnp
+
+    d = jnp.abs(a_ - b_).max(-1)
+    ch, cw = (a_.shape[0] // 6) * 6, (a_.shape[1] // 6) * 6
+    cells = jnp.abs(a_[:ch, :cw] - b_[:ch, :cw]).mean(-1).reshape(
+        ch // 6, 6, cw // 6, 6).mean((1, 3))
+    return ((d > 4.0 / 255.0).sum(dtype=jnp.int32),
+            (d > 0.25).sum(dtype=jnp.int32), d.max(),
+            (cells > 0.05).sum(dtype=jnp.int32), cells.max())
+
+
 def _verify_image(scene, cfg, dist: float = 3.0) -> dict:
     """Real-TPU pixel verification: ONE frame through the Pallas kernel
     vs the XLA tile backend, compared ON DEVICE (full-frame readback
@@ -301,40 +341,7 @@ def _verify_image(scene, cfg, dist: float = 3.0) -> dict:
     jax.block_until_ready(a)
     b = jax.jit(lambda s, m: render_image(s, m, cfg_t))(scene, ivp)
 
-    @jax.jit
-    def diff_metrics(a_, b_):
-        d = jnp.abs(a_ - b_).max(-1)
-        # Two-tier gate, calibrated by on-TPU measurement:
-        # * noise tier (> 4/255, one clearly visible u8 step in the PNG
-        #   the renderer outputs): fast3-vs-f32 epsilon flips at leaf
-        #   silhouettes land here (config 4 measured 234 px of 2M, 91%
-        #   within 2 px of an edge, 0 px at the same scene with both
-        #   backends at HIGHEST). A >1e-3 gate could never pass: 358 px
-        #   differ at that level even f32-vs-f32 (accumulation order).
-        # * big tier (> 0.25, a different-surface/miss-level error):
-        #   epsilon flips measured 3 px here; real Mosaic-miscompile
-        #   classes measured 748 px at maxdiff 0.48 (and 34,995 at 0.62)
-        #   — hundreds-to-thousands of big diffs is the miscompile
-        #   signature this check exists to catch.
-        # Cell tier (gates the subpixel-leaf regime instead of the pixel
-        # tiers): mean |diff| over 6x6 cells. With hundreds of
-        # micro-triangles per pixel (config 7: ~500 leaves/px at the
-        # reduced verify res) two CORRECT single-sample renderers
-        # decorrelate — f32-epsilon t-ties flip which subpixel leaf wins
-        # and the facet normals differ arbitrarily — so per-pixel budgets
-        # cannot separate flips (measured 985 px / 91 big, scattered)
-        # from miscompiles (contiguous surface regions). Averaging 36
-        # pixels bounds the scattered-flip contribution (0.76% density x
-        # ~0.3 magnitude ~ 0.002 per cell) while a regional miscompile
-        # drives whole cells past 0.05.
-        ch, cw = (a_.shape[0] // 6) * 6, (a_.shape[1] // 6) * 6
-        cells = jnp.abs(a_[:ch, :cw] - b_[:ch, :cw]).mean(-1).reshape(
-            ch // 6, 6, cw // 6, 6).mean((1, 3))
-        return ((d > 4.0 / 255.0).sum(dtype=jnp.int32),
-                (d > 0.25).sum(dtype=jnp.int32), d.max(),
-                (cells > 0.05).sum(dtype=jnp.int32), cells.max())
-
-    npix, nbig, maxdiff, ncell, maxcell = diff_metrics(a, b)
+    npix, nbig, maxdiff, ncell, maxcell = jax.jit(diff_metrics)(a, b)
     return {"verify_npix": int(np.asarray(npix)),
             "verify_nbig": int(np.asarray(nbig)),
             "verify_maxdiff": round(float(np.asarray(maxdiff)), 5),
