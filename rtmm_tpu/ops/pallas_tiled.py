@@ -499,7 +499,6 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     eyem = (jax.lax.broadcasted_iota(jnp.int32, (lpu, lpu), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (lpu, lpu), 1)
             ).astype(jnp.float32)
-    eye3 = jnp.concatenate([eyem] * 3, axis=1).astype(jnp.bfloat16)
     # Sub-tile ray masks: pixel (r, c) sits at ray index r*TILE_W + c;
     # the sub-cone grid is nrows x ncols with j = row * ncols + col.
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
@@ -585,18 +584,17 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         # broadcast this lane vector across the rays, and rounded it
         # through a bf16 hi/lo pair on the way; tn_col is exact f32,
         # matching the XLA backend's f32 row-7 fold).
-        # Lane -> sublane transpose of t_num as ONE bf16 pass (identity
-        # one-hot gather of the exact 3-term bf16 split; same bit-exact
-        # scheme as _derive_unit's gathers — the old form paid HIGHEST's
-        # 6 passes for the same result).
-        t1 = tn_row.astype(jnp.bfloat16)
-        tr = tn_row - t1.astype(jnp.float32)
-        t2 = tr.astype(jnp.bfloat16)
-        t3 = (tr - t2.astype(jnp.float32)).astype(jnp.bfloat16)
-        tn_cat = jnp.concatenate([t1, t2, t3], axis=1)      # (1, 3*LPU)
-        tn_col = jax.lax.dot_general(
-            eye3, tn_cat, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (LPU, 1)
+        # Lane -> sublane transpose of t_num as a VPU mask-reduce:
+        # broadcast the (1, LPU) row across LPU sublanes, zero all but
+        # the diagonal, reduce over lanes. Exact f32 (each output row
+        # sums exactly one nonzero term) and ~LPU^2 elementwise flops
+        # (64x64 — negligible next to the MT matmul). NB an N=1 bf16
+        # one-hot MATMUL form of this transpose trips a Mosaic verifier
+        # bug on real v5e (the lowering emits a dtype-changing
+        # vector.broadcast bf16->f32, which fails MLIR verification;
+        # interpret mode cannot see it), so keep this on the VPU.
+        tn_col = jnp.sum(eyem * jnp.broadcast_to(tn_row, (lpu, lpu)),
+                         axis=1, keepdims=True)            # (LPU, 1)
         if hi_prec:
             # True-f32 contraction (Mosaic HIGHEST, 6 passes): a manual
             # A/B knob (see resolve_mt_precision).
