@@ -32,7 +32,10 @@ import jax.numpy as jnp
 # ((W + u)(H + u) incidences for unit footprint u) and silhouettes
 # straddle fewer tiles; the ray-matrix layout is unaffected (lanes map to
 # pixels row-major within the tile). Overridable for A/B measurement.
-_shape = os.environ.get("RTMM_TILE_SHAPE", "8x128")
+# 32x32 (the squarest 1024-ray tile) measured on one v5e @1080p:
+# 51,200-tri plane 49.8 -> 71.5 Mrays/s, 1,280-tri flagship 160 -> 215
+# (+35-44% over 8x128; frame height pads 1080 -> 1088, ~0.7% extra rays).
+_shape = os.environ.get("RTMM_TILE_SHAPE", "32x32")
 TILE_H, TILE_W = (int(x) for x in _shape.split("x"))
 assert TILE_H * TILE_W == 1024, "tile must hold 1024 rays"
 # Traversal units per scene cluster (the coarse level of the two-level

@@ -129,7 +129,10 @@ def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
             v_num = out[..., 2 * lpu:3 * lpu]
             tn = out[..., 3 * lpu:4 * lpu]
             ok = jnp.abs(det) >= MT_DET_EPS
-            inv = 1.0 / jnp.where(ok, det, 1.0)
+            # Unguarded reciprocal (mirrors pallas_grouped): |det| < EPS
+            # lanes yield inf/NaN quotients whose compares are all False
+            # and whose t is masked by the ok fold below.
+            inv = 1.0 / det
             u = u_num * inv
             v = v_num * inv
             t = tn * inv

@@ -274,7 +274,11 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
             v_num = out[2 * lpu:3 * lpu]
             tn = out[3 * lpu:4 * lpu]
             ok = jnp.abs(det) >= MT_DET_EPS
-            inv = 1.0 / jnp.where(ok, det, 1.0)
+            # Unguarded reciprocal: |det| < EPS lanes yield inf/NaN
+            # quotients whose compares are all False and whose t is
+            # masked by the ok fold below — the guard was a full-size
+            # pass that only changed masked-out lanes.
+            inv = 1.0 / det
             u = u_num * inv
             v = v_num * inv
             t = tn * inv                          # (LPU, nl)

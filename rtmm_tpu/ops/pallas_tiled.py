@@ -48,6 +48,19 @@ TILE = culling.TILE_H * culling.TILE_W
 UPC = culling.UNITS_PER_CLUSTER
 
 
+def _paired_mode() -> int:
+    """RTMM_PAIRED env knob: 0 = sequential walk, 1 = paired-issue
+    MXU/VPU overlap (default; config 6 measured 72.5 -> 73.8 Mrays/s),
+    2 = paired + per-slot private moment buffers (the ray-matrix
+    scratch grows a leading 2 dim — the builder and the kernel must
+    agree, so both read this; measured NEUTRAL vs mode 1 (73.2), i.e.
+    the shared-buffer WAR hazard was not costing anything — kept as an
+    A/B knob)."""
+    import os
+    v = os.environ.get("RTMM_PAIRED", "1")
+    return int(v) if v in ("0", "1", "2") else 1
+
+
 def resolve_mt_precision(scene: DeviceScene, cfg: RenderConfig
                          ) -> RenderConfig:
     """Resolve cfg.mt_precision == "auto" for a concrete scene.
@@ -402,6 +415,51 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # instrument attributes the ungated stages).
     _subgate = (_os.environ.get("RTMM_SUBGATE", "0") == "1"
                 and nsub == nrows and not _abl)
+    # Paired-issue MXU/VPU overlap (trace-time env knob, default ON):
+    # the walk picks two units per iteration; issuing BOTH units' MT
+    # matmuls before either unit's VPU epilogue lets unit B's MXU work
+    # overlap unit A's epilogue (no data dependency between them). The
+    # fold order A-then-B is preserved — bit-identical image. Requires
+    # the ungated walk (the gated paths branch per unit, which kills the
+    # issue-order overlap anyway). Measured +1.8% on config 6 — small,
+    # which together with the 2x-stage ablation sums exceeding the frame
+    # (9.3 ms matmul + 22.5 ms epilogue + 1 ms nsel > 29 ms frame) says
+    # Mosaic already overlaps most of the in-order matmul under the
+    # previous unit's epilogue; the frame is VPU-epilogue-bound. Mode 2
+    # additionally gives each pair slot a PRIVATE moment-row buffer
+    # (scratch grows a leading 2 dim) to break the WAR hazard between
+    # unit B's moment write and matmul A's operand read — measured
+    # neutral (the hazard wasn't stalling anything).
+    _pmode = _paired_mode()
+    _paired = _pmode >= 1 and not _pretest and not _subgate
+    _dbuf = _pmode == 2
+    # Per-sub PRIVATE walks (trace-time env knob): instead of one shared
+    # walk whose every MT stage spans all TILE rays, each 128-lane
+    # row-band sub-cone runs its OWN pick-walk over the cluster's units,
+    # with MT stages on its 128 lanes only. Rationale: in the subpixel-
+    # dense regime (config 6: ~3.5 micro-tris/px, ~105 unit visits per
+    # nonempty tile) a visited unit's footprint covers ~19 px of the
+    # 1024-ray tile, so ~98% of every full-tile epilogue (the dominant
+    # per-visit cost) is spent on rays the unit cannot hit. A sub's
+    # eligibility predicate (insides[j] & dist <= worst[j]) is the same
+    # sound per-ray bound the shared walk ORs over — rays of sub j lose
+    # no winning hit, so the image is identical up to skipped
+    # non-winning work (bitwise: a sub-j ray's fold sequence is the
+    # subsequence of the shared walk's folds that could affect it...
+    # fold ORDER between two units both eligible for sub j is the same
+    # front-to-back pick order). Requires full-width row bands of
+    # exactly 128 lanes (nsub == nrows == TILE/128, i.e. sub_frusta=8
+    # at TILE=1024). Gated walks and the ablation instrument keep the
+    # shared walk.
+    _subwalk = (_os.environ.get("RTMM_SUBWALK", "0") == "1"
+                and nsub == nrows and TILE == 128 * nsub
+                and not _pretest and not _subgate)
+
+    def _rmix(sl, rows, lo, hi):
+        """rm_buf index: (slot, rows, lanes) under the double-buffered
+        layout, (rows, lanes) under the shared one."""
+        ix = (rows, slice(lo, hi))
+        return ((sl,) + ix) if _dbuf else ix
 
     def _dep_zero(x):
         return jnp.where(x > 1e38, jnp.float32(1.0), jnp.float32(0.0))
@@ -434,11 +492,16 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             # 2-pass scheme (q_hi.rm_hi + q_hi.rm_lo): drops the q-side
             # low bits (~2^-9 relative det/u/v error) for K=12 — an A/B
             # knob judged by the on-TPU image gate, NOT a default.
-            rm_buf[...] = jnp.concatenate([rm_hi, rm_lo], axis=0)
+            _rm_init = jnp.concatenate([rm_hi, rm_lo], axis=0)
         else:
-            rm_buf[...] = jnp.concatenate([rm_hi, rm_lo, rm_hi], axis=0)
+            _rm_init = jnp.concatenate([rm_hi, rm_lo, rm_hi], axis=0)
     else:
-        rm_buf[...] = rm[0:6]
+        _rm_init = rm[0:6]
+    if _dbuf:
+        rm_buf[0] = _rm_init
+        rm_buf[1] = _rm_init
+    else:
+        rm_buf[...] = _rm_init
 
     # Reciprocal direction rows for the per-unit slab pre-test (once per
     # tile; the tiny-|d| clamp keeps 0 * inf NaNs out of the slab mins).
@@ -449,25 +512,26 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
     invd = [1.0 / _safe_dir(rm[k:k + 1]) for k in range(3)]  # 3 x (1, TILE)
 
-    def set_unit_moment(cx, cy, cz, lo=0, nl=TILE):
+    def set_unit_moment(cx, cy, cz, lo=0, nl=TILE, sl=0):
         """Write this unit's recentered moment rows m' = m - c x d into
         the ray-matrix buffer (m = a x d is per-tile; c x d is ~9 VPU row
         ops — noise next to the MT matmul it feeds). lo/nl (static)
-        restrict the write to one sub-band's lanes under _subgate."""
+        restrict the write to one sub-band's lanes under _subgate; sl
+        (static) picks the pair slot under the double-buffered layout."""
         hi = lo + nl
         mpx = rm[3:4, lo:hi] - (cy * rm[2:3, lo:hi] - cz * rm[1:2, lo:hi])
         mpy = rm[4:5, lo:hi] - (cz * rm[0:1, lo:hi] - cx * rm[2:3, lo:hi])
         mpz = rm[5:6, lo:hi] - (cx * rm[1:2, lo:hi] - cy * rm[0:1, lo:hi])
         mp = jnp.concatenate([mpx, mpy, mpz], axis=0)      # (3, nl)
         if hi_prec:
-            rm_buf[3:6, lo:hi] = mp
+            rm_buf[_rmix(sl, slice(3, 6), lo, hi)] = mp
         else:
             mp_hi = mp.astype(jnp.bfloat16)
             mp_lo = (mp - mp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            rm_buf[3:6, lo:hi] = mp_hi
-            rm_buf[9:12, lo:hi] = mp_lo
+            rm_buf[_rmix(sl, slice(3, 6), lo, hi)] = mp_hi
+            rm_buf[_rmix(sl, slice(9, 12), lo, hi)] = mp_lo
             if not fast2:
-                rm_buf[15:18, lo:hi] = mp_hi
+                rm_buf[_rmix(sl, slice(15, 18), lo, hi)] = mp_hi
 
     # Frustum scalars: [apex xyz, nsub sub-cones x 4 planes x xyz,
     # (raygen scalars,) inflated scene AABB].
@@ -542,7 +606,8 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # (this tile's first cluster metadata DMA was started by _kernel's
     # block-level prefetch loop)
 
-    def process_unit(qslot, u, cx, cy, cz, elig=None):
+    def process_unit(qslot, u, cx, cy, cz, elig=None, defer=False,
+                     pslot=0, lo=0, nl=None):
         """MXU Möller-Trumbore for one unit's LPU leaves (read from the
         VMEM-resident cluster q block at lane u); folds improvements into
         the bt_scr/bn_scr running-best refs in place. cx/cy/cz: the
@@ -550,7 +615,12 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         rows + (compressed) derived tables. elig (set under _subgate):
         one scalar bool per sub-band — the per-unit table prep runs once,
         but the MT matmul/epilogue/select stage runs only on eligible
-        bands' lane ranges."""
+        bands' lane ranges. defer: issue the table prep + MT matmul now
+        and return a thunk for the VPU epilogue/select/fold — the caller
+        interleaves two units' stages (mm A, mm B, ep A, ep B) so unit
+        B's MXU matmul overlaps unit A's VPU epilogue (the two stages
+        have no data dependency; the fold order A-then-B is preserved,
+        so the image is bit-identical to the sequential call order)."""
         if grid_su is not None:
             q, tn_row, nrm_v = _derive_unit(
                 q_buf[qslot, u],
@@ -617,13 +687,14 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         n_cat = jnp.concatenate([n_hi, n_lo], axis=1)  # (8, 2*LPU)
 
-        def mt_lanes(lo, nl):
-            """MT matmul + epilogue + normal select on one lane range
-            (the whole tile ungated; one sub-band under _subgate)."""
+        def mm_stage(lo, nl):
+            """MXU stage: per-unit recentered moment write + MT matmul
+            on one lane range."""
             hi_l = lo + nl
-            set_unit_moment(cx, cy, cz, lo, nl)
+            set_unit_moment(cx, cy, cz, lo, nl, sl=pslot)
+            rm_sl = rm_buf[_rmix(pslot, slice(None), lo, hi_l)]
             out = jax.lax.dot_general(
-                q_mt, rm_buf[:, lo:hi_l],
+                q_mt, rm_sl,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 **({"precision": jax.lax.Precision.HIGHEST}
@@ -631,41 +702,64 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             if _abl == "2xmatmul":
                 qd = q_mt + jnp.max(_dep_zero(tn_row)).astype(q_mt.dtype)
                 out = out + _dep_zero(jax.lax.dot_general(
-                    qd, rm_buf[:, lo:hi_l],
+                    qd, rm_sl,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
+            return out
+
+        def ep_stage(out, lo, nl):
+            """VPU stage: MT epilogue + normal select + running-best
+            fold on one lane range."""
+            hi_l = lo + nl
             det = out[0 * lpu:1 * lpu]
             u_num = out[1 * lpu:2 * lpu]
             v_num = out[2 * lpu:3 * lpu]
             s_sl = s_row[:, lo:hi_l]
+            # Row-shaped t-window bounds: the apex shift s is per-RAY
+            # (constant across a ray's LPU leaves), so the leaf argmin
+            # and the [t_min, t_max] tests run on the raw quotient
+            # p = t + s with the shift folded into the BOUNDS ((1, nl)
+            # row ops) and subtracted from the winner after the reduce —
+            # one fewer (LPU, nl) pass. Boundary rounding vs the t-form
+            # is <1 ulp (same epsilon class the image gates budget); the
+            # miss sentinel survives the shift exactly (ulp(1e30) >> |s|,
+            # so 1e30 - s == 1e30 in f32).
+            pmin_row = t_min + s_sl
+            pmax_row = t_max + s_sl
             if _abl == "2xepilogue":
                 det2 = det + jnp.max(_dep_zero(u_num))
                 ok2 = jnp.abs(det2) >= MT_DET_EPS
-                inv2 = 1.0 / jnp.where(ok2, det2, 1.0)
+                inv2 = 1.0 / det2
                 uu2 = u_num * inv2
                 vv2 = v_num * inv2
-                t2 = tn_col * inv2 - s_sl
+                p2 = tn_col * inv2
                 ok2 &= ((uu2 >= -MT_UV_EPS) & (uu2 <= 1.0 + MT_UV_EPS)
                         & (vv2 >= -MT_UV_EPS)
                         & (uu2 + vv2 <= 1.0 + MT_UV_EPS)
-                        & (t2 >= t_min) & (t2 <= t_max))
-                t2 = jnp.where(ok2, t2, 1e30)
-                tb2 = t2.min(axis=0, keepdims=True)
-                det = det + _dep_zero(tb2)
+                        & (p2 >= pmin_row) & (p2 <= pmax_row))
+                p2 = jnp.where(ok2, p2, 1e30)
+                pb2 = p2.min(axis=0, keepdims=True)
+                det = det + _dep_zero(pb2)
             ok = jnp.abs(det) >= MT_DET_EPS
-            inv = 1.0 / jnp.where(ok, det, 1.0)
+            # Unguarded reciprocal: |det| < EPS lanes yield inf/NaN
+            # quotients whose window/uv compares are all False, and ok
+            # (which already excludes them) gates the p fold — the old
+            # where(ok, det, 1.0) guard was a full-size pass that only
+            # changed masked-out lanes.
+            inv = 1.0 / det
             # (bf16 u/v epsilon compares were tried for half-width VPU
             # ops: Mosaic rejects bf16 vector cmpf on v5e — "Target does
             # not support this comparison" — so the epilogue stays f32.)
             uu = u_num * inv
             vv = v_num * inv
-            t = tn_col * inv - s_sl               # (LPU, nl)
+            p = tn_col * inv                      # (LPU, nl)
             ok &= ((uu >= -MT_UV_EPS) & (uu <= 1.0 + MT_UV_EPS)
                    & (vv >= -MT_UV_EPS) & (uu + vv <= 1.0 + MT_UV_EPS)
-                   & (t >= t_min) & (t <= t_max))
-            t = jnp.where(ok, t, 1e30)
-            tb = t.min(axis=0, keepdims=True)     # (1, nl)
-            oh_b = ((t <= tb) & ok).astype(jnp.bfloat16)  # one-hot exact
+                   & (p >= pmin_row) & (p <= pmax_row))
+            p = jnp.where(ok, p, 1e30)
+            pb = p.min(axis=0, keepdims=True)     # (1, nl)
+            tb = pb - s_sl                        # (1, nl); miss stays 1e30
+            oh_b = ((p <= pb) & ok).astype(jnp.bfloat16)  # one-hot exact
             oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, nl)
             nsel = jax.lax.dot_general(
                 n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -682,8 +776,64 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             bn_scr[:, lo:hi_l] = jnp.where(take, nsel,
                                            bn_scr[:, lo:hi_l])
 
+        def mt_lanes(lo, nl):
+            """MT matmul + epilogue + normal select on one lane range
+            (the whole tile ungated; one sub-band under _subgate)."""
+            ep_stage(mm_stage(lo, nl), lo, nl)
+
+        if defer:
+            nl_d = TILE if nl is None else nl
+            out = mm_stage(lo, nl_d)
+            return lambda: ep_stage(out, lo, nl_d)
         if elig is None:
             mt_lanes(0, TILE)
+        elif nsub % 4 == 0:
+            # Coalesced-window gating: a unit's eligible bands form a
+            # CONTIGUOUS range (its screen footprint is convex across the
+            # tile's row bands; measured: every eligible set in the
+            # config-6 profile was contiguous, 83% spanning <= 2 of 4
+            # bands), and per-matmul fixed costs dominate at this output
+            # size — so run exactly ONE half-width MT stage positioned
+            # over the span when it fits, else the full tile. The earlier
+            # per-band form ran up to nsub matmuls per visit and measured
+            # SLOWER than ungated (52 vs 71 Mrays/s, config 6 @32x32);
+            # this coalesced form measured 65.3 — better, still a net
+            # loss (the per-unit scalar branch stalls the pipelined walk
+            # more than the half-width epilogue saves), so the gate
+            # stays opt-in for deep-occlusion scenes.
+            ql = nsub // 4
+
+            def _any(rng):
+                r = elig[rng[0]]
+                for i in rng[1:]:
+                    r = r | elig[i]
+                return r
+
+            lo_q = _any(range(0, ql))             # first quarter bands
+            hi_q = _any(range(3 * ql, nsub))      # last quarter bands
+            lo_h = _any(range(0, 2 * ql))         # lower half
+            hi_h = _any(range(2 * ql, nsub))      # upper half
+            c0 = ~hi_h                            # fits [0, TILE/2)
+            c2 = hi_h & ~lo_h                     # fits [TILE/2, TILE)
+            c1 = hi_h & lo_h & ~lo_q & ~hi_q      # fits the middle half
+            cf = hi_h & lo_h & (lo_q | hi_q)      # needs the full tile
+            half = TILE // 2
+
+            @pl.when(c0)
+            def _():
+                mt_lanes(0, half)
+
+            @pl.when(c1)
+            def _():
+                mt_lanes(TILE // 4, half)
+
+            @pl.when(c2)
+            def _():
+                mt_lanes(half, half)
+
+            @pl.when(cf)
+            def _():
+                mt_lanes(0, TILE)
         else:
             nl = TILE // nsub
             for j in range(nsub):
@@ -770,6 +920,16 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             u1 = jnp.where(p1 < imax, jax.lax.bitwise_and(p1, 127), 128)
             ikey = jnp.where(lane == u1, imax, ikey)
             return u0, u1, ikey
+
+        def _ctr(u):
+            """Unit-AABB-center extraction at lane u: one-hot lane reduce
+            of the precomputed center row — exact (one nonzero lane), and
+            the centers stay vector-valued (1, 1) slices (a
+            vector->scalar move per component would be 3 pipeline syncs
+            per unit)."""
+            ohf = (lane == u).astype(jnp.float32)
+            ctrv = jnp.sum(crow * ohf, axis=1, keepdims=True)   # (3, 1)
+            return ctrv[0:1], ctrv[1:2], ctrv[2:3]
 
         def unit_step(u, en, ws):
             """Per-RAY slab pre-test of unit lane u's (inflated) AABB
@@ -863,9 +1023,24 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
         def unit_body(st):
             ua, ub, ikey, ws, nv, ne = st
-            np_a = unit_step(ua, ua < 128, ws)
             hasb = ub < 128
-            np_b = unit_step(jnp.where(hasb, ub, ua), hasb, ws)
+            if _paired:
+                # Interleaved stages: mm A, mm B, ep A, ep B (see
+                # process_unit's defer doc). A dup slot (no second unit)
+                # recomputes unit A — idempotent fold, exactly like the
+                # sequential walk's gate-off path.
+                ub_eff = jnp.where(hasb, ub, ua)
+                ep_a = process_unit(cslot, ua, *_ctr(ua), defer=True,
+                                    pslot=0)
+                ep_b = process_unit(cslot, ub_eff, *_ctr(ub_eff),
+                                    defer=True, pslot=1 if _dbuf else 0)
+                ep_a()
+                ep_b()
+                np_a = (ua < 128).astype(jnp.int32)
+                np_b = hasb.astype(jnp.int32)
+            else:
+                np_a = unit_step(ua, ua < 128, ws)
+                np_b = unit_step(jnp.where(hasb, ub, ua), hasb, ws)
             ws = worst_subs()
             removed = ikey >= imax
             na, nb, ikey2 = pick2(jnp.where(removed, imax,
@@ -1057,13 +1232,16 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
         out_specs = (vmem((tb, TILE)), vmem((tb, 8, TILE)))
 
     # Per-tile ray-matrix buffer (moment rows re-written per unit with
-    # the recentered (a - c) x d; see _trace_tile_nonempty).
+    # the recentered (a - c) x d; see _trace_tile_nonempty). Under
+    # RTMM_PAIRED=2 each pair slot gets a private copy (leading 2 dim)
+    # so unit B's moment write has no WAR hazard against matmul A.
+    _rm_dims = ((2,) if _paired_mode() == 2 else ())
     if cfg.mt_precision == "highest":
-        rm_scratch = pltpu.VMEM((6, TILE), jnp.float32)
+        rm_scratch = pltpu.VMEM(_rm_dims + (6, TILE), jnp.float32)
     elif cfg.mt_precision == "fast2":
-        rm_scratch = pltpu.VMEM((12, TILE), jnp.bfloat16)
+        rm_scratch = pltpu.VMEM(_rm_dims + (12, TILE), jnp.bfloat16)
     else:
-        rm_scratch = pltpu.VMEM((18, TILE), jnp.bfloat16)
+        rm_scratch = pltpu.VMEM(_rm_dims + (18, TILE), jnp.bfloat16)
     # Running-best refs (t + normal rows): in-place state for the
     # pre-test-gated unit stage (see _trace_tile_nonempty).
     best_scratch = [pltpu.VMEM((1, TILE), jnp.float32),

@@ -441,18 +441,24 @@ def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg,
     v_num = out[..., 2 * lpu:3 * lpu]
     tn_b = out[..., 3 * lpu:4 * lpu]
     ok = jnp.abs(det) >= MT_DET_EPS
-    inv = 1.0 / jnp.where(ok, det, 1.0)
+    # Unguarded reciprocal + p-form t-window (p = t + s; the per-ray
+    # apex shift folds into the BOUNDS and is subtracted after the leaf
+    # min) — mirrors the Pallas kernel's epilogue exactly so the two
+    # backends keep bit-level agreement at the window boundary, and
+    # saves one (.., LPU)-wide pass each.
+    inv = 1.0 / det
     u = u_num * inv
     v = v_num * inv
     s = raymat[..., 6:7]
-    t = tn_b * inv - s
+    p = tn_b * inv
     ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
            & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
-           & (t >= cfg.t_min) & (t <= cfg.t_max)
+           & (p >= cfg.t_min + s) & (p <= cfg.t_max + s)
            & in_range[:, None, None])
-    t = jnp.where(ok, t, BIG)
-    tb = t.min(axis=2)                                 # (nt, TILE)
-    onehot = (t <= tb[..., None]) & ok                 # ties sum (normalized
+    p = jnp.where(ok, p, BIG)
+    pb = p.min(axis=2)                                 # (nt, TILE)
+    tb = pb - s[..., 0]                                # miss stays BIG
+    onehot = (p <= pb[..., None]) & ok                 # ties sum (normalized
     nb = jax.lax.dot_general(                          # again before shading)
         onehot.astype(jnp.float32), nrm,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),

@@ -78,23 +78,25 @@ def test_frustum_cull_is_conservative(sphere_scene):
     """Every unit hit by some ray of a tile must appear in that tile's
     candidate mask (validated against the per-ray slab test)."""
     ds = sphere_scene
-    cfg = RenderConfig(width=256, height=144)
-    pw, ph = 256, 144
-    ivp = jnp.asarray(_ivp(256, 144))
-    apex, normals = culling.tile_frustums(ivp, 256, 144, pw, ph)
+    th, tw = culling.TILE_H, culling.TILE_W
+    # Frame dims padded to whole tiles so the manual per-tile reshape
+    # below is exact for any RTMM_TILE_SHAPE.
+    pw, ph = 2 * tw if tw >= 64 else 256, 4 * th if th >= 32 else 128
+    ivp = jnp.asarray(_ivp(pw, ph))
+    apex, normals = culling.tile_frustums(ivp, pw, ph, pw, ph)
     hit = np.asarray(culling.cull_units(
         apex, normals, ds.unit_aabb_min, ds.unit_aabb_max, ds.unit_valid))
 
     from rtmm_tpu.ops import intersect, raygen
-    o, d = raygen.generate_rays(ivp, 256, 144)
+    o, d = raygen.generate_rays(ivp, pw, ph)
     inv_dir = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
     ray_hit, _ = intersect.ray_aabb(
         o[:, None], inv_dir[:, None],
         ds.unit_aabb_min[None], ds.unit_aabb_max[None])
     ray_hit = np.asarray(ray_hit & ds.unit_valid[None])
-    ty, tx = ph // 8, pw // 128
-    per_tile = (ray_hit.reshape(ty, 8, tx, 128, -1)
-                .transpose(0, 2, 1, 3, 4).reshape(ty * tx, 8 * 128, -1)
+    ty, tx = ph // th, pw // tw
+    per_tile = (ray_hit.reshape(ty, th, tx, tw, -1)
+                .transpose(0, 2, 1, 3, 4).reshape(ty * tx, th * tw, -1)
                 .any(axis=1))
     missed = per_tile & ~hit
     assert not missed.any(), f"{missed.sum()} unit-tile pairs wrongly culled"
@@ -262,12 +264,16 @@ def test_pallas_visit_counter(sphere_scene):
                             interpret=True, with_stats=True)
     np.testing.assert_array_equal(plain, np.asarray(img))
     visits = np.asarray(st["kernel_unit_visits"])
-    assert visits.shape == (64 // 8, 128 // 128)
+    from rtmm_tpu.ops import culling
+    assert visits.shape == (-(-64 // culling.TILE_H),
+                            -(-128 // culling.TILE_W))
     assert visits.sum() > 0
     # Any tile containing a non-background pixel must have visits > 0.
     bg = np.asarray(RenderConfig().background)
     nonbg = (np.abs(np.asarray(plain) - bg).max(-1) > 1e-3)
-    hit_tiles = nonbg.reshape(8, 8, 1, 128).any(axis=(1, 3))
+    hit_tiles = nonbg.reshape(64 // culling.TILE_H, culling.TILE_H,
+                              128 // culling.TILE_W, culling.TILE_W
+                              ).any(axis=(1, 3))
     assert hit_tiles.any()
     assert (visits[hit_tiles] > 0).all()
 
@@ -380,3 +386,24 @@ def test_pallas_subgate_bitwise_identical(compressed, monkeypatch):
     bg = np.asarray(cfg.background, np.float32)
     assert (np.abs(base - bg).max(-1) > 1e-5).mean() > 0.1
     np.testing.assert_array_equal(base, gated)
+
+
+@pytest.mark.parametrize("compressed,mode", [(False, "1"), (True, "1"),
+                                             (False, "2"), (True, "2")])
+def test_pallas_paired_bitwise_identical(compressed, mode, monkeypatch):
+    """RTMM_PAIRED=1 (interleaved per-pair stage issue: mm A, mm B,
+    ep A, ep B — unit B's MXU matmul overlaps unit A's VPU epilogue)
+    must be BITWISE identical to the sequential walk: only the issue
+    order changes; the running-best fold order A-then-B is preserved.
+    Mode 2 adds per-slot private moment buffers (same invariant)."""
+    mesh = procedural.make_icosphere(subdivisions=1, level=3, amplitude=0.15)
+    ds = scene_mod.build_device_scene(mesh, compressed=compressed)
+    ivp = jnp.asarray(_ivp(256, 64, dist=1.6))
+    cfg = RenderConfig(width=256, height=64)
+    monkeypatch.setenv("RTMM_PAIRED", "0")   # sequential baseline
+    base = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
+    monkeypatch.setenv("RTMM_PAIRED", mode)
+    paired = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
+    bg = np.asarray(cfg.background, np.float32)
+    assert (np.abs(base - bg).max(-1) > 1e-5).mean() > 0.1
+    np.testing.assert_array_equal(base, paired)
