@@ -451,6 +451,17 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # exactly 128 lanes (nsub == nrows == TILE/128, i.e. sub_frusta=8
     # at TILE=1024). Gated walks and the ablation instrument keep the
     # shared walk.
+    #
+    # MEASURED: a big LOSS — config 6 @32x32 1080p: 38.5 vs 73.8
+    # Mrays/s shared (v5e, image gate clean on both). The 8 sequential
+    # per-band while_loops multiply the walk's serial scalar syncs
+    # (pick extraction, loop carry) ~8x, and the per-unit table prep
+    # (qn read + bf16 splits / compressed derive) re-runs per BAND
+    # visit (~2x duplication at this footprint) — together far more
+    # than the 8x-narrower epilogue saves. Same conclusion as
+    # RTMM_SUBGATE (52 vs 71.5): per-unit data-dependent or per-band
+    # serialized control does not pay on this hardware; the shared
+    # static-shape walk stays the default. Kept as an A/B knob.
     _subwalk = (_os.environ.get("RTMM_SUBWALK", "0") == "1"
                 and nsub == nrows and TILE == 128 * nsub
                 and not _pretest and not _subgate)
@@ -1018,6 +1029,63 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         # so the per-unit cost is picks + pre-tests + gated MXU/VPU only
         # (no DMA machinery).
         qblock_wait(cslot, ci)
+
+        if _subwalk:
+            # Per-sub private walks (see the _subwalk knob doc): each
+            # 128-lane row band runs its own front-to-back pick-walk
+            # over this cluster's units, with MT stages on its band
+            # only. A unit ineligible for band j at its pick time
+            # (insides[j] is static per cluster; dist > worst_j, and
+            # worst_j is monotone nonincreasing) can never improve a
+            # band-j ray, and the fold order within a band is the same
+            # ascending-ikey order as the shared walk's — the image is
+            # bitwise identical (tests).
+            nlj = TILE // nsub
+            new_worsts = []
+            nv_c, ne_c = nvis, nelig
+            for j in range(nsub):
+                ins_j = insides[j]
+                lo_j = j * nlj
+                s_b = s_row[:, lo_j:lo_j + nlj]
+                x_b = exit_row[:, lo_j:lo_j + nlj]
+
+                def worst_j(s_b=s_b, x_b=x_b, lo_j=lo_j):
+                    btj = bt_scr[:, lo_j:lo_j + nlj]
+                    return jnp.max(jnp.where(btj < 1e30, btj + s_b, x_b))
+
+                def ikey_j(wj, removed, ins_j=ins_j):
+                    return jnp.where(ins_j & (dist <= wj) & ~removed,
+                                     dist_ikey, imax)
+
+                u0j, u1j, ik0 = pick2(ikey_j(worsts[j], lane >= 128))
+
+                def sub_body(st, lo_j=lo_j, ikey_j=ikey_j,
+                             worst_j=worst_j):
+                    ua, ub, ik, wj, nv_, ne_ = st
+                    hasb = ub < 128
+                    ub_eff = jnp.where(hasb, ub, ua)
+                    ep_a = process_unit(cslot, ua, *_ctr(ua),
+                                        defer=True, pslot=0,
+                                        lo=lo_j, nl=nlj)
+                    ep_b = process_unit(cslot, ub_eff, *_ctr(ub_eff),
+                                        defer=True,
+                                        pslot=1 if _dbuf else 0,
+                                        lo=lo_j, nl=nlj)
+                    ep_a()
+                    ep_b()
+                    wj = worst_j()
+                    removed = ik >= imax
+                    na, nb2, ik2 = pick2(jnp.where(removed, imax,
+                                                   ikey_j(wj, removed)))
+                    n2 = 1 + hasb.astype(jnp.int32)
+                    return (na, nb2, ik2, wj, nv_ + n2, ne_ + n2)
+
+                _, _, _, wj_f, nv_c, ne_c = jax.lax.while_loop(
+                    lambda st: st[0] < 128, sub_body,
+                    (u0j, u1j, ik0, worsts[j], nv_c, ne_c))
+                new_worsts.append(wj_f)
+            return ci + 1, tuple(new_worsts), nv_c, ne_c
+
         removed0 = lane >= 128   # nothing removed yet (all-False row)
         u0, u1, ikey0 = pick2(ikey_of(worsts, removed0))
 

@@ -388,6 +388,27 @@ def test_pallas_subgate_bitwise_identical(compressed, monkeypatch):
     np.testing.assert_array_equal(base, gated)
 
 
+@pytest.mark.parametrize("compressed", [False, True])
+def test_pallas_subwalk_bitwise_identical(compressed, monkeypatch):
+    """RTMM_SUBWALK=1 (per-sub private walks: each 128-lane row band
+    pick-walks the cluster's units independently, MT stages on its band
+    only) must be BITWISE identical to the shared walk: a unit
+    ineligible for band j can never improve a band-j ray, and fold
+    order within a band is the same ascending-ikey order. Requires the
+    128-lane row-band grid (sub_frusta == sub_rows == TILE/128 == 8)."""
+    mesh = procedural.make_icosphere(subdivisions=1, level=3, amplitude=0.15)
+    ds = scene_mod.build_device_scene(mesh, compressed=compressed)
+    ivp = jnp.asarray(_ivp(256, 64, dist=1.6))
+    cfg = RenderConfig(width=256, height=64, sub_frusta=8, sub_rows=8)
+    monkeypatch.delenv("RTMM_SUBWALK", raising=False)
+    base = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
+    monkeypatch.setenv("RTMM_SUBWALK", "1")
+    sub = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
+    bg = np.asarray(cfg.background, np.float32)
+    assert (np.abs(base - bg).max(-1) > 1e-5).mean() > 0.1
+    np.testing.assert_array_equal(base, sub)
+
+
 @pytest.mark.parametrize("compressed,mode", [(False, "1"), (True, "1"),
                                              (False, "2"), (True, "2")])
 def test_pallas_paired_bitwise_identical(compressed, mode, monkeypatch):
