@@ -465,6 +465,39 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     _subwalk = (_os.environ.get("RTMM_SUBWALK", "0") == "1"
                 and nsub == nrows and TILE == 128 * nsub
                 and not _pretest and not _subgate)
+    # Lane-parallel band walk: all nsub 128-lane row bands advance in
+    # LOCKSTEP inside ONE while_loop — each iteration picks one unit
+    # per band (front-to-back within the band, like RTMM_SUBWALK) but
+    # runs a SINGLE full-tile epilogue whose lane block j carries band
+    # j's unit. One (LPU, TILE) epilogue pass then covers nsub
+    # band-visits, so epilogue work scales with the most-loaded band
+    # (max_j |eligible_j|) instead of the tile's union — without the
+    # per-band serial loops that sank RTMM_SUBWALK (38.5 Mrays/s) or
+    # the data-dependent branches that sank RTMM_SUBGATE. Idle bands
+    # (no eligible unit left) re-process another band's picked unit on
+    # their own lanes: sound (ineligible => cannot improve; already-
+    # processed => strict-< fold is idempotent), so the image stays
+    # bitwise identical to the shared walk (tests). Same grid
+    # requirement as the subwalk: contiguous 128-lane row bands.
+    _lanewalk = (_os.environ.get("RTMM_LANEWALK", "0") == "1"
+                 and nsub == nrows and TILE == 128 * nsub
+                 and not _pretest and not _subgate and not _subwalk)
+    # w-form MT acceptance (default ON; RTMM_MT_WFORM=0 restores the
+    # textbook form for A/B): contract a fourth numerator block
+    # w = det - u - v (built from the q table columns BEFORE the
+    # matmul — a (6, LPU) subtraction, negligible next to the (LPU,
+    # TILE) epilogue passes it removes) and accept on
+    # min(uu, vv, ww) >= -eps instead of the 4-compare textbook chain.
+    # ww >= -eps is EXACTLY uu + vv <= 1 + eps (w/det = 1 - u/det -
+    # v/det in exact arithmetic); the dropped uu <= 1 + eps is implied
+    # up to 2*eps by vv, ww >= -eps, so the accept set differs only in
+    # an O(eps^2) corner sliver — the same epsilon class the image
+    # gates budget. The MXU rows grow 3*LPU -> 4*LPU (hidden under the
+    # VPU epilogue); the VPU drops ~4 (LPU, TILE) passes per visit
+    # (2 compares + 1 add + 1 and, minus 1 min). Mirrored bit-for-bit
+    # in the XLA tile backend (ops/tiled.py) so the backends keep
+    # agreeing at the acceptance boundary.
+    _wform = _os.environ.get("RTMM_MT_WFORM", "1") == "1"
 
     def _rmix(sl, rows, lo, hi):
         """rm_buf index: (slot, rows, lanes) under the double-buffered
@@ -617,21 +650,12 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # (this tile's first cluster metadata DMA was started by _kernel's
     # block-level prefetch loop)
 
-    def process_unit(qslot, u, cx, cy, cz, elig=None, defer=False,
-                     pslot=0, lo=0, nl=None):
-        """MXU Möller-Trumbore for one unit's LPU leaves (read from the
-        VMEM-resident cluster q block at lane u); folds improvements into
-        the bt_scr/bn_scr running-best refs in place. cx/cy/cz: the
-        unit's AABB-center scalars — they recenter this unit's moment
-        rows + (compressed) derived tables. elig (set under _subgate):
-        one scalar bool per sub-band — the per-unit table prep runs once,
-        but the MT matmul/epilogue/select stage runs only on eligible
-        bands' lane ranges. defer: issue the table prep + MT matmul now
-        and return a thunk for the VPU epilogue/select/fold — the caller
-        interleaves two units' stages (mm A, mm B, ep A, ep B) so unit
-        B's MXU matmul overlaps unit A's VPU epilogue (the two stages
-        have no data dependency; the fold order A-then-B is preserved,
-        so the image is bit-identical to the sequential call order)."""
+    def unit_tables(qslot, u, cx, cy, cz):
+        """Per-unit MT operand prep (VMEM reads + bf16 hi/lo splits, or
+        the compressed-scene derive): returns (q_mt, n_cat, tn_col,
+        tn_row) for the unit at lane u of the resident cluster q block.
+        Shared by process_unit (the classic walk) and the lane-parallel
+        band walk (RTMM_LANEWALK), which preps 8 units per iteration."""
         if grid_su is not None:
             q, tn_row, nrm_v = _derive_unit(
                 q_buf[qslot, u],
@@ -676,6 +700,13 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         # interpret mode cannot see it), so keep this on the VPU.
         tn_col = jnp.sum(eyem * jnp.broadcast_to(tn_row, (lpu, lpu)),
                          axis=1, keepdims=True)            # (LPU, 1)
+        if _wform:
+            # Fourth numerator block w = det - u - v, built on the q
+            # COLUMNS (6, LPU) so the matmul contracts it like the
+            # others (see the _wform knob doc).
+            w_col = (q[:, 0 * lpu:1 * lpu] - q[:, 1 * lpu:2 * lpu]
+                     - q[:, 2 * lpu:3 * lpu])
+            q = jnp.concatenate([q, w_col], axis=1)    # (6, 4*LPU)
         if hi_prec:
             # True-f32 contraction (Mosaic HIGHEST, 6 passes): a manual
             # A/B knob (see resolve_mt_precision).
@@ -697,6 +728,110 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         n_hi = nrm_v.astype(jnp.bfloat16)
         n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         n_cat = jnp.concatenate([n_hi, n_lo], axis=1)  # (8, 2*LPU)
+        return q_mt, n_cat, tn_col, tn_row
+
+    def ep_fold(out, lo, nl, tn, nsel_of):
+        """VPU MT epilogue + normal select + running-best fold on one
+        lane range. out: the MT matmul result (3*LPU, nl) — det|u|v
+        numerator blocks; tn: per-leaf t numerators, (LPU, 1) for one
+        unit spanning the range or (LPU, nl) when each 128-lane band
+        carries a different unit (RTMM_LANEWALK); nsel_of(oh_cat,
+        bump=None): the winner-normal contraction (single matmul for
+        one unit, block-diagonal per band under the lane walk)."""
+        hi_l = lo + nl
+        det = out[0 * lpu:1 * lpu]
+        u_num = out[1 * lpu:2 * lpu]
+        v_num = out[2 * lpu:3 * lpu]
+        s_sl = s_row[:, lo:hi_l]
+        # Row-shaped t-window bounds: the apex shift s is per-RAY
+        # (constant across a ray's LPU leaves), so the leaf argmin
+        # and the [t_min, t_max] tests run on the raw quotient
+        # p = t + s with the shift folded into the BOUNDS ((1, nl)
+        # row ops) and subtracted from the winner after the reduce —
+        # one fewer (LPU, nl) pass. Boundary rounding vs the t-form
+        # is <1 ulp (same epsilon class the image gates budget); the
+        # miss sentinel survives the shift exactly (ulp(1e30) >> |s|,
+        # so 1e30 - s == 1e30 in f32).
+        pmin_row = t_min + s_sl
+        pmax_row = t_max + s_sl
+        def accept(dt, un, vn, wn, pq):
+            """The acceptance predicate on the quotients — w-form
+            (min-composed, see the _wform knob doc) or textbook."""
+            o = jnp.abs(dt) >= MT_DET_EPS
+            iv = 1.0 / dt
+            uu = un * iv
+            vv = vn * iv
+            pp = pq * iv
+            if _wform:
+                ww = wn * iv
+                # NaN from a |det| < EPS lane (0 * inf) propagates
+                # through jnp.minimum and fails the compare; either
+                # way o already excludes those lanes.
+                muv = jnp.minimum(jnp.minimum(uu, vv), ww)
+                o &= ((muv >= -MT_UV_EPS)
+                      & (pp >= pmin_row) & (pp <= pmax_row))
+            else:
+                o &= ((uu >= -MT_UV_EPS) & (uu <= 1.0 + MT_UV_EPS)
+                      & (vv >= -MT_UV_EPS)
+                      & (uu + vv <= 1.0 + MT_UV_EPS)
+                      & (pp >= pmin_row) & (pp <= pmax_row))
+            return jnp.where(o, pp, 1e30)
+
+        w_num = out[3 * lpu:4 * lpu] if _wform else None
+        if _abl == "2xepilogue":
+            det2 = det + jnp.max(_dep_zero(u_num))
+            p2 = accept(det2, u_num, v_num, w_num, tn)
+            pb2 = p2.min(axis=0, keepdims=True)
+            det = det + _dep_zero(pb2)
+        # Unguarded reciprocal inside accept(): |det| < EPS lanes yield
+        # inf/NaN quotients whose compares are all False, and the det
+        # test (which already excludes them) gates the p fold — the
+        # old where(ok, det, 1.0) guard was a full-size pass that only
+        # changed masked-out lanes.
+        # (bf16 u/v epsilon compares were tried for half-width VPU
+        # ops: Mosaic rejects bf16 vector cmpf on v5e — "Target does
+        # not support this comparison" — so the epilogue stays f32.)
+        p = accept(det, u_num, v_num, w_num, tn)   # (LPU, nl); miss 1e30
+        pb = p.min(axis=0, keepdims=True)     # (1, nl)
+        tb = pb - s_sl                        # (1, nl); miss stays 1e30
+        # One-hot without the & ok pass: invalid leaves hold p == 1e30,
+        # so they match only when pb == 1e30 (an all-miss lane) — and
+        # there tb == 1e30 fails the strict take below, discarding the
+        # spurious normal sum exactly as the masked form did.
+        oh_b = (p <= pb).astype(jnp.bfloat16)         # one-hot exact
+        oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, nl)
+        nsel = nsel_of(oh_cat)
+        if _abl == "2xnsel":
+            nsel = nsel + _dep_zero(
+                nsel_of(oh_cat, jnp.max(_dep_zero(tb))))
+        bt_cur = bt_scr[:, lo:hi_l]
+        take = tb < bt_cur
+        bt_scr[:, lo:hi_l] = jnp.where(take, tb, bt_cur)
+        bn_scr[:, lo:hi_l] = jnp.where(take, nsel,
+                                       bn_scr[:, lo:hi_l])
+
+    def process_unit(qslot, u, cx, cy, cz, elig=None, defer=False,
+                     pslot=0, lo=0, nl=None):
+        """MXU Möller-Trumbore for one unit's LPU leaves (read from the
+        VMEM-resident cluster q block at lane u); folds improvements into
+        the bt_scr/bn_scr running-best refs in place. cx/cy/cz: the
+        unit's AABB-center scalars — they recenter this unit's moment
+        rows + (compressed) derived tables. elig (set under _subgate):
+        one scalar bool per sub-band — the per-unit table prep runs once,
+        but the MT matmul/epilogue/select stage runs only on eligible
+        bands' lane ranges. defer: issue the table prep + MT matmul now
+        and return a thunk for the VPU epilogue/select/fold — the caller
+        interleaves two units' stages (mm A, mm B, ep A, ep B) so unit
+        B's MXU matmul overlaps unit A's VPU epilogue (the two stages
+        have no data dependency; the fold order A-then-B is preserved,
+        so the image is bit-identical to the sequential call order)."""
+        q_mt, n_cat, tn_col, tn_row = unit_tables(qslot, u, cx, cy, cz)
+
+        def nsel_of(oh_cat, bump=None):
+            n = n_cat if bump is None else n_cat + bump.astype(n_cat.dtype)
+            return jax.lax.dot_general(
+                n, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         def mm_stage(lo, nl):
             """MXU stage: per-unit recentered moment write + MT matmul
@@ -720,72 +855,8 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
         def ep_stage(out, lo, nl):
             """VPU stage: MT epilogue + normal select + running-best
-            fold on one lane range."""
-            hi_l = lo + nl
-            det = out[0 * lpu:1 * lpu]
-            u_num = out[1 * lpu:2 * lpu]
-            v_num = out[2 * lpu:3 * lpu]
-            s_sl = s_row[:, lo:hi_l]
-            # Row-shaped t-window bounds: the apex shift s is per-RAY
-            # (constant across a ray's LPU leaves), so the leaf argmin
-            # and the [t_min, t_max] tests run on the raw quotient
-            # p = t + s with the shift folded into the BOUNDS ((1, nl)
-            # row ops) and subtracted from the winner after the reduce —
-            # one fewer (LPU, nl) pass. Boundary rounding vs the t-form
-            # is <1 ulp (same epsilon class the image gates budget); the
-            # miss sentinel survives the shift exactly (ulp(1e30) >> |s|,
-            # so 1e30 - s == 1e30 in f32).
-            pmin_row = t_min + s_sl
-            pmax_row = t_max + s_sl
-            if _abl == "2xepilogue":
-                det2 = det + jnp.max(_dep_zero(u_num))
-                ok2 = jnp.abs(det2) >= MT_DET_EPS
-                inv2 = 1.0 / det2
-                uu2 = u_num * inv2
-                vv2 = v_num * inv2
-                p2 = tn_col * inv2
-                ok2 &= ((uu2 >= -MT_UV_EPS) & (uu2 <= 1.0 + MT_UV_EPS)
-                        & (vv2 >= -MT_UV_EPS)
-                        & (uu2 + vv2 <= 1.0 + MT_UV_EPS)
-                        & (p2 >= pmin_row) & (p2 <= pmax_row))
-                p2 = jnp.where(ok2, p2, 1e30)
-                pb2 = p2.min(axis=0, keepdims=True)
-                det = det + _dep_zero(pb2)
-            ok = jnp.abs(det) >= MT_DET_EPS
-            # Unguarded reciprocal: |det| < EPS lanes yield inf/NaN
-            # quotients whose window/uv compares are all False, and ok
-            # (which already excludes them) gates the p fold — the old
-            # where(ok, det, 1.0) guard was a full-size pass that only
-            # changed masked-out lanes.
-            inv = 1.0 / det
-            # (bf16 u/v epsilon compares were tried for half-width VPU
-            # ops: Mosaic rejects bf16 vector cmpf on v5e — "Target does
-            # not support this comparison" — so the epilogue stays f32.)
-            uu = u_num * inv
-            vv = v_num * inv
-            p = tn_col * inv                      # (LPU, nl)
-            ok &= ((uu >= -MT_UV_EPS) & (uu <= 1.0 + MT_UV_EPS)
-                   & (vv >= -MT_UV_EPS) & (uu + vv <= 1.0 + MT_UV_EPS)
-                   & (p >= pmin_row) & (p <= pmax_row))
-            p = jnp.where(ok, p, 1e30)
-            pb = p.min(axis=0, keepdims=True)     # (1, nl)
-            tb = pb - s_sl                        # (1, nl); miss stays 1e30
-            oh_b = ((p <= pb) & ok).astype(jnp.bfloat16)  # one-hot exact
-            oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, nl)
-            nsel = jax.lax.dot_general(
-                n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if _abl == "2xnsel":
-                n2 = n_cat + jnp.max(_dep_zero(tb)).astype(n_cat.dtype)
-                nsel = nsel + _dep_zero(jax.lax.dot_general(
-                    n2, oh_cat,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-            bt_cur = bt_scr[:, lo:hi_l]
-            take = tb < bt_cur
-            bt_scr[:, lo:hi_l] = jnp.where(take, tb, bt_cur)
-            bn_scr[:, lo:hi_l] = jnp.where(take, nsel,
-                                           bn_scr[:, lo:hi_l])
+            fold on one lane range (shared math in ep_fold)."""
+            ep_fold(out, lo, nl, tn_col, nsel_of)
 
         def mt_lanes(lo, nl):
             """MT matmul + epilogue + normal select on one lane range
@@ -1029,6 +1100,97 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         # so the per-unit cost is picks + pre-tests + gated MXU/VPU only
         # (no DMA machinery).
         qblock_wait(cslot, ci)
+
+        if _lanewalk:
+            # Lockstep band walk (see the _lanewalk knob doc): one
+            # while_loop; iteration i processes band j's i-th nearest
+            # eligible unit on lanes [128j, 128j+128) — nsub band-visits
+            # per full-tile epilogue. Per-band fold order is the same
+            # ascending-ikey front-to-back order as the shared walk's,
+            # and bands touch disjoint lane blocks, so the image is
+            # bitwise identical (tests). Eligibility shrink
+            # (dist <= worst_j, monotone) is folded into the carried
+            # ikey rows permanently — sound under monotonicity.
+            nlj = TILE // nsub
+
+            def pick1(ik):
+                p0 = jnp.min(ik)
+                u = jnp.where(p0 < imax, jax.lax.bitwise_and(p0, 127),
+                              128)
+                return u, jnp.where(lane == u, imax, ik)
+
+            us0, iks0 = [], []
+            for j in range(nsub):
+                u_j, ik_j = pick1(jnp.where(
+                    insides[j] & (dist <= worsts[j]), dist_ikey, imax))
+                us0.append(u_j)
+                iks0.append(ik_j)
+
+            def lane_cond(st):
+                us = st[0]
+                m = us[0]
+                for j in range(1, nsub):
+                    m = jnp.minimum(m, us[j])
+                return m < 128
+
+            def lane_body(st):
+                us, iks, ws, nv, ne = st
+                act = [us[j] < 128 for j in range(nsub)]
+                uany = us[0]
+                for j in range(1, nsub):
+                    uany = jnp.minimum(uany, us[j])
+                ue = [jnp.where(act[j], us[j], uany) for j in range(nsub)]
+                outs, tns, ncs = [], [], []
+                for j in range(nsub):
+                    cx, cy, cz = _ctr(ue[j])
+                    q_mt, n_cat, tn_col, _tr = unit_tables(
+                        cslot, ue[j], cx, cy, cz)
+                    set_unit_moment(cx, cy, cz, j * nlj, nlj, sl=0)
+                    rm_sl = rm_buf[_rmix(0, slice(None), j * nlj,
+                                         (j + 1) * nlj)]
+                    outs.append(jax.lax.dot_general(
+                        q_mt, rm_sl,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        **({"precision": jax.lax.Precision.HIGHEST}
+                           if hi_prec else {})))
+                    tns.append(jnp.broadcast_to(tn_col, (lpu, nlj)))
+                    ncs.append(n_cat)
+                out = jnp.concatenate(outs, axis=1)      # (3*LPU, TILE)
+                tn = jnp.concatenate(tns, axis=1)        # (LPU, TILE)
+
+                def nsel_of(oh_cat, bump=None):
+                    parts = []
+                    for j in range(nsub):
+                        n = (ncs[j] if bump is None
+                             else ncs[j] + bump.astype(ncs[j].dtype))
+                        parts.append(jax.lax.dot_general(
+                            n, oh_cat[:, j * nlj:(j + 1) * nlj],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+                    return jnp.concatenate(parts, axis=1)
+
+                ep_fold(out, 0, TILE, tn, nsel_of)
+                ws2 = worst_subs()
+                nus, niks = [], []
+                npr = jnp.int32(0)
+                for j in range(nsub):
+                    u2, ik2 = pick1(jnp.where(dist <= ws2[j], iks[j],
+                                              imax))
+                    nus.append(u2)
+                    niks.append(ik2)
+                    npr = npr + act[j].astype(jnp.int32)
+                # Counters: nv = active band-visits, ne = ITERATIONS
+                # (i.e. full-tile epilogue passes) — nv/ne is the band
+                # parallelism actually harvested; the shared walk's
+                # epilogue count for the same tile is its own nv.
+                return (tuple(nus), tuple(niks), ws2, nv + npr,
+                        ne + jnp.int32(1))
+
+            us_f, iks_f, worsts, nvis, nelig = jax.lax.while_loop(
+                lane_cond, lane_body,
+                (tuple(us0), tuple(iks0), worsts, nvis, nelig))
+            return ci + 1, worsts, nvis, nelig
 
         if _subwalk:
             # Per-sub private walks (see the _subwalk knob doc): each

@@ -431,11 +431,21 @@ def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg,
     else:
         q = q_frame[unit][..., :4 * lpu]               # (nt, 8, 4*LPU)
         nrm = scene.unit_nrm[unit]                     # (nt, LPU, 3)
+    import os as _os
+    wform = _os.environ.get("RTMM_MT_WFORM", "1") == "1"
+    if wform:
+        # Fourth numerator block w = det - u - v, built on the q table
+        # columns BEFORE the contraction — mirrors the Pallas kernel's
+        # w-form acceptance (pallas_tiled, the _wform knob doc) so the
+        # backends keep agreeing at the acceptance boundary.
+        q = jnp.concatenate(
+            [q, (q[..., 0 * lpu:1 * lpu] - q[..., 1 * lpu:2 * lpu]
+                 - q[..., 2 * lpu:3 * lpu])], axis=-1)
     out = jax.lax.dot_general(
         recentered_raymat(raymat, centers), q,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)           # (nt, TILE, 4*LPU)
+        precision=jax.lax.Precision.HIGHEST)           # (nt, TILE, 4|5*LPU)
     det = out[..., 0 * lpu:1 * lpu]
     u_num = out[..., 1 * lpu:2 * lpu]
     v_num = out[..., 2 * lpu:3 * lpu]
@@ -451,14 +461,23 @@ def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg,
     v = v_num * inv
     s = raymat[..., 6:7]
     p = tn_b * inv
-    ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
-           & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
-           & (p >= cfg.t_min + s) & (p <= cfg.t_max + s)
-           & in_range[:, None, None])
+    if wform:
+        ww = out[..., 4 * lpu:5 * lpu] * inv
+        ok &= ((jnp.minimum(jnp.minimum(u, v), ww) >= -MT_UV_EPS)
+               & (p >= cfg.t_min + s) & (p <= cfg.t_max + s)
+               & in_range[:, None, None])
+    else:
+        ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
+               & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
+               & (p >= cfg.t_min + s) & (p <= cfg.t_max + s)
+               & in_range[:, None, None])
     p = jnp.where(ok, p, BIG)
     pb = p.min(axis=2)                                 # (nt, TILE)
     tb = pb - s[..., 0]                                # miss stays BIG
-    onehot = (p <= pb[..., None]) & ok                 # ties sum (normalized
+    # One-hot without & ok: invalid leaves hold p == BIG, matching only
+    # on all-miss lanes whose tb == BIG never wins the running-best
+    # fold (mirrors the Pallas epilogue).
+    onehot = (p <= pb[..., None])                      # ties sum (normalized
     nb = jax.lax.dot_general(                          # again before shading)
         onehot.astype(jnp.float32), nrm,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),

@@ -409,6 +409,27 @@ def test_pallas_subwalk_bitwise_identical(compressed, monkeypatch):
     np.testing.assert_array_equal(base, sub)
 
 
+@pytest.mark.parametrize("compressed", [False, True])
+def test_pallas_lanewalk_bitwise_identical(compressed, monkeypatch):
+    """RTMM_LANEWALK=1 (lockstep band walk: all 8 row bands advance in
+    ONE while_loop, each iteration processing one unit per band on its
+    own 128-lane block, single full-tile epilogue) must be BITWISE
+    identical to the shared walk: per-band fold order is the same
+    ascending-ikey order, bands touch disjoint lane blocks, idle bands
+    re-fold an ineligible-or-processed unit (no-op under strict-<)."""
+    mesh = procedural.make_icosphere(subdivisions=1, level=3, amplitude=0.15)
+    ds = scene_mod.build_device_scene(mesh, compressed=compressed)
+    ivp = jnp.asarray(_ivp(256, 64, dist=1.6))
+    cfg = RenderConfig(width=256, height=64, sub_frusta=8, sub_rows=8)
+    monkeypatch.delenv("RTMM_LANEWALK", raising=False)
+    base = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
+    monkeypatch.setenv("RTMM_LANEWALK", "1")
+    lw = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
+    bg = np.asarray(cfg.background, np.float32)
+    assert (np.abs(base - bg).max(-1) > 1e-5).mean() > 0.1
+    np.testing.assert_array_equal(base, lw)
+
+
 @pytest.mark.parametrize("compressed,mode", [(False, "1"), (True, "1"),
                                              (False, "2"), (True, "2")])
 def test_pallas_paired_bitwise_identical(compressed, mode, monkeypatch):
