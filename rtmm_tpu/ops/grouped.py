@@ -120,10 +120,18 @@ def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
             else:
                 q = scene.unit_q16[unit]                       # (gc,16,4LPU)
                 nrm = scene.unit_nrm[unit]                     # (gc, LPU, 3)
+            import os as _os
+            wform = _os.environ.get("RTMM_MT_WFORM", "1") == "1"
+            if wform:
+                # w-form acceptance (mirrors pallas_grouped; see
+                # pallas_tiled's _wform knob doc).
+                q = jnp.concatenate(
+                    [q, (q[..., 0 * lpu:1 * lpu] - q[..., 1 * lpu:2 * lpu]
+                         - q[..., 2 * lpu:3 * lpu])], axis=-1)
             out = jax.lax.dot_general(
                 rv_c, q, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)           # (gc,GROUP,4LPU)
+                precision=jax.lax.Precision.HIGHEST)         # (gc,GROUP,4|5L)
             det = out[..., 0 * lpu:1 * lpu]
             u_num = out[..., 1 * lpu:2 * lpu]
             v_num = out[..., 2 * lpu:3 * lpu]
@@ -136,13 +144,22 @@ def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
             u = u_num * inv
             v = v_num * inv
             t = tn * inv
-            ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
-                   & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
-                   & (t >= t_min) & (t <= t_max)
-                   & cvalid_c[:, ci][:, None, None] & live_c[..., None])
+            if wform:
+                ww = out[..., 4 * lpu:5 * lpu] * inv
+                ok &= ((jnp.minimum(jnp.minimum(u, v), ww) >= -MT_UV_EPS)
+                       & (t >= t_min) & (t <= t_max)
+                       & cvalid_c[:, ci][:, None, None] & live_c[..., None])
+            else:
+                ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
+                       & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
+                       & (t >= t_min) & (t <= t_max)
+                       & cvalid_c[:, ci][:, None, None] & live_c[..., None])
             t = jnp.where(ok, t, BIG)
             tb = t.min(axis=2)                                 # (gc, GROUP)
-            onehot = ((t <= tb[..., None]) & ok).astype(jnp.float32)
+            # One-hot without & ok: masked/invalid leaves hold t == BIG
+            # and an all-miss lane's tb == BIG never wins the strict
+            # take below (mirrors the pallas engines).
+            onehot = (t <= tb[..., None]).astype(jnp.float32)
             nb = jax.lax.dot_general(
                 onehot, nrm, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,

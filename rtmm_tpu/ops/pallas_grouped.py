@@ -177,6 +177,8 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
     # output for them regardless. Bitwise identical: skipped sub-groups
     # can only ever contribute non-winning hits.
     _subgate = _os.environ.get("RTMM_SUBGATE", "1") != "0"
+    # w-form MT acceptance (see pallas_tiled's _wform knob doc).
+    _wform = _os.environ.get("RTMM_MT_WFORM", "1") == "1"
     rv = rv_ref[0, b]                             # (16, GROUP)
     rv_hi = rv.astype(jnp.bfloat16)
     rv_lo = (rv - rv_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -253,6 +255,16 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
                 indexed)
         else:
             q = q_buf[uslot]                      # (16, 4*LPU)
+        if _wform:
+            # Fifth numerator block w = det - u - v, built on the q
+            # columns BEFORE the matmul; accept on min(u, v, w) >= -eps
+            # below — same w-form acceptance as the tiled kernel
+            # (pallas_tiled, the _wform knob doc): drops two compares,
+            # an add and an and per (LPU, nl) epilogue at the cost of
+            # MXU rows that hide under the VPU.
+            q = jnp.concatenate(
+                [q, (q[:, 0 * lpu:1 * lpu] - q[:, 1 * lpu:2 * lpu]
+                     - q[:, 2 * lpu:3 * lpu])], axis=1)
         q_hi = q.astype(jnp.bfloat16)
         q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         q_cat = jnp.concatenate([q_hi, q_hi, q_lo], axis=0)   # (48, 4*LPU)
@@ -282,12 +294,19 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
             u = u_num * inv
             v = v_num * inv
             t = tn * inv                          # (LPU, nl)
-            ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
-                   & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
-                   & (t >= t_min) & (t <= t_max))
+            if _wform:
+                ww = out[4 * lpu:5 * lpu] * inv
+                ok &= ((jnp.minimum(jnp.minimum(u, v), ww) >= -MT_UV_EPS)
+                       & (t >= t_min) & (t <= t_max))
+            else:
+                ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
+                       & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
+                       & (t >= t_min) & (t <= t_max))
             t = jnp.where(ok, t, 1e30)
             tb = t.min(axis=0, keepdims=True)     # (1, nl)
-            oh_b = ((t <= tb) & ok).astype(jnp.bfloat16)
+            # One-hot without & ok: invalid leaves hold t == 1e30 and an
+            # all-miss lane's tb == 1e30 never wins the strict take.
+            oh_b = (t <= tb).astype(jnp.bfloat16)
             oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, nl)
             nsel = jax.lax.dot_general(
                 n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
