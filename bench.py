@@ -324,9 +324,22 @@ def _verify_image(scene, cfg, dist: float = 3.0) -> dict:
     n_units = int(np.asarray(scene.unit_valid).sum())
     if n_units > 100_000:
         vw, vh = 480, 270
+    if n_units > 400_000:
+        # The tile-reference frame is a single device program whose
+        # duration grows with unit count; at the 10^6-unit scale even
+        # 480x270 trips the relay's program watchdog (the worker
+        # crashes mid-verification — observed again after the w-form
+        # added 25% MXU work to the tile path). Miscompile classes
+        # cover whole surfaces, so 240x136 still catches them.
+        vw, vh = 240, 136
     # Subpixel-leaf regime (see the cell tier below): average >4 leaves
     # per pixel means single-sample winner flips are expected behavior,
     # so the gate moves from pixel budgets to 6x6-cell mean budgets.
+    # (Compressed scenes keep the pixel tiers: this gate caught the
+    # tile backend's derive gathers running at DEFAULT matmul precision
+    # — bf16-rounded grid positions on the MXU, 496/182 px at config 9
+    # while the in-kernel derive measured bit-exact for all 51,200
+    # units; fixed with Precision.HIGHEST in ops/compressed.py.)
     subpixel = n_units * 64 > 4 * vw * vh
     tb = camera.Trackball()
     tb.set_camera([0.0, 0.0, 0.0],

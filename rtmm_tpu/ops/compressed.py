@@ -285,6 +285,7 @@ def derive_q16_jnp(grid, su: int, indexed: bool = False):
     """XLA twin of derive_q16_np for the grouped (secondary-ray) engine:
     per gathered candidate, returns (q16 (n, 16, 4*LPU), nrm (n, LPU, 3))
     — drop-in for scene.unit_q16[unit] / scene.unit_nrm[unit]."""
+    import jax
     import jax.numpy as jnp
 
     pos = grid[:, 0:3, :]
@@ -295,11 +296,13 @@ def derive_q16_jnp(grid, su: int, indexed: bool = False):
         giota = jnp.arange(GRID_LANES, dtype=grid.dtype)
         oh = (giota[None, :, None] == idx[:, None, :]).astype(grid.dtype)
         v = jnp.einsum("nck,nkl->ncl", pos, oh,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     else:
         g = jnp.asarray(leaf_gather_matrix(su))
         v = jnp.einsum("nck,kl->ncl", pos, g,
-                       preferred_element_type=jnp.float32)    # (n, 3, 3*LPU)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)    # (n, 3, 3*LPU)
     v0 = v[:, :, 0 * LPU:1 * LPU]                             # (n, 3, LPU)
     v1 = v[:, :, 1 * LPU:2 * LPU]
     v2 = v[:, :, 2 * LPU:3 * LPU]
@@ -339,6 +342,7 @@ def derive_q_jnp(grid, apex, su: int, centers=None, indexed: bool = False):
     folded into row 7 of the t block, nrm (n, LPU, 3)) — drop-in for
     q_frame[unit] / scene.unit_nrm[unit].
     """
+    import jax
     import jax.numpy as jnp
 
     pos = grid[:, 0:3, :]
@@ -352,11 +356,13 @@ def derive_q_jnp(grid, apex, su: int, centers=None, indexed: bool = False):
         giota = jnp.arange(GRID_LANES, dtype=grid.dtype)
         oh = (giota[None, :, None] == idx[:, None, :]).astype(grid.dtype)
         v = jnp.einsum("nck,nkl->ncl", pos, oh,
-                       preferred_element_type=jnp.float32)    # (n, 3, 3*LPU)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)    # (n, 3, 3*LPU)
     else:
         g = jnp.asarray(leaf_gather_matrix(su))
         v = jnp.einsum("nck,kl->ncl", pos, g,
-                       preferred_element_type=jnp.float32)    # (n, 3, 3*LPU)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)    # (n, 3, 3*LPU)
     v0 = v[:, :, 0 * LPU:1 * LPU]                             # (n, 3, LPU)
     v1 = v[:, :, 1 * LPU:2 * LPU]
     v2 = v[:, :, 2 * LPU:3 * LPU]

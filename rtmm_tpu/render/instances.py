@@ -131,10 +131,12 @@ def _bake_compressed(scene: DeviceScene, rot: jax.Array, trn: jax.Array,
     c_o = 0.5 * (scene.unit_aabb_min + scene.unit_aabb_max)
     h_o = 0.5 * (scene.unit_aabb_max - scene.unit_aabb_min)
     valid_o = scene.unit_valid
-    c_w = (jnp.einsum("mij,uj->mui", rot, c_o) * scl[:, None, None]
-           + trn[:, None, :])
+    c_w = (jnp.einsum("mij,uj->mui", rot, c_o,
+                      precision=jax.lax.Precision.HIGHEST)
+           * scl[:, None, None] + trn[:, None, :])
     h_w = jnp.einsum("mij,uj->mui", jnp.abs(rot),
-                     jnp.where(valid_o[:, None], h_o, 0.0)
+                     jnp.where(valid_o[:, None], h_o, 0.0),
+                     precision=jax.lax.Precision.HIGHEST
                      ) * scl[:, None, None]
     vmask = jnp.broadcast_to(valid_o[None, :, None], c_w.shape)
     umin = jnp.where(vmask, c_w - h_w, BIG).reshape(-1, 3)
@@ -176,10 +178,12 @@ def _bake_compressed(scene: DeviceScene, rot: jax.Array, trn: jax.Array,
     tc_o = 0.5 * (scene.aabb_min + scene.aabb_max)
     th_o = 0.5 * (scene.aabb_max - scene.aabb_min)
     tvalid = scene.tri_valid
-    tc_w = (jnp.einsum("mij,tj->mti", rot, tc_o) * scl[:, None, None]
-            + trn[:, None, :])
+    tc_w = (jnp.einsum("mij,tj->mti", rot, tc_o,
+                       precision=jax.lax.Precision.HIGHEST)
+            * scl[:, None, None] + trn[:, None, :])
     th_w = jnp.einsum("mij,tj->mti", jnp.abs(rot),
-                      jnp.where(tvalid[:, None], th_o, 0.0)
+                      jnp.where(tvalid[:, None], th_o, 0.0),
+                      precision=jax.lax.Precision.HIGHEST
                       ) * scl[:, None, None]
     tmask = jnp.broadcast_to(tvalid[None, :, None], tc_w.shape)
     aabb_min = jnp.where(tmask, tc_w - th_w, BIG).reshape(-1, 3)
@@ -408,9 +412,11 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
         r, t, s = inst                                    # (3,3), (3,), ()
         inv_s = 1.0 / s
         # object space: p_obj = R^T (p - t) / s, directions rotate only
-        apex_o = (r.T @ (apex_w - t)) * inv_s
-        normals_o = jnp.einsum("ij,xyj->xyi", r.T, normals_w)
-        sub_normals_o = jnp.einsum("ij,xsyj->xsyi", r.T, sub_normals_w)
+        hp = jax.lax.Precision.HIGHEST
+        apex_o = jnp.einsum("ij,j->i", r.T, apex_w - t, precision=hp) * inv_s
+        normals_o = jnp.einsum("ij,xyj->xyi", r.T, normals_w, precision=hp)
+        sub_normals_o = jnp.einsum("ij,xsyj->xsyi", r.T, sub_normals_w,
+                                   precision=hp)
         cluster_hit_full = culling.cull_units(
             apex_o, normals_o, scene.cluster_aabb_min,
             scene.cluster_aabb_max, scene.cluster_valid)
@@ -419,7 +425,8 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
         kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
 
         def object_raymat(dirs_g, s_g):
-            dirs_o = jnp.einsum("ij,xyj->xyi", r.T, dirs_g)
+            dirs_o = jnp.einsum("ij,xyj->xyi", r.T, dirs_g,
+                                precision=jax.lax.Precision.HIGHEST)
             m_o = jnp.cross(jnp.broadcast_to(apex_o, dirs_o.shape), dirs_o)
             s_o = s_g * inv_s
             return dirs_o, jnp.concatenate(

@@ -271,3 +271,83 @@ def test_indexed_matches_tessellated_oracle():
     assert (np.abs(img_c - bg).max(-1) > 1e-5).mean() > 0.05, "not visible"
     rmse = np.sqrt(((img_c - img_t) ** 2).mean())
     assert rmse <= 1e-3, rmse
+
+
+def test_derive_unit_kernel_matches_exact_host_mirror():
+    """_derive_unit (the in-kernel table derivation, incl. the one-pass
+    bit-exact bf16 gathers) reproduces an exact host mirror of the same
+    math up to FMA contraction (1 ulp in the crosses): gathers as
+    literal lane selections, f32 crosses op-for-op. Pins the exactness
+    claim the one-pass gather scheme rests on (interpret mode here; the
+    same comparison ran clean for all 51,200 units of the config-9
+    scene on a real v5e). The config-9 gate divergence this
+    investigation started from was the TILE side: derive_q_jnp's
+    gather einsums ran at DEFAULT matmul precision (bf16-rounded
+    positions on the MXU) — fixed with Precision.HIGHEST."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from rtmm_tpu.ops.pallas_tiled import _derive_unit
+
+    mesh = procedural.make_plane(grid=(8, 8), level=2, amplitude=0.1)
+    ds = scene_mod.build_device_scene(mesh, compressed=True)
+    lpu = int(ds.leaves_per_unit)
+    grid = ds.unit_grid
+    U = int(grid.shape[0])
+    gmat = jnp.asarray(comp.leaf_gather_matrix(int(ds.sub_level)))
+    gr, gl = int(grid.shape[1]), int(grid.shape[2])
+
+    def kernel(grid_ref, gmat_ref, q_out, tn_out, nrm_out):
+        q, tn, nrm = _derive_unit(
+            grid_ref[0], gmat_ref[...], jnp.float32(0.3),
+            jnp.float32(-0.2), jnp.float32(1.7), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.float32(0.0), lpu, indexed=False)
+        q_out[0] = q
+        tn_out[0] = tn
+        nrm_out[0] = nrm
+
+    fn = pl.pallas_call(
+        kernel, grid=(U,),
+        in_specs=[pl.BlockSpec((1, gr, gl), lambda u: (u, 0, 0)),
+                  pl.BlockSpec(tuple(gmat.shape), lambda u: (0, 0))],
+        out_specs=[pl.BlockSpec((1, 6, 3 * lpu), lambda u: (u, 0, 0)),
+                   pl.BlockSpec((1, 1, lpu), lambda u: (u, 0, 0)),
+                   pl.BlockSpec((1, 8, lpu), lambda u: (u, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((U, 6, 3 * lpu), jnp.float32),
+                   jax.ShapeDtypeStruct((U, 1, lpu), jnp.float32),
+                   jax.ShapeDtypeStruct((U, 8, lpu), jnp.float32)],
+        interpret=True)
+    q_t = np.asarray(fn(grid, gmat)[0])
+
+    g = np.asarray(grid)
+    gm = np.asarray(gmat)
+    sel = gm.argmax(axis=0)
+    live = gm.max(axis=0) > 0
+    for u in range(U):
+        pos = g[u, 0:3, :].astype(np.float32)
+        vcat = np.where(live[None, :], pos[:, sel], 0.0).astype(np.float32)
+        v0, v1, v2 = (vcat[:, j * lpu:(j + 1) * lpu] for j in range(3))
+        e1 = (v1 - v0).astype(np.float32)
+        e2 = (v2 - v0).astype(np.float32)
+
+        def cross(a, b):
+            return np.stack([
+                (a[1] * b[2] - a[2] * b[1]).astype(np.float32),
+                (a[2] * b[0] - a[0] * b[2]).astype(np.float32),
+                (a[0] * b[1] - a[1] * b[0]).astype(np.float32)])
+
+        n = cross(e1, e2)
+        w1 = cross(e2, v0)
+        w2 = cross(v0, e1)
+        q_ref = np.concatenate([
+            np.concatenate([-n, -w1, -w2], axis=1),
+            np.concatenate([np.zeros((3, lpu), np.float32), e2, -e1],
+                           axis=1)], axis=0)
+        # rtol 1e-5 admits FMA-contraction ulps on cancelled cross
+        # terms; the failure class this guards against (a lost bf16
+        # split term / default-precision gather) shows up at ~4e-3.
+        np.testing.assert_allclose(q_t[u], q_ref, rtol=1e-5, atol=1e-30,
+                                   err_msg=f"unit {u}")
