@@ -26,18 +26,27 @@ import os
 import jax
 import jax.numpy as jnp
 
-# Pixel footprint of one 1024-ray tile (TILE_H * TILE_W must stay 1024 —
-# the lane count of the kernel's ray matrix). Squarer tiles have smaller
-# perimeter, so each tile's frustum overlaps fewer traversal units
-# ((W + u)(H + u) incidences for unit footprint u) and silhouettes
-# straddle fewer tiles; the ray-matrix layout is unaffected (lanes map to
-# pixels row-major within the tile). Overridable for A/B measurement.
-# 32x32 (the squarest 1024-ray tile) measured on one v5e @1080p:
-# 51,200-tri plane 49.8 -> 71.5 Mrays/s, 1,280-tri flagship 160 -> 215
-# (+35-44% over 8x128; frame height pads 1080 -> 1088, ~0.7% extra rays).
+# Pixel footprint of one ray tile (TILE_H * TILE_W = the lane count of
+# the kernel's ray matrix; any multiple of the 128-lane vreg width works).
+# Two independent effects, both measured on one v5e @1080p:
+# * SHAPE: squarer tiles have smaller perimeter, so each tile's frustum
+#   overlaps fewer traversal units ((W + u)(H + u) incidences for unit
+#   footprint u) — 32x32 vs 8x128 at 1024 rays: 51,200-tri plane 49.8 ->
+#   71.5 Mrays/s, 1,280-tri flagship 160 -> 215 (+35-44%).
+# * SIZE: smaller tiles shrink every (LPU, TILE) epilogue pass's lane
+#   count faster than boundary crossings add visits — but the per-visit
+#   costs that do NOT scale with TILE (per-unit table prep, MT-matmul
+#   pipeline fill at K=18, per-tile walk machinery, cluster q-block DMA
+#   per (tile, cluster)) grow with the 1.26x visit count and 4x tile
+#   count. MEASURED a clear loss: 16x16 on config 6 = 57.6 vs 79.6
+#   Mrays/s at 32x32 (image gate clean) — fourth data point (after
+#   SUBGATE/SUBWALK/LANEWALK) that shrinking the epilogue's lane count
+#   loses to its fixed costs; only op-count cuts pay.
+# The ray-matrix layout is unaffected (lanes map to pixels row-major
+# within the tile). Overridable per process for A/B measurement.
 _shape = os.environ.get("RTMM_TILE_SHAPE", "32x32")
 TILE_H, TILE_W = (int(x) for x in _shape.split("x"))
-assert TILE_H * TILE_W == 1024, "tile must hold 1024 rays"
+assert (TILE_H * TILE_W) % 128 == 0, "tile rays must be a multiple of 128"
 # Traversal units per scene cluster (the coarse level of the two-level
 # cull). 64 keeps the per-tile cluster matrix tiny while one cluster's
 # units fill exactly half a candidate-window sort lane block.

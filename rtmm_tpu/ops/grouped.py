@@ -136,24 +136,27 @@ def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
             u_num = out[..., 1 * lpu:2 * lpu]
             v_num = out[..., 2 * lpu:3 * lpu]
             tn = out[..., 3 * lpu:4 * lpu]
-            ok = jnp.abs(det) >= MT_DET_EPS
-            # Unguarded reciprocal (mirrors pallas_grouped): |det| < EPS
-            # lanes yield inf/NaN quotients whose compares are all False
-            # and whose t is masked by the ok fold below.
+            # Unguarded reciprocal (mirrors pallas_grouped): det == 0
+            # lanes yield inf/NaN quotients whose two-sided window
+            # compares are all False — which also makes the |det| >= EPS
+            # guard numerically redundant (dropped under RTMM_MT_NODET,
+            # default ON; see pallas_tiled's _nodet doc).
             inv = 1.0 / det
             u = u_num * inv
             v = v_num * inv
             t = tn * inv
             if wform:
                 ww = out[..., 4 * lpu:5 * lpu] * inv
-                ok &= ((jnp.minimum(jnp.minimum(u, v), ww) >= -MT_UV_EPS)
-                       & (t >= t_min) & (t <= t_max)
-                       & cvalid_c[:, ci][:, None, None] & live_c[..., None])
+                ok = ((jnp.minimum(jnp.minimum(u, v), ww) >= -MT_UV_EPS)
+                      & (t >= t_min) & (t <= t_max)
+                      & cvalid_c[:, ci][:, None, None] & live_c[..., None])
             else:
-                ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
-                       & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
-                       & (t >= t_min) & (t <= t_max)
-                       & cvalid_c[:, ci][:, None, None] & live_c[..., None])
+                ok = ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
+                      & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
+                      & (t >= t_min) & (t <= t_max)
+                      & cvalid_c[:, ci][:, None, None] & live_c[..., None])
+            if _os.environ.get("RTMM_MT_NODET", "1") != "1":
+                ok &= jnp.abs(det) >= MT_DET_EPS
             t = jnp.where(ok, t, BIG)
             tb = t.min(axis=2)                                 # (gc, GROUP)
             # One-hot without & ok: masked/invalid leaves hold t == BIG

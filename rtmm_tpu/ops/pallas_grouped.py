@@ -179,6 +179,7 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
     _subgate = _os.environ.get("RTMM_SUBGATE", "1") != "0"
     # w-form MT acceptance (see pallas_tiled's _wform knob doc).
     _wform = _os.environ.get("RTMM_MT_WFORM", "1") == "1"
+    _nodet = _os.environ.get("RTMM_MT_NODET", "1") == "1"
     rv = rv_ref[0, b]                             # (16, GROUP)
     rv_hi = rv.astype(jnp.bfloat16)
     rv_lo = (rv - rv_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -285,23 +286,25 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
             u_num = out[1 * lpu:2 * lpu]
             v_num = out[2 * lpu:3 * lpu]
             tn = out[3 * lpu:4 * lpu]
-            ok = jnp.abs(det) >= MT_DET_EPS
-            # Unguarded reciprocal: |det| < EPS lanes yield inf/NaN
-            # quotients whose compares are all False and whose t is
-            # masked by the ok fold below — the guard was a full-size
-            # pass that only changed masked-out lanes.
+            # Unguarded reciprocal: det == 0 lanes yield inf/NaN
+            # quotients whose two-sided window compares are all False —
+            # which also makes the |det| >= EPS guard numerically
+            # redundant (dropped under RTMM_MT_NODET, default ON; see
+            # pallas_tiled's _nodet doc).
             inv = 1.0 / det
             u = u_num * inv
             v = v_num * inv
             t = tn * inv                          # (LPU, nl)
             if _wform:
                 ww = out[4 * lpu:5 * lpu] * inv
-                ok &= ((jnp.minimum(jnp.minimum(u, v), ww) >= -MT_UV_EPS)
-                       & (t >= t_min) & (t <= t_max))
+                ok = ((jnp.minimum(jnp.minimum(u, v), ww) >= -MT_UV_EPS)
+                      & (t >= t_min) & (t <= t_max))
             else:
-                ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
-                       & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
-                       & (t >= t_min) & (t <= t_max))
+                ok = ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
+                      & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
+                      & (t >= t_min) & (t <= t_max))
+            if not _nodet:
+                ok &= jnp.abs(det) >= MT_DET_EPS
             t = jnp.where(ok, t, 1e30)
             tb = t.min(axis=0, keepdims=True)     # (1, nl)
             # One-hot without & ok: invalid leaves hold t == 1e30 and an

@@ -498,6 +498,19 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # in the XLA tile backend (ops/tiled.py) so the backends keep
     # agreeing at the acceptance boundary.
     _wform = _os.environ.get("RTMM_MT_WFORM", "1") == "1"
+    # Drop the |det| >= EPS test (default ON; RTMM_MT_NODET=0 restores
+    # it): the two-sided p-window compare already rejects every lane the
+    # det test guarded numerically — det == 0 makes the quotients
+    # inf/NaN, and +-inf fails one window side while NaN fails both (and
+    # NaN poisons the muv min), so padded/degenerate leaves still never
+    # accept. The only semantic change: a hit with 0 < |det| < 1e-8
+    # (a near-parallel graze whose u/v/t carry large relative error) is
+    # now accepted where the reference rejects it
+    # (intersection.hlsl:423) — the same silhouette-epsilon class the
+    # image gates budget. Saves an abs + cmp + and, ~3 of the ~24
+    # (LPU, TILE) VPU passes per visit in the epilogue-bound kernel.
+    # Mirrored in the XLA tile backend and both grouped engines.
+    _nodet = _os.environ.get("RTMM_MT_NODET", "1") == "1"
 
     def _rmix(sl, rows, lo, hi):
         """rm_buf index: (slot, rows, lanes) under the double-buffered
@@ -757,24 +770,25 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         def accept(dt, un, vn, wn, pq):
             """The acceptance predicate on the quotients — w-form
             (min-composed, see the _wform knob doc) or textbook."""
-            o = jnp.abs(dt) >= MT_DET_EPS
             iv = 1.0 / dt
             uu = un * iv
             vv = vn * iv
             pp = pq * iv
             if _wform:
                 ww = wn * iv
-                # NaN from a |det| < EPS lane (0 * inf) propagates
-                # through jnp.minimum and fails the compare; either
-                # way o already excludes those lanes.
+                # NaN from a det == 0 lane (0 * inf) propagates through
+                # jnp.minimum and fails the compare; +-inf quotients
+                # fail one side of the two-sided window (see _nodet).
                 muv = jnp.minimum(jnp.minimum(uu, vv), ww)
-                o &= ((muv >= -MT_UV_EPS)
-                      & (pp >= pmin_row) & (pp <= pmax_row))
+                o = ((muv >= -MT_UV_EPS)
+                     & (pp >= pmin_row) & (pp <= pmax_row))
             else:
-                o &= ((uu >= -MT_UV_EPS) & (uu <= 1.0 + MT_UV_EPS)
-                      & (vv >= -MT_UV_EPS)
-                      & (uu + vv <= 1.0 + MT_UV_EPS)
-                      & (pp >= pmin_row) & (pp <= pmax_row))
+                o = ((uu >= -MT_UV_EPS) & (uu <= 1.0 + MT_UV_EPS)
+                     & (vv >= -MT_UV_EPS)
+                     & (uu + vv <= 1.0 + MT_UV_EPS)
+                     & (pp >= pmin_row) & (pp <= pmax_row))
+            if not _nodet:
+                o &= jnp.abs(dt) >= MT_DET_EPS
             return jnp.where(o, pp, 1e30)
 
         w_num = out[3 * lpu:4 * lpu] if _wform else None
@@ -783,9 +797,8 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             p2 = accept(det2, u_num, v_num, w_num, tn)
             pb2 = p2.min(axis=0, keepdims=True)
             det = det + _dep_zero(pb2)
-        # Unguarded reciprocal inside accept(): |det| < EPS lanes yield
-        # inf/NaN quotients whose compares are all False, and the det
-        # test (which already excludes them) gates the p fold — the
+        # Unguarded reciprocal inside accept(): det == 0 lanes yield
+        # inf/NaN quotients whose window compares are all False — the
         # old where(ok, det, 1.0) guard was a full-size pass that only
         # changed masked-out lanes.
         # (bf16 u/v epsilon compares were tried for half-width VPU

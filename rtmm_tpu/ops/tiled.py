@@ -40,6 +40,13 @@ from .intersect import MT_DET_EPS, MT_UV_EPS
 
 BIG = jnp.float32(1e30)
 TILE = culling.TILE_H * culling.TILE_W
+
+
+def _nodet() -> bool:
+    """RTMM_MT_NODET (default ON): drop the numerically-redundant
+    |det| >= EPS acceptance guard — see pallas_tiled's _nodet doc."""
+    import os
+    return os.environ.get("RTMM_MT_NODET", "1") == "1"
 UPC = culling.UNITS_PER_CLUSTER
 
 
@@ -450,7 +457,6 @@ def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg,
     u_num = out[..., 1 * lpu:2 * lpu]
     v_num = out[..., 2 * lpu:3 * lpu]
     tn_b = out[..., 3 * lpu:4 * lpu]
-    ok = jnp.abs(det) >= MT_DET_EPS
     # Unguarded reciprocal + p-form t-window (p = t + s; the per-ray
     # apex shift folds into the BOUNDS and is subtracted after the leaf
     # min) — mirrors the Pallas kernel's epilogue exactly so the two
@@ -463,14 +469,20 @@ def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg,
     p = tn_b * inv
     if wform:
         ww = out[..., 4 * lpu:5 * lpu] * inv
-        ok &= ((jnp.minimum(jnp.minimum(u, v), ww) >= -MT_UV_EPS)
-               & (p >= cfg.t_min + s) & (p <= cfg.t_max + s)
-               & in_range[:, None, None])
+        ok = ((jnp.minimum(jnp.minimum(u, v), ww) >= -MT_UV_EPS)
+              & (p >= cfg.t_min + s) & (p <= cfg.t_max + s)
+              & in_range[:, None, None])
     else:
-        ok &= ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
-               & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
-               & (p >= cfg.t_min + s) & (p <= cfg.t_max + s)
-               & in_range[:, None, None])
+        ok = ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
+              & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
+              & (p >= cfg.t_min + s) & (p <= cfg.t_max + s)
+              & in_range[:, None, None])
+    if not _nodet():
+        # The |det| >= EPS guard is numerically redundant (the two-sided
+        # window rejects every inf/NaN lane); kept behind RTMM_MT_NODET=0
+        # to restore the reference's exact acceptance set
+        # (intersection.hlsl:423) — see the pallas_tiled _nodet doc.
+        ok &= jnp.abs(det) >= MT_DET_EPS
     p = jnp.where(ok, p, BIG)
     pb = p.min(axis=2)                                 # (nt, TILE)
     tb = pb - s[..., 0]                                # miss stays BIG
