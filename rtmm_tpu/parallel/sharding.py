@@ -227,12 +227,19 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
                          backend: str = "auto") -> jax.Array:
     """Tiled/MXU pipeline over BOTH mesh axes via shard_map.
 
-    Tiles (pixel tile rows) split over 'rays'; clusters + unit tables split
-    over 'scene' (each shard culls and traces only its slice of the scene's
-    units — the scene-too-big-for-one-chip case). Per-tile closest hits are
-    min-combined across the scene axis with one all_gather per frame, then
-    shaded locally. Numerics match the single-chip tiled path (same
-    MXU-form Möller-Trumbore, same window machinery).
+    Pixel tiles (flat tile index) split over 'rays'; clusters + unit tables
+    split over 'scene' (each shard culls and traces only its slice of the
+    scene's units — the scene-too-big-for-one-chip case). Per-tile closest
+    hits are min-combined across the scene axis with one all_gather per
+    frame, then shaded locally. Numerics match the single-chip tiled path
+    (same MXU-form Möller-Trumbore, same window machinery).
+
+    Works for ANY frame size: each shard traces a contiguous window of
+    ceil(n_tiles / n_rays) flat tiles with the window start clamped to the
+    frame, so when tile count doesn't divide the 'rays' axis the trailing
+    shards re-trace a few overlap tiles (identical values) instead of the
+    renderer refusing the mesh; the image is reassembled by explicit tile
+    index on the host side of the shard_map.
 
     backend: "pallas" runs the PRODUCTION kernel per shard (each shard's
     pallas_call walks its local cluster slice in-kernel; interpret mode on
@@ -244,16 +251,19 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
     width, height = cfg.width, cfg.height
     pw, ph = tiled.padded_size(width, height)
     tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
+    n_tiles = tx * ty
     n_rays_axis = mesh.shape["rays"]
     n_scene_axis = mesh.shape["scene"]
-    if ty % n_rays_axis:
-        raise ValueError("tile rows must divide over the 'rays' axis")
     _check_divisible(scene, n_scene_axis)
     scene = _pad_scene_for_scene_axis(scene, n_scene_axis)
     platform = mesh.devices.flat[0].platform
     if backend == "auto":
         backend = "xla" if platform == "cpu" else "pallas"
     interpret = platform == "cpu"
+    # Tiles per shard; window starts clamp so every window stays in-frame.
+    n_tiles_local = -(-n_tiles // n_rays_axis)
+    starts = np.minimum(np.arange(n_rays_axis) * n_tiles_local,
+                        n_tiles - n_tiles_local)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -261,9 +271,8 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
         out_specs=P("rays"),
         check_vma=False)
     def step(scene_shard: DeviceScene, ivp: jax.Array) -> jax.Array:
-        ty_local = ty // n_rays_axis
-        n_tiles_local = ty_local * tx
-        tile0 = jax.lax.axis_index("rays") * n_tiles_local
+        tile0 = jnp.minimum(jax.lax.axis_index("rays") * n_tiles_local,
+                            n_tiles - n_tiles_local)
 
         # Full-frame frustums + rays, sliced to this shard's tile rows.
         apex, normals = culling.tile_frustums(ivp, width, height, pw, ph)
@@ -287,14 +296,13 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
         cluster_hit = culling.cull_units(
             apex, normals, scene_shard.cluster_aabb_min,
             scene_shard.cluster_aabb_max, scene_shard.cluster_valid)
-        if scene_shard.compressed:
+        if scene_shard.compressed or backend != "xla":
             t_num = q_frame = None
         else:
             lpu = scene_shard.leaves_per_unit
             t_num = tiled.frame_t_num(scene_shard, apex)
             q_frame = (scene_shard.unit_qn
-                       .at[:, 7, 3 * lpu:4 * lpu].set(t_num)
-                       if backend == "xla" else None)
+                       .at[:, 7, 3 * lpu:4 * lpu].set(t_num))
 
         if backend == "pallas":
             # The PRODUCTION kernel per shard: its in-kernel cluster walk
@@ -306,7 +314,7 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
             sub_normals = jax.lax.dynamic_slice_in_dim(
                 sub_normals, tile0, n_tiles_local, 0)
             fi = tiled.FrameInputs(raymat, None, dirs, apex, normals,
-                                   cluster_hit, sub_normals, t_num,
+                                   cluster_hit, sub_normals, None,
                                    tiled.scene_exit_aabb(scene_shard))
             raymat_t = raymat.transpose(0, 2, 1)
             frus = tiled.frustum_scalars(fi)
@@ -315,7 +323,7 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
 
             def trace_window(ccand, ccount, centry, bt, bn):
                 return pallas_tiled.trace_pallas(
-                    scene_shard, raymat_t, t_num, frus, ccand, ccount,
+                    scene_shard, raymat_t, frus, ccand, ccount,
                     centry, bt, bn, cfg, interpret=interpret)
 
             init = (jnp.full((n_tiles_local, TILE), BIG, jnp.float32),
@@ -346,12 +354,16 @@ def render_tiled_sharded(scene: DeviceScene, inv_view_proj: jax.Array,
         nrm = best_n / jnp.maximum(
             jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
         colors = shading.shade_or_miss(hit, nrm, -dirs, cfg)
-        img = (colors.reshape(ty_local, tx, culling.TILE_H, culling.TILE_W, 3)
-               .transpose(0, 2, 1, 3, 4).reshape(ty_local * culling.TILE_H,
-                                                 pw, 3))
-        return img
+        return colors.reshape(n_tiles_local, TILE, 3)
 
-    img = step(scene, jnp.asarray(inv_view_proj, jnp.float32))
+    tiles_out = step(scene, jnp.asarray(inv_view_proj, jnp.float32))
+    # Reassemble by explicit tile index (overlap windows write identical
+    # values, so duplicate scatter indices are benign).
+    idx = (starts[:, None] + np.arange(n_tiles_local)[None, :]).reshape(-1)
+    full = jnp.zeros((n_tiles, TILE, 3), tiles_out.dtype).at[idx].set(
+        tiles_out.reshape(-1, TILE, 3))
+    img = (full.reshape(ty, tx, culling.TILE_H, culling.TILE_W, 3)
+           .transpose(0, 2, 1, 3, 4).reshape(ph, pw, 3))
     return img[:height, :width]
 
 
@@ -366,6 +378,14 @@ class ShardedRenderer:
     pipeline: str = "auto"   # "ray" (shard_map) | "tile" | "auto"
     backend: str = "auto"    # tiled-sharded body: "pallas" | "xla" | "auto"
 
+    # Resolved after construction — which render path actually compiled.
+    # "tile-gspmd" | "tile-sharded" | "ray"; chosen_backend is the resolved
+    # tiled-sharded kernel ("pallas" | "xla", None otherwise). A caller that
+    # requires the production kernel (e.g. the driver dryrun) asserts these
+    # instead of trusting defaults — no silent downgrades.
+    chosen_pipeline: str = dataclasses.field(init=False, default="")
+    chosen_backend: str | None = dataclasses.field(init=False, default=None)
+
     def __post_init__(self):
         from ..ops import pallas_tiled
         self.cfg = pallas_tiled.resolve_mt_precision(self.scene, self.cfg)
@@ -375,19 +395,30 @@ class ShardedRenderer:
         n_rays = self.mesh.shape["rays"]
         n_scene = self.mesh.shape["scene"]
         gspmd_ok = n_scene == 1 and (tx * ty) % n_rays == 0
-        sharded_ok = (ty % n_rays == 0
-                      and self.scene.num_triangles % n_scene == 0)
+        sharded_ok = self.scene.num_triangles % n_scene == 0
         use_tile = (self.pipeline == "tile"
                     or (self.pipeline == "auto"
                         and (gspmd_ok or sharded_ok)))
+        if self.pipeline == "tile" and not (gspmd_ok or sharded_ok):
+            raise ValueError(
+                "pipeline='tile' requested but neither the GSPMD nor the "
+                "shard_map tiled path fits this mesh (triangle padding "
+                f"{self.scene.num_triangles} % scene axis {n_scene} != 0)")
         if use_tile:
-            if gspmd_ok:
+            if gspmd_ok and self.backend != "pallas":
+                self.chosen_pipeline = "tile-gspmd"
                 fn = functools.partial(render_tiled_gspmd, cfg=self.cfg,
                                        mesh=self.mesh)
             else:
+                self.chosen_pipeline = "tile-sharded"
+                platform = self.mesh.devices.flat[0].platform
+                self.chosen_backend = (self.backend if self.backend != "auto"
+                                       else ("xla" if platform == "cpu"
+                                             else "pallas"))
                 fn = functools.partial(render_tiled_sharded, cfg=self.cfg,
                                        mesh=self.mesh, backend=self.backend)
         else:
+            self.chosen_pipeline = "ray"
             fn = functools.partial(render_sharded, cfg=self.cfg,
                                    mesh=self.mesh)
         self._fn = jax.jit(fn, keep_unused=True)
