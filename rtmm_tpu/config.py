@@ -90,6 +90,12 @@ class RenderConfig:
     # 0 = auto (n_tiles / 8, at least 4 blocks).
     instance_tile_cap: int = 0
     compute_dtype: str = "float32"
+    # Sanitizer mode (utils/debug.py, the D3D12-debug-layer analog): guard
+    # the intentionally-unguarded Möller-Trumbore reciprocal so a checkify
+    # float-checks render stays NaN/Inf-free on clean scenes and only real
+    # data corruption fires. Production paths keep the unguarded epilogue
+    # (the acceptance window rejects the Inf/NaN lanes; one fewer VPU pass).
+    debug_guards: bool = False
 
 
 DEFAULT_CONFIG = RenderConfig()

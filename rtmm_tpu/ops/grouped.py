@@ -145,20 +145,23 @@ def trace_sorted(scene: DeviceScene, o: jax.Array, d: jax.Array,
             u = u_num * inv
             v = v_num * inv
             t = tn * inv
+            # Upper t-window POST-reduce (row op on the winner) —
+            # mirrors the pallas_grouped epilogue bit-for-bit.
             if wform:
                 ww = out[..., 4 * lpu:5 * lpu] * inv
                 ok = ((jnp.minimum(jnp.minimum(u, v), ww) >= -MT_UV_EPS)
-                      & (t >= t_min) & (t <= t_max)
+                      & (t >= t_min)
                       & cvalid_c[:, ci][:, None, None] & live_c[..., None])
             else:
                 ok = ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
                       & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
-                      & (t >= t_min) & (t <= t_max)
+                      & (t >= t_min)
                       & cvalid_c[:, ci][:, None, None] & live_c[..., None])
             if _os.environ.get("RTMM_MT_NODET", "1") != "1":
                 ok &= jnp.abs(det) >= MT_DET_EPS
             t = jnp.where(ok, t, BIG)
             tb = t.min(axis=2)                                 # (gc, GROUP)
+            tb = jnp.where(tb <= t_max, tb, BIG)
             # One-hot without & ok: masked/invalid leaves hold t == BIG
             # and an all-miss lane's tb == BIG never wins the strict
             # take below (mirrors the pallas engines).

@@ -84,6 +84,17 @@ def node_test(o2, d2, verts, minmax, h0, hslope):
     return tri_hit & ~outside
 
 
+def _nodet() -> bool:
+    """RTMM_MT_NODET (default ON): drop the |det| >= EPS acceptance guard —
+    numerically redundant because the unguarded reciprocal turns det~0
+    lanes into Inf/NaN u/v, which the uv windows reject. Mirrored here in
+    the per-ray path so ALL backends (ray, tile, pallas, grouped) share
+    one acceptance set and the cross-backend agreement oracles stay exact
+    (advisor round-3 medium finding)."""
+    import os
+    return os.environ.get("RTMM_MT_NODET", "1") == "1"
+
+
 def moller_trumbore(origin, direction, v0, v1, v2):
     """rayTraceTriangle (intersection.hlsl:412-442) with identical epsilons.
 
@@ -95,8 +106,15 @@ def moller_trumbore(origin, direction, v0, v1, v2):
     e2 = v2 - v0
     pvec = jnp.cross(direction, e2)
     det = (e1 * pvec).sum(-1)
-    ok = jnp.abs(det) >= MT_DET_EPS
-    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    if _nodet():
+        # Unguarded reciprocal, same as the vectorized epilogues: det == 0
+        # yields Inf/NaN u/v rejected by the windows below (NaN compares
+        # False), so the acceptance set matches tile/pallas/grouped exactly.
+        ok = jnp.ones_like(det, dtype=bool)
+        inv_det = 1.0 / det
+    else:
+        ok = jnp.abs(det) >= MT_DET_EPS
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
     tvec = origin - v0
     u = (tvec * pvec).sum(-1) * inv_det
     ok &= (u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)

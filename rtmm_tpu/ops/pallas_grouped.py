@@ -295,18 +295,24 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
             u = u_num * inv
             v = v_num * inv
             t = tn * inv                          # (LPU, nl)
+            # Upper t-window POST-reduce (a row op on the winner — the
+            # min picks the smallest accepted t, so clipping larger
+            # candidates never changes it): two fewer (LPU, nl) passes.
+            # +inf t from a det==0 lane loses every min vs the 1e30
+            # sentinel; -inf fails t_min; NaN fails both compares.
             if _wform:
-                ww = out[4 * lpu:5 * lpu] * inv
-                ok = ((jnp.minimum(jnp.minimum(u, v), ww) >= -MT_UV_EPS)
-                      & (t >= t_min) & (t <= t_max))
+                ok = ((jnp.minimum(jnp.minimum(u, v),
+                                   out[4 * lpu:5 * lpu] * inv)
+                       >= -MT_UV_EPS) & (t >= t_min))
             else:
                 ok = ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
                       & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
-                      & (t >= t_min) & (t <= t_max))
+                      & (t >= t_min))
             if not _nodet:
                 ok &= jnp.abs(det) >= MT_DET_EPS
             t = jnp.where(ok, t, 1e30)
             tb = t.min(axis=0, keepdims=True)     # (1, nl)
+            tb = jnp.where(tb <= t_max, tb, 1e30)
             # One-hot without & ok: invalid leaves hold t == 1e30 and an
             # all-miss lane's tb == 1e30 never wins the strict take.
             oh_b = (t <= tb).astype(jnp.bfloat16)

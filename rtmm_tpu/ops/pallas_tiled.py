@@ -18,7 +18,8 @@ candidates) with the things XLA cannot express:
     intersection.hlsl:228-242,472).
 
 Data layout per (tile, unit) step, chosen for native TPU tiling:
-  raymat   (6, TILE)    rows [dx,dy,dz, mx,my,mz]  (TILE = 1024 lanes;
+  raymat   (6, TILE)    rows [dx,dy,dz, mx,my,mz]  (TILE = TILE_H*TILE_W
+                        lanes, a multiple of 128 — 32x32 default;
                         s lives in a separate row, used in the epilogue)
   q        (6, 3*LPU)   [det | u_num | v_num] column blocks
                         (rows 0-5 of DeviceScene.unit_qn)
@@ -128,10 +129,6 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
         i += 2
     meta_hbm, q_hbm = it[i:i + 2]
     i += 2
-    tnum_hbm = None
-    if not compressed:
-        tnum_hbm = it[i]
-        i += 1
     if fused_cfg is None:
         t_out, n_out = it[i:i + 2]
         i += 2
@@ -142,17 +139,8 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
         outs = (None, None, None, None, c_out)
     meta_buf, q_buf = it[i:i + 2]
     i += 2
-    tnum_buf = None
-    if not compressed:
-        tnum_buf = it[i]
-        i += 1
     msem, usem = it[i:i + 2]
     i += 2
-    if not compressed:
-        tsem = it[i]
-        i += 1
-    else:
-        tsem = None
     # Per-tile ray-matrix buffer (the recentered moment rows are
     # re-written per unit): (18, TILE) bf16 hi/lo-cat for fast3,
     # (6, TILE) f32 for HIGHEST — MT rows 0-5 only (d + moment).
@@ -181,8 +169,8 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
 
     for b in range(tiles_per_block):
         _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref,
-                    raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
-                    meta_buf, q_buf, tnum_buf, msem, usem, tsem, rm_buf,
+                    raymat_ref, outs, meta_hbm, q_hbm,
+                    meta_buf, q_buf, msem, usem, rm_buf,
                     bt_scr, bn_scr,
                     lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub,
                     nrows=nrows, fused_cfg=fused_cfg, kraygen=kraygen,
@@ -191,8 +179,8 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
 
 
 def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
-                outs, meta_hbm, q_hbm, tnum_hbm,
-                meta_buf, q_buf, tnum_buf, msem, usem, tsem, rm_buf,
+                outs, meta_hbm, q_hbm,
+                meta_buf, q_buf, msem, usem, rm_buf,
                 bt_scr, bn_scr,
                 *, lpu, t_min, t_max, nsub, nrows, fused_cfg, kraygen,
                 grid_su, gmat_ref, hi_prec, fast2, indexed):
@@ -219,8 +207,8 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
     def _():
         _trace_tile_nonempty(
             b, ccnt, ccand_ref, centry_ref, frus_ref, raymat_ref, outs,
-            meta_hbm, q_hbm, tnum_hbm, meta_buf, q_buf, tnum_buf,
-            msem, usem, tsem, rm_buf, bt_scr, bn_scr,
+            meta_hbm, q_hbm, meta_buf, q_buf,
+            msem, usem, rm_buf, bt_scr, bn_scr,
             lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub, nrows=nrows,
             fused_cfg=fused_cfg, kraygen=kraygen, grid_su=grid_su,
             gmat_ref=gmat_ref, hi_prec=hi_prec, fast2=fast2,
@@ -372,8 +360,8 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu,
 
 
 def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
-                         raymat_ref, outs, meta_hbm, q_hbm, tnum_hbm,
-                         meta_buf, q_buf, tnum_buf, msem, usem, tsem,
+                         raymat_ref, outs, meta_hbm, q_hbm,
+                         meta_buf, q_buf, msem, usem,
                          rm_buf, bt_scr, bn_scr,
                          *, lpu, t_min, t_max, nsub, nrows, fused_cfg,
                          kraygen, grid_su, gmat_ref, hi_prec, fast2,
@@ -392,96 +380,36 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # be merged with it).
     import os as _os
     _abl = _os.environ.get("RTMM_ABLATE", "")
-    # Per-ray slab pre-test gate (trace-time env knob, default OFF): on
-    # real-scale scenes the skip rate measured only ~11% (the eligible
-    # units ARE reachable: grazing beams legitimately cross many unit
-    # AABBs within each ray's best), which does not pay for the per-unit
-    # vector->scalar sync + branch the gate costs (config 6 measured 46.3
-    # -> 36.8 Mrays/s with it on). Kept selectable for scenes with deep
-    # occlusion where the skip rate is high.
-    _pretest = _os.environ.get("RTMM_PRETEST", "0") == "1"
-    # Sub-band gated MT (trace-time env knob): run the MT matmul/epilogue
-    # only on the sub-tile lane bands whose sub-cone the picked unit is
-    # actually eligible for, instead of all TILE rays. A unit's screen
-    # footprint usually reaches 1-2 of a tile's sub-cones, and the
-    # per-visit cost is dominated by the (3*LPU, TILE) matmul output +
-    # epilogue, so gating cuts the dominant term by the eligible-band
-    # fraction. Uses the exact per-sub predicates the walk already
-    # computes (insides[j] & dist <= worst[j]), which are sound per ray
-    # (see unit_step), so the image is bit-identical to the ungated walk.
-    # Requires the sub-cone grid to be full-width row bands (ncols == 1,
-    # i.e. sub_rows == sub_frusta): only then is a sub-cone a CONTIGUOUS
-    # lane range of the row-major tile. Disabled under RTMM_ABLATE (the
-    # instrument attributes the ungated stages).
-    _subgate = (_os.environ.get("RTMM_SUBGATE", "0") == "1"
-                and nsub == nrows and not _abl)
+    # Four alternative walk gatings were built and MEASURED as losses on
+    # v5e config 6 (see PERF.md "negative results" for the full analyses):
+    # per-ray slab pre-test gate (RTMM_PRETEST, 36.8 vs 46.3 — the ~11%
+    # skip rate never paid for the per-unit vector->scalar sync), sub-band
+    # gated MT (RTMM_SUBGATE, 52-65 vs 71.5 — per-unit data-dependent
+    # branches stall the pipelined walk more than the narrower epilogue
+    # saves), per-sub private walks (RTMM_SUBWALK, 38.5 vs 73.8 — 8x the
+    # serial scalar syncs + duplicated table prep), and the lockstep band
+    # walk (RTMM_LANEWALK, neutral). All four code paths were deleted in
+    # round 4 (git history r3 keeps them); the shared static-shape walk
+    # below is the only walk. The shared lesson: on this VPU-epilogue-
+    # bound kernel, only op-count cuts pay — lane-count cuts and
+    # data-dependent gating lose to their fixed costs.
+    #
     # Paired-issue MXU/VPU overlap (trace-time env knob, default ON):
     # the walk picks two units per iteration; issuing BOTH units' MT
     # matmuls before either unit's VPU epilogue lets unit B's MXU work
     # overlap unit A's epilogue (no data dependency between them). The
-    # fold order A-then-B is preserved — bit-identical image. Requires
-    # the ungated walk (the gated paths branch per unit, which kills the
-    # issue-order overlap anyway). Measured +1.8% on config 6 — small,
-    # which together with the 2x-stage ablation sums exceeding the frame
-    # (9.3 ms matmul + 22.5 ms epilogue + 1 ms nsel > 29 ms frame) says
-    # Mosaic already overlaps most of the in-order matmul under the
-    # previous unit's epilogue; the frame is VPU-epilogue-bound. Mode 2
-    # additionally gives each pair slot a PRIVATE moment-row buffer
-    # (scratch grows a leading 2 dim) to break the WAR hazard between
-    # unit B's moment write and matmul A's operand read — measured
-    # neutral (the hazard wasn't stalling anything).
+    # fold order A-then-B is preserved — bit-identical image. Measured
+    # +1.8% on config 6 — small, which together with the 2x-stage
+    # ablation sums exceeding the frame (9.3 ms matmul + 22.5 ms epilogue
+    # + 1 ms nsel > 29 ms frame) says Mosaic already overlaps most of the
+    # in-order matmul under the previous unit's epilogue; the frame is
+    # VPU-epilogue-bound. Mode 2 additionally gives each pair slot a
+    # PRIVATE moment-row buffer (scratch grows a leading 2 dim) to break
+    # the WAR hazard between unit B's moment write and matmul A's operand
+    # read — measured neutral (the hazard wasn't stalling anything).
     _pmode = _paired_mode()
-    _paired = _pmode >= 1 and not _pretest and not _subgate
+    _paired = _pmode >= 1
     _dbuf = _pmode == 2
-    # Per-sub PRIVATE walks (trace-time env knob): instead of one shared
-    # walk whose every MT stage spans all TILE rays, each 128-lane
-    # row-band sub-cone runs its OWN pick-walk over the cluster's units,
-    # with MT stages on its 128 lanes only. Rationale: in the subpixel-
-    # dense regime (config 6: ~3.5 micro-tris/px, ~105 unit visits per
-    # nonempty tile) a visited unit's footprint covers ~19 px of the
-    # 1024-ray tile, so ~98% of every full-tile epilogue (the dominant
-    # per-visit cost) is spent on rays the unit cannot hit. A sub's
-    # eligibility predicate (insides[j] & dist <= worst[j]) is the same
-    # sound per-ray bound the shared walk ORs over — rays of sub j lose
-    # no winning hit, so the image is identical up to skipped
-    # non-winning work (bitwise: a sub-j ray's fold sequence is the
-    # subsequence of the shared walk's folds that could affect it...
-    # fold ORDER between two units both eligible for sub j is the same
-    # front-to-back pick order). Requires full-width row bands of
-    # exactly 128 lanes (nsub == nrows == TILE/128, i.e. sub_frusta=8
-    # at TILE=1024). Gated walks and the ablation instrument keep the
-    # shared walk.
-    #
-    # MEASURED: a big LOSS — config 6 @32x32 1080p: 38.5 vs 73.8
-    # Mrays/s shared (v5e, image gate clean on both). The 8 sequential
-    # per-band while_loops multiply the walk's serial scalar syncs
-    # (pick extraction, loop carry) ~8x, and the per-unit table prep
-    # (qn read + bf16 splits / compressed derive) re-runs per BAND
-    # visit (~2x duplication at this footprint) — together far more
-    # than the 8x-narrower epilogue saves. Same conclusion as
-    # RTMM_SUBGATE (52 vs 71.5): per-unit data-dependent or per-band
-    # serialized control does not pay on this hardware; the shared
-    # static-shape walk stays the default. Kept as an A/B knob.
-    _subwalk = (_os.environ.get("RTMM_SUBWALK", "0") == "1"
-                and nsub == nrows and TILE == 128 * nsub
-                and not _pretest and not _subgate)
-    # Lane-parallel band walk: all nsub 128-lane row bands advance in
-    # LOCKSTEP inside ONE while_loop — each iteration picks one unit
-    # per band (front-to-back within the band, like RTMM_SUBWALK) but
-    # runs a SINGLE full-tile epilogue whose lane block j carries band
-    # j's unit. One (LPU, TILE) epilogue pass then covers nsub
-    # band-visits, so epilogue work scales with the most-loaded band
-    # (max_j |eligible_j|) instead of the tile's union — without the
-    # per-band serial loops that sank RTMM_SUBWALK (38.5 Mrays/s) or
-    # the data-dependent branches that sank RTMM_SUBGATE. Idle bands
-    # (no eligible unit left) re-process another band's picked unit on
-    # their own lanes: sound (ineligible => cannot improve; already-
-    # processed => strict-< fold is idempotent), so the image stays
-    # bitwise identical to the shared walk (tests). Same grid
-    # requirement as the subwalk: contiguous 128-lane row bands.
-    _lanewalk = (_os.environ.get("RTMM_LANEWALK", "0") == "1"
-                 and nsub == nrows and TILE == 128 * nsub
-                 and not _pretest and not _subgate and not _subwalk)
     # w-form MT acceptance (default ON; RTMM_MT_WFORM=0 restores the
     # textbook form for A/B): contract a fourth numerator block
     # w = det - u - v (built from the q table columns BEFORE the
@@ -511,6 +439,10 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # (LPU, TILE) VPU passes per visit in the epilogue-bound kernel.
     # Mirrored in the XLA tile backend and both grouped engines.
     _nodet = _os.environ.get("RTMM_MT_NODET", "1") == "1"
+    # RTMM_MT_ARECIP=1: approximate hardware reciprocal in the MT
+    # epilogue (A/B; see the accept() doc). Off by default until the
+    # image gate judges it on real hardware.
+    _arecip = _os.environ.get("RTMM_MT_ARECIP", "0") == "1"
 
     def _rmix(sl, rows, lo, hi):
         """rm_buf index: (slot, rows, lanes) under the double-buffered
@@ -569,26 +501,24 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
     invd = [1.0 / _safe_dir(rm[k:k + 1]) for k in range(3)]  # 3 x (1, TILE)
 
-    def set_unit_moment(cx, cy, cz, lo=0, nl=TILE, sl=0):
+    def set_unit_moment(cx, cy, cz, sl=0):
         """Write this unit's recentered moment rows m' = m - c x d into
         the ray-matrix buffer (m = a x d is per-tile; c x d is ~9 VPU row
-        ops — noise next to the MT matmul it feeds). lo/nl (static)
-        restrict the write to one sub-band's lanes under _subgate; sl
-        (static) picks the pair slot under the double-buffered layout."""
-        hi = lo + nl
-        mpx = rm[3:4, lo:hi] - (cy * rm[2:3, lo:hi] - cz * rm[1:2, lo:hi])
-        mpy = rm[4:5, lo:hi] - (cz * rm[0:1, lo:hi] - cx * rm[2:3, lo:hi])
-        mpz = rm[5:6, lo:hi] - (cx * rm[1:2, lo:hi] - cy * rm[0:1, lo:hi])
-        mp = jnp.concatenate([mpx, mpy, mpz], axis=0)      # (3, nl)
+        ops — noise next to the MT matmul it feeds). sl (static) picks
+        the pair slot under the double-buffered layout."""
+        mpx = rm[3:4] - (cy * rm[2:3] - cz * rm[1:2])
+        mpy = rm[4:5] - (cz * rm[0:1] - cx * rm[2:3])
+        mpz = rm[5:6] - (cx * rm[1:2] - cy * rm[0:1])
+        mp = jnp.concatenate([mpx, mpy, mpz], axis=0)      # (3, TILE)
         if hi_prec:
-            rm_buf[_rmix(sl, slice(3, 6), lo, hi)] = mp
+            rm_buf[_rmix(sl, slice(3, 6), 0, TILE)] = mp
         else:
             mp_hi = mp.astype(jnp.bfloat16)
             mp_lo = (mp - mp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            rm_buf[_rmix(sl, slice(3, 6), lo, hi)] = mp_hi
-            rm_buf[_rmix(sl, slice(9, 12), lo, hi)] = mp_lo
+            rm_buf[_rmix(sl, slice(3, 6), 0, TILE)] = mp_hi
+            rm_buf[_rmix(sl, slice(9, 12), 0, TILE)] = mp_lo
             if not fast2:
-                rm_buf[_rmix(sl, slice(15, 18), lo, hi)] = mp_hi
+                rm_buf[_rmix(sl, slice(15, 18), 0, TILE)] = mp_hi
 
     # Frustum scalars: [apex xyz, nsub sub-cones x 4 planes x xyz,
     # (raygen scalars,) inflated scene AABB].
@@ -639,14 +569,9 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
 
     def qblock_dma(slot, ci):
         cl0 = ccand_ref[0, b, ci]
-        dmas = [pltpu.make_async_copy(
+        return (pltpu.make_async_copy(
             q_hbm.at[pl.ds(cl0 * UPC, UPC)], q_buf.at[slot],
-            usem.at[slot])]
-        if tnum_hbm is not None:
-            dmas.append(pltpu.make_async_copy(
-                tnum_hbm.at[pl.ds(cl0 * UPC, UPC)], tnum_buf.at[slot],
-                tsem.at[slot]))
-        return tuple(dmas)
+            usem.at[slot]),)
 
     def qblock_start(slot, ci):
         for dma in qblock_dma(slot, ci):
@@ -666,9 +591,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     def unit_tables(qslot, u, cx, cy, cz):
         """Per-unit MT operand prep (VMEM reads + bf16 hi/lo splits, or
         the compressed-scene derive): returns (q_mt, n_cat, tn_col,
-        tn_row) for the unit at lane u of the resident cluster q block.
-        Shared by process_unit (the classic walk) and the lane-parallel
-        band walk (RTMM_LANEWALK), which preps 8 units per iteration."""
+        tn_row) for the unit at lane u of the resident cluster q block."""
         if grid_su is not None:
             q, tn_row, nrm_v = _derive_unit(
                 q_buf[qslot, u],
@@ -692,9 +615,21 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             # t block is handled by tn_col below.
             q = qn[0:6, :3 * lpu]
             nrm_v = qn[:, 4 * lpu:4 * lpu + lpu]
-            # The table's lane dim is padded to 128 (Mosaic DMA slices
-            # must be lane-aligned); slice back to the LPU columns here.
-            tn_row = tnum_buf[qslot, pl.ds(u, 1)][:, :lpu]     # (1, LPU)
+            # Per-frame t_num = (apex - c).n - e2.w2, derived IN-KERNEL
+            # from rows the q block already carries: the det column block
+            # rows 0-2 are -n per leaf, and row 3 of the normal block is
+            # e2.w2 (models/scene.py:390-393). Three (1, LPU) FMAs
+            # replace what round 3 streamed as a per-frame XLA-built
+            # (U, 128) HBM table + a third per-cluster DMA; the q table
+            # is now fully camera-independent, which also makes every
+            # per-tile kernel input frame-local (multi-frame batching).
+            # Arithmetic order mirrors tiled.frame_t_num term-for-term
+            # (negations are exact in f32) so the XLA backend's folded
+            # row-7 value stays bit-identical.
+            s_neg = ((ax - cx) * q[0:1, 0 * lpu:1 * lpu]
+                     + (ay - cy) * q[1:2, 0 * lpu:1 * lpu]
+                     + (az - cz) * q[2:3, 0 * lpu:1 * lpu])
+            tn_row = -s_neg - nrm_v[3:4]                       # (1, LPU)
         # Per-leaf t_num as a SUBLANE column (LPU, 1): an exact one-hot
         # transpose matmul (K=LPU, N=1 — tiny next to the MT matmul it
         # replaces a whole M=LPU output block of: the old scheme paid
@@ -743,25 +678,21 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         n_cat = jnp.concatenate([n_hi, n_lo], axis=1)  # (8, 2*LPU)
         return q_mt, n_cat, tn_col, tn_row
 
-    def ep_fold(out, lo, nl, tn, nsel_of):
-        """VPU MT epilogue + normal select + running-best fold on one
-        lane range. out: the MT matmul result (3*LPU, nl) — det|u|v
-        numerator blocks; tn: per-leaf t numerators, (LPU, 1) for one
-        unit spanning the range or (LPU, nl) when each 128-lane band
-        carries a different unit (RTMM_LANEWALK); nsel_of(oh_cat,
-        bump=None): the winner-normal contraction (single matmul for
-        one unit, block-diagonal per band under the lane walk)."""
-        hi_l = lo + nl
+    def ep_fold(out, tn, nsel_of):
+        """VPU MT epilogue + normal select + running-best fold over the
+        tile. out: the MT matmul result (3*LPU, TILE) — det|u|v
+        numerator blocks; tn: per-leaf t numerators (LPU, 1);
+        nsel_of(oh_cat, bump=None): the winner-normal contraction."""
         det = out[0 * lpu:1 * lpu]
         u_num = out[1 * lpu:2 * lpu]
         v_num = out[2 * lpu:3 * lpu]
-        s_sl = s_row[:, lo:hi_l]
+        s_sl = s_row
         # Row-shaped t-window bounds: the apex shift s is per-RAY
         # (constant across a ray's LPU leaves), so the leaf argmin
         # and the [t_min, t_max] tests run on the raw quotient
-        # p = t + s with the shift folded into the BOUNDS ((1, nl)
+        # p = t + s with the shift folded into the BOUNDS ((1, TILE)
         # row ops) and subtracted from the winner after the reduce —
-        # one fewer (LPU, nl) pass. Boundary rounding vs the t-form
+        # one fewer (LPU, TILE) pass. Boundary rounding vs the t-form
         # is <1 ulp (same epsilon class the image gates budget); the
         # miss sentinel survives the shift exactly (ulp(1e30) >> |s|,
         # so 1e30 - s == 1e30 in f32).
@@ -769,24 +700,39 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         pmax_row = t_max + s_sl
         def accept(dt, un, vn, wn, pq):
             """The acceptance predicate on the quotients — w-form
-            (min-composed, see the _wform knob doc) or textbook."""
-            iv = 1.0 / dt
+            (min-composed, see the _wform knob doc) or textbook.
+
+            The t-window's UPPER side is NOT tested per leaf: the leaf
+            min picks the smallest accepted p, and clipping candidates
+            larger than the winner can never change the winner, so one
+            (1, TILE) row compare after the reduce (below) is exactly
+            equivalent to the (LPU, TILE) cmp+and it replaces — two
+            fewer full-size passes in the VPU-bound epilogue. A det==0
+            lane's +inf pp (positive numerator) passes here but loses
+            every min against the 1e30 sentinel; -inf fails pmin; NaN
+            fails both compares (and poisons muv)."""
+            if _arecip:
+                # Hardware approximate reciprocal (~2^-12 relative): the
+                # uv/w windows budget 1e-3 epsilons and shading never
+                # reads hit positions (directional lights), so the only
+                # exposure is winner flips between sub-2e-4 t-ties — the
+                # same epsilon class the image gate budgets. A/B knob,
+                # judged on-TPU by the gate.
+                iv = pl.reciprocal(dt, approx=True)
+            else:
+                iv = 1.0 / dt
             uu = un * iv
             vv = vn * iv
             pp = pq * iv
             if _wform:
                 ww = wn * iv
-                # NaN from a det == 0 lane (0 * inf) propagates through
-                # jnp.minimum and fails the compare; +-inf quotients
-                # fail one side of the two-sided window (see _nodet).
                 muv = jnp.minimum(jnp.minimum(uu, vv), ww)
-                o = ((muv >= -MT_UV_EPS)
-                     & (pp >= pmin_row) & (pp <= pmax_row))
+                o = (muv >= -MT_UV_EPS) & (pp >= pmin_row)
             else:
                 o = ((uu >= -MT_UV_EPS) & (uu <= 1.0 + MT_UV_EPS)
                      & (vv >= -MT_UV_EPS)
                      & (uu + vv <= 1.0 + MT_UV_EPS)
-                     & (pp >= pmin_row) & (pp <= pmax_row))
+                     & (pp >= pmin_row))
             if not _nodet:
                 o &= jnp.abs(dt) >= MT_DET_EPS
             return jnp.where(o, pp, 1e30)
@@ -804,40 +750,41 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         # (bf16 u/v epsilon compares were tried for half-width VPU
         # ops: Mosaic rejects bf16 vector cmpf on v5e — "Target does
         # not support this comparison" — so the epilogue stays f32.)
-        p = accept(det, u_num, v_num, w_num, tn)   # (LPU, nl); miss 1e30
-        pb = p.min(axis=0, keepdims=True)     # (1, nl)
-        tb = pb - s_sl                        # (1, nl); miss stays 1e30
+        p = accept(det, u_num, v_num, w_num, tn)   # (LPU, TILE); miss 1e30
+        pb = p.min(axis=0, keepdims=True)     # (1, TILE)
+        # Post-reduce upper t-window (see the accept() doc): the row
+        # compare on pb replaces the per-leaf pmax pass exactly. The
+        # winner one-hot below keys on the UNclipped p/pb (same leaf);
+        # a clipped lane's tb == 1e30 fails the strict take, discarding
+        # the normal exactly like the all-miss case.
+        tb = jnp.where(pb <= pmax_row, pb - s_sl, 1e30)   # (1, TILE)
         # One-hot without the & ok pass: invalid leaves hold p == 1e30,
         # so they match only when pb == 1e30 (an all-miss lane) — and
         # there tb == 1e30 fails the strict take below, discarding the
         # spurious normal sum exactly as the masked form did.
         oh_b = (p <= pb).astype(jnp.bfloat16)         # one-hot exact
-        oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, nl)
+        oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, TILE)
         nsel = nsel_of(oh_cat)
         if _abl == "2xnsel":
             nsel = nsel + _dep_zero(
                 nsel_of(oh_cat, jnp.max(_dep_zero(tb))))
-        bt_cur = bt_scr[:, lo:hi_l]
+        bt_cur = bt_scr[...]
         take = tb < bt_cur
-        bt_scr[:, lo:hi_l] = jnp.where(take, tb, bt_cur)
-        bn_scr[:, lo:hi_l] = jnp.where(take, nsel,
-                                       bn_scr[:, lo:hi_l])
+        bt_scr[...] = jnp.where(take, tb, bt_cur)
+        bn_scr[...] = jnp.where(take, nsel, bn_scr[...])
 
-    def process_unit(qslot, u, cx, cy, cz, elig=None, defer=False,
-                     pslot=0, lo=0, nl=None):
+    def process_unit(qslot, u, cx, cy, cz, defer=False, pslot=0):
         """MXU Möller-Trumbore for one unit's LPU leaves (read from the
         VMEM-resident cluster q block at lane u); folds improvements into
         the bt_scr/bn_scr running-best refs in place. cx/cy/cz: the
         unit's AABB-center scalars — they recenter this unit's moment
-        rows + (compressed) derived tables. elig (set under _subgate):
-        one scalar bool per sub-band — the per-unit table prep runs once,
-        but the MT matmul/epilogue/select stage runs only on eligible
-        bands' lane ranges. defer: issue the table prep + MT matmul now
-        and return a thunk for the VPU epilogue/select/fold — the caller
-        interleaves two units' stages (mm A, mm B, ep A, ep B) so unit
-        B's MXU matmul overlaps unit A's VPU epilogue (the two stages
-        have no data dependency; the fold order A-then-B is preserved,
-        so the image is bit-identical to the sequential call order)."""
+        rows + (compressed) derived tables. defer: issue the table prep
+        + MT matmul now and return a thunk for the VPU epilogue/select/
+        fold — the caller interleaves two units' stages (mm A, mm B,
+        ep A, ep B) so unit B's MXU matmul overlaps unit A's VPU epilogue
+        (the two stages have no data dependency; the fold order A-then-B
+        is preserved, so the image is bit-identical to the sequential
+        call order)."""
         q_mt, n_cat, tn_col, tn_row = unit_tables(qslot, u, cx, cy, cz)
 
         def nsel_of(oh_cat, bump=None):
@@ -846,12 +793,10 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                 n, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        def mm_stage(lo, nl):
-            """MXU stage: per-unit recentered moment write + MT matmul
-            on one lane range."""
-            hi_l = lo + nl
-            set_unit_moment(cx, cy, cz, lo, nl, sl=pslot)
-            rm_sl = rm_buf[_rmix(pslot, slice(None), lo, hi_l)]
+        def mm_stage():
+            """MXU stage: per-unit recentered moment write + MT matmul."""
+            set_unit_moment(cx, cy, cz, sl=pslot)
+            rm_sl = rm_buf[_rmix(pslot, slice(None), 0, TILE)]
             out = jax.lax.dot_general(
                 q_mt, rm_sl,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -866,75 +811,15 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                     preferred_element_type=jnp.float32))
             return out
 
-        def ep_stage(out, lo, nl):
+        def ep_stage(out):
             """VPU stage: MT epilogue + normal select + running-best
-            fold on one lane range (shared math in ep_fold)."""
-            ep_fold(out, lo, nl, tn_col, nsel_of)
-
-        def mt_lanes(lo, nl):
-            """MT matmul + epilogue + normal select on one lane range
-            (the whole tile ungated; one sub-band under _subgate)."""
-            ep_stage(mm_stage(lo, nl), lo, nl)
+            fold (shared math in ep_fold)."""
+            ep_fold(out, tn_col, nsel_of)
 
         if defer:
-            nl_d = TILE if nl is None else nl
-            out = mm_stage(lo, nl_d)
-            return lambda: ep_stage(out, lo, nl_d)
-        if elig is None:
-            mt_lanes(0, TILE)
-        elif nsub % 4 == 0:
-            # Coalesced-window gating: a unit's eligible bands form a
-            # CONTIGUOUS range (its screen footprint is convex across the
-            # tile's row bands; measured: every eligible set in the
-            # config-6 profile was contiguous, 83% spanning <= 2 of 4
-            # bands), and per-matmul fixed costs dominate at this output
-            # size — so run exactly ONE half-width MT stage positioned
-            # over the span when it fits, else the full tile. The earlier
-            # per-band form ran up to nsub matmuls per visit and measured
-            # SLOWER than ungated (52 vs 71 Mrays/s, config 6 @32x32);
-            # this coalesced form measured 65.3 — better, still a net
-            # loss (the per-unit scalar branch stalls the pipelined walk
-            # more than the half-width epilogue saves), so the gate
-            # stays opt-in for deep-occlusion scenes.
-            ql = nsub // 4
-
-            def _any(rng):
-                r = elig[rng[0]]
-                for i in rng[1:]:
-                    r = r | elig[i]
-                return r
-
-            lo_q = _any(range(0, ql))             # first quarter bands
-            hi_q = _any(range(3 * ql, nsub))      # last quarter bands
-            lo_h = _any(range(0, 2 * ql))         # lower half
-            hi_h = _any(range(2 * ql, nsub))      # upper half
-            c0 = ~hi_h                            # fits [0, TILE/2)
-            c2 = hi_h & ~lo_h                     # fits [TILE/2, TILE)
-            c1 = hi_h & lo_h & ~lo_q & ~hi_q      # fits the middle half
-            cf = hi_h & lo_h & (lo_q | hi_q)      # needs the full tile
-            half = TILE // 2
-
-            @pl.when(c0)
-            def _():
-                mt_lanes(0, half)
-
-            @pl.when(c1)
-            def _():
-                mt_lanes(TILE // 4, half)
-
-            @pl.when(c2)
-            def _():
-                mt_lanes(half, half)
-
-            @pl.when(cf)
-            def _():
-                mt_lanes(0, TILE)
-        else:
-            nl = TILE // nsub
-            for j in range(nsub):
-                @pl.when(elig[j])
-                def _(j=j):
-                    mt_lanes(j * nl, nl)
+            out = mm_stage()
+            return lambda: ep_stage(out)
+        ep_stage(mm_stage())
 
     def worst_subs():
         """Per-sub-tile worst-case reach: each ray contributes its hit's
@@ -1026,240 +911,21 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             ctrv = jnp.sum(crow * ohf, axis=1, keepdims=True)   # (3, 1)
             return ctrv[0:1], ctrv[1:2], ctrv[2:3]
 
-        def unit_step(u, en, ws):
-            """Per-RAY slab pre-test of unit lane u's (inflated) AABB
-            against each ray's own running best — the per-ray analog of
-            the reference's nearest-first traversal prune that the
-            scalar per-sub bounds cannot express. Only when some ray
-            could still hit does the MXU/epilogue stage run (pl.when on
-            in-place refs; a lax.cond carry would copy 36 KB per unit —
-            measured slower in the grouped kernel). Conservative by
-            construction (the inflation covers the MT uv-epsilon slop),
-            so skipped units can only ever contribute non-winning hits:
-            the image is bit-identical with the pre-test on or off.
-            Returns 1 if the unit was processed, else 0."""
-            ohf = (lane == u).astype(jnp.float32)          # (1, 128)
-            if _pretest:
-                mn = [jnp.sum(meta[k:k + 1] * ohf) for k in range(3)]
-                mx = [jnp.sum(meta[3 + k:4 + k] * ohf) for k in range(3)]
-                ctr = [0.5 * (mn[k] + mx[k]) for k in range(3)]
-            else:
-                # The one-hot extraction is exact (one nonzero lane), so
-                # extracting the precomputed center row equals the
-                # 0.5*(mn+mx) scalar form bit-for-bit. ONE lane reduce to
-                # a (3, 1) vector; the centers stay vector-valued ((1, 1)
-                # slices broadcast everywhere they are used) — a
-                # vector->scalar move per component would be 3 pipeline
-                # syncs per unit.
-                ctrv = jnp.sum(crow * ohf, axis=1, keepdims=True)  # (3, 1)
-                ctr = [ctrv[k:k + 1] for k in range(3)]
-            if _subgate:
-                # Per-sub-band eligibility of THIS unit under the current
-                # worst bounds — the same sound per-ray predicate the walk
-                # prunes with (a unit outside sub j's cone, or farther
-                # than every sub-j ray's own improvement bound, cannot
-                # improve any sub-j ray), extracted at lane u. ws is the
-                # walk state's bounds (monotone nonincreasing), so gating
-                # is conservative wrt the pick that selected u. All nsub
-                # bits ride ONE weighted one-hot reduction (each
-                # vector->scalar move is a pipeline sync; 2^j weights are
-                # exact in f32 for nsub <= 8).
-                bits = jnp.zeros((1, 128), jnp.float32)
-                for j in range(nsub):
-                    bits += jnp.where(insides[j] & (dist <= ws[j]),
-                                      jnp.float32(1 << j), 0.0)
-                bi = jnp.sum(bits * ohf).astype(jnp.int32)
-                elig = tuple(
-                    en & (jax.lax.bitwise_and(bi, 1 << j) > 0)
-                    for j in range(nsub))
-                anyp = en & (bi > 0)
-
-                @pl.when(anyp)
-                def _():
-                    process_unit(cslot, u, ctr[0], ctr[1], ctr[2],
-                                 elig=elig)
-                return anyp.astype(jnp.int32)
-            if _pretest:
-                # An accepted MT hit can sit MT_UV_EPS (barycentric)
-                # outside its leaf triangle, i.e. up to ~eps * extent
-                # outside the exact leaf-vert AABB; inflate by 2x that
-                # plus an absolute floor before testing.
-                pads = [2.0 * MT_UV_EPS * (mx[k] - mn[k]) + 1e-6
-                        for k in range(3)]
-                apx = (ax, ay, az)
-                tn = jnp.zeros((1, TILE), jnp.float32)
-                tf = jnp.full((1, TILE), jnp.float32(3.4e38))
-                for k in range(3):
-                    t0 = (mn[k] - pads[k] - apx[k]) * invd[k]
-                    t1 = (mx[k] + pads[k] - apx[k]) * invd[k]
-                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-                # Per-ray apex-relative best, capped by the scene exit.
-                reach = jnp.minimum(bt_scr[...] + s_row, exit_row)
-                could = (tn <= tf) & (tn <= reach)
-                anyhit = en & (jnp.max(could.astype(jnp.float32)) > 0.0)
-
-                @pl.when(anyhit)
-                def _():
-                    process_unit(cslot, u, ctr[0], ctr[1], ctr[2])
-                return anyhit.astype(jnp.int32)
-            # Gate off: process unconditionally (dup slots recompute their
-            # partner — idempotent take — exactly the pre-refactor walk).
-            process_unit(cslot, u, ctr[0], ctr[1], ctr[2])
+        def unit_step(u, en):
+            """One unit visit: extract the unit's AABB center and run the
+            full MXU/VPU MT stage. Dup slots recompute their partner —
+            idempotent take. Conditional per-unit gating variants
+            (pretest/subgate/subwalk/lanewalk) were all measured losses
+            (see the knob-pruning note above).
+            Returns 1 if the unit was an active (non-dup) slot."""
+            process_unit(cslot, u, *_ctr(u))
             return en.astype(jnp.int32)
 
         # Wait for this cluster's resident q block (prefetched), then walk
         # its eligible units two per iteration — all reads are VMEM slices,
-        # so the per-unit cost is picks + pre-tests + gated MXU/VPU only
-        # (no DMA machinery).
+        # so the per-unit cost is picks + MXU/VPU stages only (no DMA
+        # machinery).
         qblock_wait(cslot, ci)
-
-        if _lanewalk:
-            # Lockstep band walk (see the _lanewalk knob doc): one
-            # while_loop; iteration i processes band j's i-th nearest
-            # eligible unit on lanes [128j, 128j+128) — nsub band-visits
-            # per full-tile epilogue. Per-band fold order is the same
-            # ascending-ikey front-to-back order as the shared walk's,
-            # and bands touch disjoint lane blocks, so the image is
-            # bitwise identical (tests). Eligibility shrink
-            # (dist <= worst_j, monotone) is folded into the carried
-            # ikey rows permanently — sound under monotonicity.
-            nlj = TILE // nsub
-
-            def pick1(ik):
-                p0 = jnp.min(ik)
-                u = jnp.where(p0 < imax, jax.lax.bitwise_and(p0, 127),
-                              128)
-                return u, jnp.where(lane == u, imax, ik)
-
-            us0, iks0 = [], []
-            for j in range(nsub):
-                u_j, ik_j = pick1(jnp.where(
-                    insides[j] & (dist <= worsts[j]), dist_ikey, imax))
-                us0.append(u_j)
-                iks0.append(ik_j)
-
-            def lane_cond(st):
-                us = st[0]
-                m = us[0]
-                for j in range(1, nsub):
-                    m = jnp.minimum(m, us[j])
-                return m < 128
-
-            def lane_body(st):
-                us, iks, ws, nv, ne = st
-                act = [us[j] < 128 for j in range(nsub)]
-                uany = us[0]
-                for j in range(1, nsub):
-                    uany = jnp.minimum(uany, us[j])
-                ue = [jnp.where(act[j], us[j], uany) for j in range(nsub)]
-                outs, tns, ncs = [], [], []
-                for j in range(nsub):
-                    cx, cy, cz = _ctr(ue[j])
-                    q_mt, n_cat, tn_col, _tr = unit_tables(
-                        cslot, ue[j], cx, cy, cz)
-                    set_unit_moment(cx, cy, cz, j * nlj, nlj, sl=0)
-                    rm_sl = rm_buf[_rmix(0, slice(None), j * nlj,
-                                         (j + 1) * nlj)]
-                    outs.append(jax.lax.dot_general(
-                        q_mt, rm_sl,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        **({"precision": jax.lax.Precision.HIGHEST}
-                           if hi_prec else {})))
-                    tns.append(jnp.broadcast_to(tn_col, (lpu, nlj)))
-                    ncs.append(n_cat)
-                out = jnp.concatenate(outs, axis=1)      # (3*LPU, TILE)
-                tn = jnp.concatenate(tns, axis=1)        # (LPU, TILE)
-
-                def nsel_of(oh_cat, bump=None):
-                    parts = []
-                    for j in range(nsub):
-                        n = (ncs[j] if bump is None
-                             else ncs[j] + bump.astype(ncs[j].dtype))
-                        parts.append(jax.lax.dot_general(
-                            n, oh_cat[:, j * nlj:(j + 1) * nlj],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))
-                    return jnp.concatenate(parts, axis=1)
-
-                ep_fold(out, 0, TILE, tn, nsel_of)
-                ws2 = worst_subs()
-                nus, niks = [], []
-                npr = jnp.int32(0)
-                for j in range(nsub):
-                    u2, ik2 = pick1(jnp.where(dist <= ws2[j], iks[j],
-                                              imax))
-                    nus.append(u2)
-                    niks.append(ik2)
-                    npr = npr + act[j].astype(jnp.int32)
-                # Counters: nv = active band-visits, ne = ITERATIONS
-                # (i.e. full-tile epilogue passes) — nv/ne is the band
-                # parallelism actually harvested; the shared walk's
-                # epilogue count for the same tile is its own nv.
-                return (tuple(nus), tuple(niks), ws2, nv + npr,
-                        ne + jnp.int32(1))
-
-            us_f, iks_f, worsts, nvis, nelig = jax.lax.while_loop(
-                lane_cond, lane_body,
-                (tuple(us0), tuple(iks0), worsts, nvis, nelig))
-            return ci + 1, worsts, nvis, nelig
-
-        if _subwalk:
-            # Per-sub private walks (see the _subwalk knob doc): each
-            # 128-lane row band runs its own front-to-back pick-walk
-            # over this cluster's units, with MT stages on its band
-            # only. A unit ineligible for band j at its pick time
-            # (insides[j] is static per cluster; dist > worst_j, and
-            # worst_j is monotone nonincreasing) can never improve a
-            # band-j ray, and the fold order within a band is the same
-            # ascending-ikey order as the shared walk's — the image is
-            # bitwise identical (tests).
-            nlj = TILE // nsub
-            new_worsts = []
-            nv_c, ne_c = nvis, nelig
-            for j in range(nsub):
-                ins_j = insides[j]
-                lo_j = j * nlj
-                s_b = s_row[:, lo_j:lo_j + nlj]
-                x_b = exit_row[:, lo_j:lo_j + nlj]
-
-                def worst_j(s_b=s_b, x_b=x_b, lo_j=lo_j):
-                    btj = bt_scr[:, lo_j:lo_j + nlj]
-                    return jnp.max(jnp.where(btj < 1e30, btj + s_b, x_b))
-
-                def ikey_j(wj, removed, ins_j=ins_j):
-                    return jnp.where(ins_j & (dist <= wj) & ~removed,
-                                     dist_ikey, imax)
-
-                u0j, u1j, ik0 = pick2(ikey_j(worsts[j], lane >= 128))
-
-                def sub_body(st, lo_j=lo_j, ikey_j=ikey_j,
-                             worst_j=worst_j):
-                    ua, ub, ik, wj, nv_, ne_ = st
-                    hasb = ub < 128
-                    ub_eff = jnp.where(hasb, ub, ua)
-                    ep_a = process_unit(cslot, ua, *_ctr(ua),
-                                        defer=True, pslot=0,
-                                        lo=lo_j, nl=nlj)
-                    ep_b = process_unit(cslot, ub_eff, *_ctr(ub_eff),
-                                        defer=True,
-                                        pslot=1 if _dbuf else 0,
-                                        lo=lo_j, nl=nlj)
-                    ep_a()
-                    ep_b()
-                    wj = worst_j()
-                    removed = ik >= imax
-                    na, nb2, ik2 = pick2(jnp.where(removed, imax,
-                                                   ikey_j(wj, removed)))
-                    n2 = 1 + hasb.astype(jnp.int32)
-                    return (na, nb2, ik2, wj, nv_ + n2, ne_ + n2)
-
-                _, _, _, wj_f, nv_c, ne_c = jax.lax.while_loop(
-                    lambda st: st[0] < 128, sub_body,
-                    (u0j, u1j, ik0, worsts[j], nv_c, ne_c))
-                new_worsts.append(wj_f)
-            return ci + 1, tuple(new_worsts), nv_c, ne_c
 
         removed0 = lane >= 128   # nothing removed yet (all-False row)
         u0, u1, ikey0 = pick2(ikey_of(worsts, removed0))
@@ -1282,8 +948,8 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                 np_a = (ua < 128).astype(jnp.int32)
                 np_b = hasb.astype(jnp.int32)
             else:
-                np_a = unit_step(ua, ua < 128, ws)
-                np_b = unit_step(jnp.where(hasb, ub, ua), hasb, ws)
+                np_a = unit_step(ua, ua < 128)
+                np_b = unit_step(jnp.where(hasb, ub, ua), hasb)
             ws = worst_subs()
             removed = ikey >= imax
             na, nb, ikey2 = pick2(jnp.where(removed, imax,
@@ -1374,7 +1040,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             axis=0)
 
 
-def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
+def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
                  frus: jax.Array, ccand: jax.Array, ccount: jax.Array,
                  centry: jax.Array, t_in: jax.Array | None,
                  n_in: jax.Array | None, cfg: RenderConfig,
@@ -1382,9 +1048,10 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
                  tiles_per_block: int | None = None,
                  fused: bool = False):
     """One cluster window (normally the whole frame). raymat_t:
-    (tiles, 8, TILE); t_num: (U, LPU) per-frame apex.n - e2.w2 (the q table
-    itself, scene.unit_qn, stays static); frus: (tiles, 16) frustum
-    scalars; ccand/ccount/centry: per-tile front-to-back cluster lists.
+    (tiles, 8, TILE); frus: (tiles, pack) frustum scalars (apex + sub-cone
+    planes + scene AABB; the kernel derives the per-frame t_num row from
+    the apex scalars and the static q table — every input is per-tile);
+    ccand/ccount/centry: per-tile front-to-back cluster lists.
 
     Windowed mode (fused=False): t_in (tiles, TILE) / n_in
     (tiles, 8, TILE) carry the running best from previous windows (BIG/0
@@ -1396,13 +1063,6 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
     compressed = scene.compressed
     n_tiles = frus.shape[0]
     lpu = scene.leaves_per_unit
-    if not compressed:
-        # Mosaic DMA slice shapes must be 128-aligned along lanes: pad the
-        # (U, LPU) t_num table's lane dim (tiny — still ~50x smaller than
-        # re-materializing the whole q table per frame).
-        tn_pad = -(-lpu // 128) * 128
-        if t_num.shape[1] != tn_pad:
-            t_num = jnp.pad(t_num, ((0, 0), (0, tn_pad - t_num.shape[1])))
     kc = ccand.shape[1]
     tb = tiles_per_block or cfg.tiles_per_block
     pad = (-n_tiles) % tb
@@ -1456,7 +1116,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
             head_args = head_args + (gmat,)
         tail_args = (scene.cluster_unit_meta, scene.unit_grid)
     else:
-        tail_args = (scene.cluster_unit_meta, scene.unit_qn, t_num)
+        tail_args = (scene.cluster_unit_meta, scene.unit_qn)
     tail_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(tail_args)
     if fused:
         in_specs = head_specs + tail_specs
@@ -1504,9 +1164,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array, t_num: jax.Array,
         scratch = [
             pltpu.VMEM((tb, 2, 8, 128), jnp.float32),
             pltpu.VMEM((2, UPC, 8, 4 * lpu + 128), jnp.float32),
-            pltpu.VMEM((2, UPC, tn_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((tb, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             rm_scratch,
         ] + best_scratch
@@ -1568,7 +1226,7 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
         negd, cidx = jax.lax.top_k(key, kc)
         sel = negd > -jnp.inf
         centry = jnp.where(sel, -negd, jnp.inf).astype(jnp.float32)
-        rows = trace_pallas(scene, raymat_t, fi.t_num, frus,
+        rows = trace_pallas(scene, raymat_t, frus,
                             cidx.astype(jnp.int32),
                             sel.sum(axis=1).astype(jnp.int32), centry,
                             None, None, cfg, interpret=interpret,
@@ -1578,7 +1236,7 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
         eligible = rows[:, 4, 0]
     else:
         def trace_window(ccand, ccount, centry, best_t, best_n):
-            return trace_pallas(scene, raymat_t, fi.t_num, frus,
+            return trace_pallas(scene, raymat_t, frus,
                                 ccand, ccount, centry, best_t, best_n, cfg,
                                 interpret=interpret)
 
@@ -1603,3 +1261,87 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
                      "kernel_unit_eligible":
                      eligible.reshape(ty, tx).astype(jnp.int32)}
     return img
+
+
+def render_pallas_frames(scene: DeviceScene, ivps: jax.Array,
+                         cfg: RenderConfig,
+                         interpret: bool | None = None) -> jax.Array:
+    """Render a BATCH of frames in one fused kernel launch.
+
+    ivps: (F, 4, 4). Returns (F, H, W, 3).
+
+    Every input of the fused single-window kernel is per-TILE (frustum
+    scalars carry the apex + raygen scalars; the per-frame t_num row is
+    derived in-kernel from the apex — unit_tables), so F frames batch by
+    simply concatenating their tile rows into one (F * tiles) launch.
+    This amortizes the per-launch fixed cost (XLA prologue + grid
+    machinery, ~1.2 ms/frame — the round-3 bound on small-frame
+    throughput, VERDICT item 5) across the whole batch: the reference
+    analog is that its ENTIRE frame is one DispatchRays
+    (src/application.cpp:214) with no per-frame re-setup.
+
+    Falls back to a lax.map over single frames when the scene needs
+    windowed cluster consumption (some tile sees more than
+    kernel_clusters_per_window clusters).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
+    if scene.num_clusters > kc:
+        return jax.lax.map(
+            lambda m: render_pallas(scene, m, cfg, interpret=interpret),
+            ivps)
+    width, height = cfg.width, cfg.height
+    pw, ph = tiled.padded_size(width, height)
+    tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
+    n_tiles = tx * ty
+    kraygen = cfg.kernel_raygen
+    f_total = ivps.shape[0]
+
+    # Bound the launch's tile count (the fused kernel's output rows are
+    # (F*tiles, 8, TILE) f32 — 16k tiles ~ 0.5 GB): chunk the batch into
+    # equal sub-batches when a frame is large. Small frames (the case the
+    # batching exists for) fit whole orbits in one launch.
+    import os as _os
+    cap = int(_os.environ.get("RTMM_BATCH_TILE_CAP", "16384"))
+    f = max(1, min(f_total, cap // max(n_tiles, 1)))
+    while f_total % f:
+        f -= 1
+    ivps = jnp.asarray(ivps, jnp.float32)
+    if f < f_total:
+        body = functools.partial(render_pallas_frames, scene, cfg=cfg,
+                                 interpret=interpret)
+        out = jax.lax.map(body, ivps.reshape(f_total // f, f, 4, 4))
+        return out.reshape(f_total, height, width, 3)
+
+    def frame_inputs(ivp):
+        fi = tiled.build_frame_inputs(scene, ivp, cfg, need_q_frame=False,
+                                      need_rays=not kraygen)
+        if kraygen:
+            raymat_t = jnp.zeros((n_tiles, 0, 0), jnp.float32)
+            frus = tiled.frustum_scalars(
+                fi, raygen_ivp=ivp.astype(jnp.float32), tx=tx)
+        else:
+            raymat_t = fi.raymat.transpose(0, 2, 1)
+            frus = tiled.frustum_scalars(fi)
+        cl_dist = culling.aabb_distance(fi.apex, scene.cluster_aabb_min,
+                                        scene.cluster_aabb_max)
+        key = jnp.where(fi.cluster_hit, -cl_dist[None, :], -jnp.inf)
+        negd, cidx = jax.lax.top_k(key, kc)
+        sel = negd > -jnp.inf
+        centry = jnp.where(sel, -negd, jnp.inf).astype(jnp.float32)
+        return (raymat_t, frus, cidx.astype(jnp.int32),
+                sel.sum(axis=1).astype(jnp.int32), centry)
+
+    raymat_t, frus, cidx, ccnt, centry = jax.vmap(frame_inputs)(ivps)
+
+    def flat(x):
+        return x.reshape((f * n_tiles,) + x.shape[2:])
+
+    rows = trace_pallas(scene, None if kraygen else flat(raymat_t),
+                        flat(frus), flat(cidx), flat(ccnt), flat(centry),
+                        None, None, cfg, interpret=interpret, fused=True)
+    colors = rows[:, 0:3].transpose(0, 2, 1)        # (F*tiles, TILE, 3)
+    imgs = (colors.reshape(f, ty, tx, culling.TILE_H, culling.TILE_W, 3)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(f, ph, pw, 3))
+    return imgs[:, :height, :width]

@@ -108,9 +108,18 @@ def frame_t_num(scene: DeviceScene, apex: jax.Array) -> jax.Array:
     """(U, LPU) per-frame t_num = (apex - c).n - e2.w2 against the
     recentered tables (c = unit AABB center). One definition shared by
     every consumer (primary frame build, per-instance object-space
-    apexes, per-shard tables)."""
+    apexes, per-shard tables).
+
+    Written as explicit left-associated component FMAs (not a .sum(-1))
+    so the Pallas kernel's in-kernel derivation — which computes the same
+    three products from the negated det-block rows — stays bit-identical
+    (pallas_tiled.unit_tables; f32 negation and sign-flipped addition are
+    exact)."""
     ac = apex - unit_centers(scene)                       # (U, 3)
-    return (scene.unit_n * ac[:, None, :]).sum(-1) - scene.unit_e2w2
+    n = scene.unit_n                                      # (U, LPU, 3)
+    s = (n[..., 0] * ac[:, None, 0] + n[..., 1] * ac[:, None, 1]
+         + n[..., 2] * ac[:, None, 2])
+    return s - scene.unit_e2w2
 
 
 def recentered_raymat(raymat: jax.Array, centers: jax.Array) -> jax.Array:
@@ -166,20 +175,17 @@ def build_frame_inputs(scene: DeviceScene, inv_view_proj: jax.Array,
         raymat = jnp.concatenate(
             [dirs, m, s[..., None], jnp.ones_like(s)[..., None]], axis=-1)
 
-    if scene.compressed:
-        # Compressed scenes have no precomputed MT tables at all: both
-        # backends derive them at trace time (t_num included — the kernel
-        # computes apex.n - e2.w2 from the derived n/e2w2).
+    if scene.compressed or not need_q_frame:
+        # Compressed scenes have no precomputed MT tables at all, and the
+        # Pallas kernel derives t_num = (apex-c).n - e2.w2 in-kernel from
+        # the static q table (pallas_tiled.unit_tables) — only the XLA
+        # tile backend materializes the per-frame q table.
         t_num = q_frame = None
     else:
         # t_num = (a-c).n - e2.w2 — ray-independent, apex-dependent.
         t_num = frame_t_num(scene, apex)                           # (U, LPU)
         lpu = scene.leaves_per_unit
-        # Materializing the full q table is a whole-table HBM copy per
-        # frame; only the XLA backend needs it (the Pallas kernel folds
-        # t_num itself).
-        q_frame = (scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
-                   if need_q_frame else None)
+        q_frame = scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
     return FrameInputs(raymat, q_frame, dirs, apex, normals, cluster_hit,
                        sub_normals, t_num, scene_exit_aabb(scene))
 
@@ -461,31 +467,45 @@ def trace_candidate(scene: DeviceScene, raymat, q_frame, unit, in_range, cfg,
     # apex shift folds into the BOUNDS and is subtracted after the leaf
     # min) — mirrors the Pallas kernel's epilogue exactly so the two
     # backends keep bit-level agreement at the window boundary, and
-    # saves one (.., LPU)-wide pass each.
-    inv = 1.0 / det
+    # saves one (.., LPU)-wide pass each. Under cfg.debug_guards (the
+    # checkify sanitizer render) or RTMM_MT_NODET=0 the division is
+    # guarded instead and the reference's |det| >= EPS acceptance is
+    # restored, so float_checks only fire on genuine data corruption.
+    guard = cfg.debug_guards or not _nodet()
+    if guard:
+        det_ok = jnp.abs(det) >= MT_DET_EPS
+        inv = 1.0 / jnp.where(det_ok, det, 1.0)
+    else:
+        inv = 1.0 / det
     u = u_num * inv
     v = v_num * inv
     s = raymat[..., 6:7]
     p = tn_b * inv
+    # The upper t-window runs POST-reduce on the winning pb (a (nt, TILE)
+    # row op instead of an (nt, TILE, LPU) pass) — exactly equivalent
+    # (the min picks the smallest accepted p; clipping larger candidates
+    # never changes it) and mirrors the Pallas epilogue bit-for-bit.
     if wform:
         ww = out[..., 4 * lpu:5 * lpu] * inv
         ok = ((jnp.minimum(jnp.minimum(u, v), ww) >= -MT_UV_EPS)
-              & (p >= cfg.t_min + s) & (p <= cfg.t_max + s)
+              & (p >= cfg.t_min + s)
               & in_range[:, None, None])
     else:
         ok = ((u >= -MT_UV_EPS) & (u <= 1.0 + MT_UV_EPS)
               & (v >= -MT_UV_EPS) & (u + v <= 1.0 + MT_UV_EPS)
-              & (p >= cfg.t_min + s) & (p <= cfg.t_max + s)
+              & (p >= cfg.t_min + s)
               & in_range[:, None, None])
-    if not _nodet():
-        # The |det| >= EPS guard is numerically redundant (the two-sided
-        # window rejects every inf/NaN lane); kept behind RTMM_MT_NODET=0
-        # to restore the reference's exact acceptance set
-        # (intersection.hlsl:423) — see the pallas_tiled _nodet doc.
-        ok &= jnp.abs(det) >= MT_DET_EPS
+    if guard:
+        # The |det| >= EPS guard is numerically redundant on the unguarded
+        # path (the windows reject every inf/NaN lane: +inf p loses every
+        # min against BIG, -inf fails pmin, NaN fails both); applied here
+        # whenever the division above was guarded, restoring the
+        # reference's exact acceptance set (intersection.hlsl:423) — see
+        # the pallas_tiled _nodet doc.
+        ok &= det_ok
     p = jnp.where(ok, p, BIG)
     pb = p.min(axis=2)                                 # (nt, TILE)
-    tb = pb - s[..., 0]                                # miss stays BIG
+    tb = jnp.where(pb <= cfg.t_max + s[..., 0], pb - s[..., 0], BIG)
     # One-hot without & ok: invalid leaves hold p == BIG, matching only
     # on all-miss lanes whose tb == BIG never wins the running-best
     # fold (mirrors the Pallas epilogue).

@@ -149,7 +149,7 @@ def _trace_primary(scene: DeviceScene, inv_view_proj: jax.Array,
 
         def trace_window(ccand, ccount, centry, bt, bn):
             return pallas_tiled.trace_pallas(
-                scene, raymat_t, fi.t_num, frus, ccand, ccount, centry,
+                scene, raymat_t, frus, ccand, ccount, centry,
                 bt, bn, cfg, interpret=interpret)
 
         init = (jnp.full((n_tiles, tile), BIG, jnp.float32),

@@ -27,8 +27,13 @@ def debug_render(scene: DeviceScene, inv_view_proj, cfg: RenderConfig):
     """
     import dataclasses
 
-    if cfg.pipeline in ("auto", "pallas"):
-        cfg = dataclasses.replace(cfg, pipeline="tile")
+    pipeline = ("tile" if cfg.pipeline in ("auto", "pallas")
+                else cfg.pipeline)
+    # debug_guards: guard the production path's intentionally-unguarded
+    # Möller-Trumbore reciprocal so float_checks stay silent on clean
+    # scenes and fire only on genuine NaN/Inf in the data (see
+    # ops/tiled.py::trace_candidate).
+    cfg = dataclasses.replace(cfg, pipeline=pipeline, debug_guards=True)
 
     checked = checkify.checkify(
         functools.partial(render_image, cfg=cfg),

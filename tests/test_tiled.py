@@ -368,68 +368,6 @@ def test_far_from_origin_fast3_matches_tile(compressed):
     assert rmse <= 2e-4, rmse
 
 
-@pytest.mark.parametrize("compressed", [False, True])
-def test_pallas_subgate_bitwise_identical(compressed, monkeypatch):
-    """RTMM_SUBGATE=1 (sub-band gated MT: the matmul/epilogue runs only
-    on lane bands whose sub-cone the picked unit is eligible for) must be
-    BITWISE identical to the ungated walk — gating uses the walk's own
-    sound per-sub predicates, so skipped work can only be non-winning.
-    Requires the row-band sub grid (sub_rows == sub_frusta)."""
-    mesh = procedural.make_icosphere(subdivisions=1, level=3, amplitude=0.15)
-    ds = scene_mod.build_device_scene(mesh, compressed=compressed)
-    ivp = jnp.asarray(_ivp(256, 64, dist=1.6))
-    cfg = RenderConfig(width=256, height=64, sub_frusta=4, sub_rows=4)
-    monkeypatch.delenv("RTMM_SUBGATE", raising=False)
-    base = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
-    monkeypatch.setenv("RTMM_SUBGATE", "1")
-    gated = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
-    bg = np.asarray(cfg.background, np.float32)
-    assert (np.abs(base - bg).max(-1) > 1e-5).mean() > 0.1
-    np.testing.assert_array_equal(base, gated)
-
-
-@pytest.mark.parametrize("compressed", [False, True])
-def test_pallas_subwalk_bitwise_identical(compressed, monkeypatch):
-    """RTMM_SUBWALK=1 (per-sub private walks: each 128-lane row band
-    pick-walks the cluster's units independently, MT stages on its band
-    only) must be BITWISE identical to the shared walk: a unit
-    ineligible for band j can never improve a band-j ray, and fold
-    order within a band is the same ascending-ikey order. Requires the
-    128-lane row-band grid (sub_frusta == sub_rows == TILE/128 == 8)."""
-    mesh = procedural.make_icosphere(subdivisions=1, level=3, amplitude=0.15)
-    ds = scene_mod.build_device_scene(mesh, compressed=compressed)
-    ivp = jnp.asarray(_ivp(256, 64, dist=1.6))
-    cfg = RenderConfig(width=256, height=64, sub_frusta=8, sub_rows=8)
-    monkeypatch.delenv("RTMM_SUBWALK", raising=False)
-    base = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
-    monkeypatch.setenv("RTMM_SUBWALK", "1")
-    sub = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
-    bg = np.asarray(cfg.background, np.float32)
-    assert (np.abs(base - bg).max(-1) > 1e-5).mean() > 0.1
-    np.testing.assert_array_equal(base, sub)
-
-
-@pytest.mark.parametrize("compressed", [False, True])
-def test_pallas_lanewalk_bitwise_identical(compressed, monkeypatch):
-    """RTMM_LANEWALK=1 (lockstep band walk: all 8 row bands advance in
-    ONE while_loop, each iteration processing one unit per band on its
-    own 128-lane block, single full-tile epilogue) must be BITWISE
-    identical to the shared walk: per-band fold order is the same
-    ascending-ikey order, bands touch disjoint lane blocks, idle bands
-    re-fold an ineligible-or-processed unit (no-op under strict-<)."""
-    mesh = procedural.make_icosphere(subdivisions=1, level=3, amplitude=0.15)
-    ds = scene_mod.build_device_scene(mesh, compressed=compressed)
-    ivp = jnp.asarray(_ivp(256, 64, dist=1.6))
-    cfg = RenderConfig(width=256, height=64, sub_frusta=8, sub_rows=8)
-    monkeypatch.delenv("RTMM_LANEWALK", raising=False)
-    base = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
-    monkeypatch.setenv("RTMM_LANEWALK", "1")
-    lw = np.asarray(render_pallas(ds, ivp, cfg, interpret=True))
-    bg = np.asarray(cfg.background, np.float32)
-    assert (np.abs(base - bg).max(-1) > 1e-5).mean() > 0.1
-    np.testing.assert_array_equal(base, lw)
-
-
 @pytest.mark.parametrize("compressed,mode", [(False, "1"), (True, "1"),
                                              (False, "2"), (True, "2")])
 def test_pallas_paired_bitwise_identical(compressed, mode, monkeypatch):
@@ -449,3 +387,23 @@ def test_pallas_paired_bitwise_identical(compressed, mode, monkeypatch):
     bg = np.asarray(cfg.background, np.float32)
     assert (np.abs(base - bg).max(-1) > 1e-5).mean() > 0.1
     np.testing.assert_array_equal(base, paired)
+
+
+@pytest.mark.parametrize("kraygen", [True, False])
+def test_pallas_frames_batch_matches_per_frame(kraygen):
+    """render_pallas_frames (F frames in ONE fused kernel launch — every
+    input is per-tile now that t_num derives in-kernel) must match
+    per-frame render_pallas bitwise: the batch is a pure concatenation of
+    the same per-tile rows."""
+    import dataclasses
+    from rtmm_tpu.ops.pallas_tiled import render_pallas_frames
+    mesh = procedural.make_icosphere(subdivisions=0, level=2, amplitude=0.15)
+    ds = scene_mod.build_device_scene(mesh)
+    cfg = dataclasses.replace(RenderConfig(width=96, height=64),
+                              kernel_raygen=kraygen)
+    ivps = jnp.stack([jnp.asarray(_ivp(96, 64, dist=2.0 + 0.2 * i))
+                      for i in range(3)])
+    batch = np.asarray(render_pallas_frames(ds, ivps, cfg, interpret=True))
+    for i in range(3):
+        one = np.asarray(render_pallas(ds, ivps[i], cfg, interpret=True))
+        np.testing.assert_array_equal(batch[i], one)
