@@ -372,6 +372,218 @@ def render_instanced(scene: DeviceScene, instances: list[Instance],
                              cfg, interpret)
 
 
+def _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
+                             interpret: bool):
+    """N-insensitive two-level traversal: ONE kernel launch for ALL
+    instances (VERDICT round-3 item 4).
+
+    Every kernel input is per-TILE (the frustum pack carries the apex;
+    t_num derives in-kernel), so instances batch exactly like frames
+    (pallas_tiled.render_pallas_frames): each instance contributes
+    m_cap rows — its object-space ray/frustum/cluster-list tiles, chosen
+    by the per-tile instance cull — and the concatenated (N * m_cap) rows
+    trace in one windowed launch. Closest hits min-combine across
+    instances in world t with a scatter-min afterwards (exact-tie normals
+    sum, matching the kernel's own one-hot tie semantics). Cost scales
+    with the summed screen FOOTPRINT, not one sequential frame pass per
+    instance — the role hardware TLAS instancing plays for the reference
+    (src/GPUMesh.cpp:238-278).
+
+    Exactness is preserved by a follow-up pass: any instance whose
+    footprint overflowed m_cap tiles (rare — a close-up instance) re-runs
+    through the serial full-frame trace, min-combining into the same
+    best (lax.cond per instance: the common all-fit case is a
+    passthrough). Requires single-window cluster lists
+    (num_clusters <= kernel_clusters_per_window); callers fall back to
+    the serial path otherwise.
+    """
+    from ..ops import culling, pallas_tiled, raygen, shading, tiled
+    from ..ops.tiled import TILE
+
+    n_inst = rot.shape[0]
+    width, height = cfg.width, cfg.height
+    pw, ph = tiled.padded_size(width, height)
+    tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
+    n_tiles = tx * ty
+    kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
+
+    apex_w, normals_w = culling.tile_frustums(ivp, width, height, pw, ph)
+    sub_normals_w = culling.tile_sub_frustums(ivp, width, height, pw, ph,
+                                              n_sub=cfg.sub_frusta,
+                                              n_rows=cfg.sub_rows)
+    origins_w, dirs_w = raygen.generate_rays(ivp, width, height, pw, ph)
+
+    def to_tiles(x):
+        return (x.reshape(ty, culling.TILE_H, tx, culling.TILE_W, 3)
+                .transpose(0, 2, 1, 3, 4).reshape(n_tiles, TILE, 3))
+
+    dirs_w = to_tiles(dirs_w)
+    origins_w = to_tiles(origins_w)
+    s_w = ((origins_w - apex_w) * dirs_w).sum(-1)        # (tiles, TILE)
+
+    cap = cfg.instance_tile_cap or max(4 * cfg.tiles_per_block, n_tiles // 8)
+    m_cap = min(n_tiles, cap)
+    hp = jax.lax.Precision.HIGHEST
+    exit_aabb = tiled.scene_exit_aabb(scene)
+
+    def inst_rows(r, t, s):
+        inv_s = 1.0 / s
+        apex_o = jnp.einsum("ij,j->i", r.T, apex_w - t, precision=hp) * inv_s
+        normals_o = jnp.einsum("ij,xyj->xyi", r.T, normals_w, precision=hp)
+        sub_normals_o = jnp.einsum("ij,xsyj->xsyi", r.T, sub_normals_w,
+                                   precision=hp)
+        cluster_hit = culling.cull_units(
+            apex_o, normals_o, scene.cluster_aabb_min,
+            scene.cluster_aabb_max, scene.cluster_valid)
+        tile_sees = cluster_hit.any(axis=1)               # (tiles,)
+        n_seen = tile_sees.sum()
+        key = jnp.where(tile_sees,
+                        n_tiles - jax.lax.iota(jnp.int32, n_tiles), 0)
+        _, tidx = jax.lax.top_k(key, m_cap)               # ascending tiles
+        dirs_o = jnp.einsum("ij,xyj->xyi", r.T, dirs_w[tidx], precision=hp)
+        m_o = jnp.cross(jnp.broadcast_to(apex_o, dirs_o.shape), dirs_o)
+        s_o = s_w[tidx] * inv_s
+        raymat = jnp.concatenate(
+            [dirs_o, m_o, s_o[..., None], jnp.ones_like(s_o)[..., None]],
+            axis=-1)
+        fi = tiled.FrameInputs(raymat, None, dirs_o, apex_o,
+                               normals_o[tidx], cluster_hit[tidx],
+                               sub_normals_o[tidx], None, exit_aabb)
+        frus = tiled.frustum_scalars(fi)
+        cl_dist = culling.aabb_distance(apex_o, scene.cluster_aabb_min,
+                                        scene.cluster_aabb_max)
+        ckey = jnp.where(cluster_hit[tidx], -cl_dist[None, :], -jnp.inf)
+        negd, cidx = jax.lax.top_k(ckey, kc)
+        sel = negd > -jnp.inf
+        centry = jnp.where(sel, -negd, jnp.inf).astype(jnp.float32)
+        return (raymat.transpose(0, 2, 1), frus, cidx.astype(jnp.int32),
+                sel.sum(axis=1).astype(jnp.int32), centry, tidx, n_seen)
+
+    raymat_t, frus, cidx, ccnt, centry, tidx, n_seen = jax.vmap(inst_rows)(
+        rot, trn, scl)
+    rows_n = n_inst * m_cap
+
+    def flat(x):
+        return x.reshape((rows_n,) + x.shape[2:])
+
+    init_t = jnp.full((rows_n, TILE), BIG, jnp.float32)
+    init_n = jnp.zeros((rows_n, 8, TILE), jnp.float32)
+    bt_o, bn_rows = pallas_tiled.trace_pallas(
+        scene, flat(raymat_t), flat(frus), flat(cidx), flat(ccnt),
+        flat(centry), init_t, init_n, cfg, interpret=interpret)
+
+    # Object -> world: t scales per instance, normals rotate.
+    bt_o = bt_o.reshape(n_inst, m_cap, TILE)
+    bn_o = bn_rows.reshape(n_inst, m_cap, 8, TILE)[:, :, 0:3]
+    bt_w = jnp.where(bt_o < BIG * 0.5, bt_o * scl[:, None, None], BIG)
+    bn_w = jnp.einsum("nij,nxjy->nxyi", rot, bn_o)        # (N, m, TILE, 3)
+
+    # Min-combine across instances by target tile (duplicate tile rows
+    # from different instances are exactly what .at[].min handles).
+    flat_tile = tidx.reshape(rows_n)
+    best_t = jnp.full((n_tiles, TILE), BIG, jnp.float32
+                      ).at[flat_tile].min(bt_w.reshape(rows_n, TILE))
+    winner = bt_w.reshape(rows_n, TILE) <= best_t[flat_tile]
+    best_n = jnp.zeros((n_tiles, TILE, 3), jnp.float32).at[flat_tile].add(
+        jnp.where(winner[..., None], bn_w.reshape(rows_n, TILE, 3), 0.0))
+
+    # Exactness backstop: instances seen by more tiles than m_cap re-run
+    # through the serial full-frame trace (min-combining is idempotent
+    # for the tiles the merged pass already covered).
+    overflow = n_seen > m_cap
+    best_t, best_n = _overflow_pass(scene, rot, trn, scl, overflow,
+                                    best_t, best_n, apex_w, normals_w,
+                                    sub_normals_w, dirs_w, s_w, cfg,
+                                    interpret)
+
+    hit = best_t < BIG * 0.5
+    nrm = best_n / jnp.maximum(
+        jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
+    colors = shading.shade_or_miss(hit, nrm, -dirs_w, cfg)
+    img = (colors.reshape(ty, tx, culling.TILE_H, culling.TILE_W, 3)
+           .transpose(0, 2, 1, 3, 4).reshape(ph, pw, 3))
+    return img[:cfg.height, :cfg.width]
+
+
+def _overflow_pass(scene, rot, trn, scl, overflow, best_t, best_n,
+                   apex_w, normals_w, sub_normals_w, dirs_w, s_w, cfg,
+                   interpret):
+    """Serial full-frame pass over ONLY the instances whose footprint
+    overflowed the merged launch's per-instance tile cap. The cond's
+    passthrough branch makes the common all-fit case ~free."""
+    from ..ops import culling, pallas_tiled, tiled
+    from ..ops.tiled import TILE
+
+    n_tiles = dirs_w.shape[0]
+    kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
+    lpu = scene.leaves_per_unit
+    hp = jax.lax.Precision.HIGHEST
+    exit_aabb = tiled.scene_exit_aabb(scene)
+
+    def one(carry, inst):
+        best_t, best_n = carry
+        r, t, s, ov = inst
+        inv_s = 1.0 / s
+
+        def full(args):
+            best_t, best_n = args
+            apex_o = jnp.einsum("ij,j->i", r.T, apex_w - t,
+                                precision=hp) * inv_s
+            normals_o = jnp.einsum("ij,xyj->xyi", r.T, normals_w,
+                                   precision=hp)
+            sub_normals_o = jnp.einsum("ij,xsyj->xsyi", r.T, sub_normals_w,
+                                       precision=hp)
+            cluster_hit = culling.cull_units(
+                apex_o, normals_o, scene.cluster_aabb_min,
+                scene.cluster_aabb_max, scene.cluster_valid)
+            dirs_o = jnp.einsum("ij,xyj->xyi", r.T, dirs_w, precision=hp)
+            m_o = jnp.cross(jnp.broadcast_to(apex_o, dirs_o.shape), dirs_o)
+            s_o = s_w * inv_s
+            raymat = jnp.concatenate(
+                [dirs_o, m_o, s_o[..., None],
+                 jnp.ones_like(s_o)[..., None]], axis=-1)
+            q_frame = None
+            if interpret and not scene.compressed:
+                t_num = tiled.frame_t_num(scene, apex_o)
+                q_frame = scene.unit_qn.at[:, 7, 3 * lpu:4 * lpu].set(t_num)
+            fi = tiled.FrameInputs(raymat, q_frame, dirs_o, apex_o,
+                                   normals_o, cluster_hit,
+                                   sub_normals_o, None, exit_aabb)
+            init_t = best_t * inv_s
+            if interpret:
+                init_n3 = jnp.einsum("ij,xyj->xyi", r.T, best_n)
+                bt_o, bn_o3 = tiled.trace_windowed(
+                    scene, fi, cfg,
+                    _xla_window(scene, fi, cfg), init_t, init_n3)
+                bn_w = jnp.einsum("ij,xyj->xyi", r, bn_o3)
+            else:
+                frus = tiled.frustum_scalars(fi)
+                init_n = jnp.zeros((n_tiles, 8, TILE), jnp.float32)
+                init_n = init_n.at[:, 0:3].set(
+                    jnp.einsum("ij,xjy->xiy", r.T,
+                               best_n.transpose(0, 2, 1)))
+                raymat_t = raymat.transpose(0, 2, 1)
+
+                def trace_window(ccand, ccount, centry, bt, bn):
+                    return pallas_tiled.trace_pallas(
+                        scene, raymat_t, frus, ccand, ccount,
+                        centry, bt, bn, cfg, interpret=interpret)
+
+                bt_o, bn_rows = tiled.trace_windowed_clusters(
+                    scene, fi, cfg, trace_window, init_t, init_n, kc=kc)
+                bn_w = jnp.einsum("ij,xjy->xyi", r, bn_rows[:, 0:3])
+            bt_w = jnp.where(bt_o < BIG * 0.5, bt_o * s, best_t)
+            return bt_w, bn_w
+
+        best_t, best_n = jax.lax.cond(ov, full, lambda a: a,
+                                      (best_t, best_n))
+        return (best_t, best_n), None
+
+    (best_t, best_n), _ = jax.lax.scan(one, (best_t, best_n),
+                                       (rot, trn, scl, overflow))
+    return best_t, best_n
+
+
 def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
     import jax as _jax
 
@@ -380,6 +592,15 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
 
     if interpret is None:
         interpret = _jax.devices()[0].platform == "cpu"
+
+    # The merged one-launch path is the production TLAS analog whenever a
+    # single cluster window covers the scene; RTMM_INSTANCED_SERIAL=1
+    # forces the round-3 per-instance scan for A/B.
+    import os as _os
+    kc_fit = scene.num_clusters <= max(1, cfg.kernel_clusters_per_window)
+    if kc_fit and _os.environ.get("RTMM_INSTANCED_SERIAL", "0") != "1":
+        return _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
+                                        interpret)
     width, height = cfg.width, cfg.height
     pw, ph = tiled.padded_size(width, height)
     tx, ty = pw // culling.TILE_W, ph // culling.TILE_H
@@ -420,7 +641,9 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
         cluster_hit_full = culling.cull_units(
             apex_o, normals_o, scene.cluster_aabb_min,
             scene.cluster_aabb_max, scene.cluster_valid)
-        t_num = (None if scene.compressed
+        # t_num: only the XLA correctness path (interpret) needs the
+        # per-instance table — the kernel derives it from the frus apex.
+        t_num = (None if scene.compressed or not interpret
                  else tiled.frame_t_num(scene, apex_o))
         kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
 
@@ -458,7 +681,7 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
 
             def trace_window(ccand, ccount, centry, bt, bn):
                 return pallas_tiled.trace_pallas(
-                    scene, raymat_t, t_num, frus, ccand, ccount, centry,
+                    scene, raymat_t, frus, ccand, ccount, centry,
                     bt, bn, cfg, interpret=interpret)
 
             old_t = best_t[tidx]
@@ -510,7 +733,7 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
 
                 def trace_window(ccand, ccount, centry, bt, bn):
                     return pallas_tiled.trace_pallas(
-                        scene, raymat_t, t_num, frus, ccand, ccount,
+                        scene, raymat_t, frus, ccand, ccount,
                         centry, bt, bn, cfg, interpret=False)
 
                 bt_o, bn_rows = tiled.trace_windowed_clusters(

@@ -213,3 +213,58 @@ def test_bake_compressed_matches_bake_standard():
     assert (np.abs(b_img - bg).max(-1) > 1e-5).mean() > 0.05
     npix = int((np.abs(a_img - b_img).max(-1) > 1e-3).sum())
     assert npix <= 3, f"{npix} pixels diverge"
+
+
+def test_merged_instanced_matches_serial(base_scene):
+    """The merged one-launch instanced path (all instances' compact tile
+    rows concatenated into a single windowed kernel call, world-t
+    scatter-min across instances) must agree with the round-3 serial
+    per-instance scan (RTMM_INSTANCED_SERIAL=1)."""
+    import os
+    from rtmm_tpu.render import instances as inst_mod
+
+    ds = base_scene
+    ring = [inst_mod.Instance.from_euler([0.9 * np.cos(a), 0.9 * np.sin(a),
+                                          0.05 * i], (0.0, a, 0.1 * i), 0.5)
+            for i, a in enumerate(np.linspace(0, 2 * np.pi, 5)[:-1])]
+    cfg = RenderConfig(width=128, height=64, pipeline="tile")
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(-25), np.radians(30), 0], 2.6)
+    ivp = camera.inv_view_proj(tb, cfg.width, cfg.height)
+    merged = np.asarray(inst_mod.render_instanced(ds, ring, ivp, cfg))
+    os.environ["RTMM_INSTANCED_SERIAL"] = "1"
+    try:
+        serial = np.asarray(inst_mod.render_instanced(ds, ring, ivp, cfg))
+    finally:
+        del os.environ["RTMM_INSTANCED_SERIAL"]
+    diff = np.abs(merged - serial).max(-1)
+    npix = int((diff > 1e-4).sum())
+    assert npix <= 5, f"{npix} pixels diverge (max {diff.max():.4g})"
+    bg = np.asarray(cfg.background, np.float32)
+    assert (np.abs(merged - bg).max(-1) > 1e-5).mean() > 0.05
+
+
+def test_merged_instanced_overflow_backstop(base_scene):
+    """An instance seen by more tiles than the per-instance cap must
+    still render exactly (the overflow pass re-traces it full-frame) —
+    capacity never silently drops geometry."""
+    import dataclasses
+    from rtmm_tpu.render import instances as inst_mod
+
+    ds = base_scene
+    # One close-up instance covering most tiles + tiny cap to force
+    # overflow, plus a second small instance to keep the merge nontrivial.
+    ring = [inst_mod.Instance.identity(),
+            inst_mod.Instance.from_euler([1.4, 0.0, 0.0], (0, 0, 0), 0.3)]
+    cfg = dataclasses.replace(RenderConfig(width=128, height=64,
+                                           pipeline="tile"),
+                              instance_tile_cap=2)
+    cfg_full = dataclasses.replace(cfg, instance_tile_cap=0)
+    tb = camera.Trackball()
+    tb.set_camera([0, 0, 0], [np.radians(-25), np.radians(30), 0], 1.8)
+    ivp = camera.inv_view_proj(tb, cfg.width, cfg.height)
+    capped = np.asarray(inst_mod.render_instanced(ds, ring, ivp, cfg))
+    full = np.asarray(inst_mod.render_instanced(ds, ring, ivp, cfg_full))
+    diff = np.abs(capped - full).max(-1)
+    npix = int((diff > 1e-4).sum())
+    assert npix <= 5, f"{npix} pixels diverge (max {diff.max():.4g})"
