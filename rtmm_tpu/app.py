@@ -96,11 +96,30 @@ def main(argv=None) -> int:
                         help="render both micro-mesh and tessellated modes "
                              "and report the image RMSE (the reference's "
                              "implicit correctness oracle)")
+    parser.add_argument("--dump-bary", action="store_true",
+                        help="inspect the asset's .bary container (header, "
+                             "property table, group/triangle/value info) "
+                             "and exit — the diagnostic for real-file "
+                             "layout mismatches (see rtmm_tpu/io/FORMATS.md)")
     args = parser.parse_args(argv)
 
     if not args.asset.startswith("proc:") and not os.path.exists(args.asset):
         print("Micro-mesh file does not exist.", file=sys.stderr)
         return 1
+
+    if args.dump_bary:
+        from .io import bary as bary_mod
+        path = args.asset
+        if path.endswith((".gltf", ".glb")):
+            from .io import gltf as gltf_mod
+            resolved = gltf_mod.Gltf.load(path).micromap_uri()
+            if not resolved:
+                print("gltf has no NV displacement-micromap .bary reference",
+                      file=sys.stderr)
+                return 1
+            path = resolved
+        print(bary_mod.dump_bary(path))
+        return 0
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        pipeline=args.pipeline)

@@ -457,9 +457,18 @@ def write_bary(path: str, content: BaryContent,
 _UUID_TO_NAME = None
 
 
-def _identify_properties(raw_props: list[tuple[bytes, bytes]]
-                         ) -> dict[str, bytes]:
-    """Map raw (identifier, payload) pairs to property names."""
+def _identify_properties(raw_props: list[tuple[bytes, bytes]],
+                         strict: bool = False) -> dict[str, bytes]:
+    """Map raw (identifier, payload) pairs to property names.
+
+    strict=True: every property identifier must match a registered UUID
+    verbatim — an unrecognized identifier raises (with the full identifier
+    list so it can be transcribed into register_property_uuid). Lenient
+    (default): unrecognized identifiers fall back to structural
+    identification by payload shape, with a warning NAMING each property
+    that was matched structurally — a real micromesh-tools file still
+    loads, and the operator can see exactly which matches to distrust.
+    """
     global _UUID_TO_NAME
     _UUID_TO_NAME = {u: n for n, u in PROPERTY_UUIDS.items()}
     named = {}
@@ -472,25 +481,45 @@ def _identify_properties(raw_props: list[tuple[bytes, bytes]]
             unknown.append((ident, payload))
     if named or not unknown:
         return named
+    if strict:
+        raise ValueError(
+            "strict bary parse: no property identifier matches a "
+            "registered UUID. File identifiers: [%s]. This build's UUIDs "
+            "are uuid5 stand-ins (see module PROVENANCE note); transcribe "
+            "the real bary_core identifiers with "
+            "rtmm_tpu.io.bary.register_property_uuid(name, hex), or parse "
+            "with strict=False for structural identification."
+            % ", ".join(i.hex() for i, _ in unknown))
     # Structural fallback: a real micromesh-tools file whose UUIDs differ
     # from our reconstruction. Identify by payload shape.
-    warnings.warn(
-        "bary property UUIDs unrecognized (%s); falling back to structural "
-        "identification — register the true UUIDs with "
-        "rtmm_tpu.io.bary.register_property_uuid for strict matching"
-        % ", ".join(i.hex() for i, _ in unknown), stacklevel=3)
+    matched_structurally = []
     for ident, payload in unknown:
         if _looks_like_values(payload):
-            named.setdefault("values", payload)
+            if "values" not in named:
+                named["values"] = payload
+                matched_structurally.append(("values", ident))
         elif len(payload) % _GROUP_SIZE == 0 and _looks_like_groups(payload):
-            named.setdefault("groups", payload)
+            if "groups" not in named:
+                named["groups"] = payload
+                matched_structurally.append(("groups", ident))
         elif len(payload) % _TRIANGLE_SIZE == 0 \
                 and _looks_like_triangles(payload):
-            named.setdefault("triangles", payload)
+            if "triangles" not in named:
+                named["triangles"] = payload
+                matched_structurally.append(("triangles", ident))
         else:
             warnings.warn(
                 f"ignoring unidentified bary property {ident.hex()} "
                 f"({len(payload)} bytes)", stacklevel=3)
+    if matched_structurally:
+        warnings.warn(
+            "bary property UUIDs unrecognized; matched STRUCTURALLY "
+            "(distrust if the render looks wrong): %s. Register the true "
+            "identifiers with rtmm_tpu.io.bary.register_property_uuid, or "
+            "pass strict=True to reject such files."
+            % ", ".join(f"{n} <- {i.hex()}"
+                        for n, i in matched_structurally),
+            stacklevel=3)
     return named
 
 
@@ -526,7 +555,22 @@ def _looks_like_triangles(payload: bytes) -> bool:
     return bool((levels <= 16).all())
 
 
-def read_nvidia_bary(path: str) -> BaryContent:
+def _strict_default() -> bool:
+    import os
+    return os.environ.get("RTMM_BARY_STRICT", "0") == "1"
+
+
+def read_nvidia_bary(path: str, strict: bool | None = None) -> BaryContent:
+    """Parse an NVIDIA bary 1.0 container.
+
+    strict (default: RTMM_BARY_STRICT env, off): require verbatim property-
+    UUID matches; reject structural identification. Every malformed-field
+    error names the exact struct field (bary_Group[i].x / bary_Triangle[t].x)
+    so a genuine file's first failure is diagnosable from the message +
+    rtmm_tpu/io/FORMATS.md alone.
+    """
+    if strict is None:
+        strict = _strict_default()
     with open(path, "rb") as f:
         data = f.read()
     if data[:5] != VERSION_IDENTIFIER[:5]:
@@ -549,9 +593,14 @@ def read_nvidia_bary(path: str) -> BaryContent:
             _PROPINFO_FMT, data, pos)
         if scheme != 0:
             raise ValueError("supercompressed bary properties unsupported")
+        if off + length > len(data):
+            raise ValueError(
+                "bary propertyInfo[%d].byteRange (offset=%d, length=%d) "
+                "exceeds the file size %d"
+                % (len(raw_props), off, length, len(data)))
         raw_props.append((ident, data[off:off + length]))
         pos += _PROPINFO_SIZE
-    props = _identify_properties(raw_props)
+    props = _identify_properties(raw_props, strict=strict)
     if "triangles" not in props or "values" not in props:
         raise ValueError(
             "bary file missing triangle/value properties (found: %s)"
@@ -564,6 +613,12 @@ def read_nvidia_bary(path: str) -> BaryContent:
     tri_rel_offset = tri_u32[:, 0].astype(np.int64)
     tri_subdiv = (tri_u32[:, 1] & 0xFFFF).astype(np.int32)
     tri_block = (tri_u32[:, 1] >> 16).astype(np.uint16)
+    bad = np.nonzero(tri_subdiv > 16)[0]
+    if bad.size:
+        raise ValueError(
+            "bary_Triangle[%d].subdivLevel = %d out of range (0..16); the "
+            "triangles property is corrupt or misidentified"
+            % (int(bad[0]), int(tri_subdiv[bad[0]])))
 
     vfmt, layout, freq, vcount, vbsize, _valign = struct.unpack_from(
         _VALUESINFO_FMT, props["values"], 0)
@@ -578,6 +633,16 @@ def read_nvidia_bary(path: str) -> BaryContent:
         graw = props["groups"]
         for g in range(len(graw) // _GROUP_SIZE):
             rec = struct.unpack_from(_GROUP_FMT, graw, g * _GROUP_SIZE)
+            if rec[0] + rec[1] > n_tris:
+                raise ValueError(
+                    "bary_Group[%d].triangleFirst+triangleCount = %d+%d "
+                    "exceeds the triangle count %d"
+                    % (g, rec[0], rec[1], n_tris))
+            if rec[4] > rec[5] or rec[5] > 16:
+                raise ValueError(
+                    "bary_Group[%d].minSubdivLevel..maxSubdivLevel = "
+                    "%d..%d is not a valid level range (0..16)"
+                    % (g, rec[4], rec[5]))
             groups.append(BaryGroup(
                 triangle_first=rec[0], triangle_count=rec[1],
                 value_first=rec[2], value_count=rec[3],
@@ -600,9 +665,21 @@ def read_nvidia_bary(path: str) -> BaryContent:
             for t in range(g.triangle_first,
                            g.triangle_first + g.triangle_count):
                 lvl = int(tri_subdiv[t])
-                bf = dispc1.BlockFormatDispC1(int(tri_block[t]))
+                try:
+                    bf = dispc1.BlockFormatDispC1(int(tri_block[t]))
+                except ValueError:
+                    raise ValueError(
+                        "bary_Triangle[%d].blockFormat = %d is not a "
+                        "known bary_BlockFormatDispC1 (1..3)"
+                        % (t, int(tri_block[t])))
                 byte_off = g.value_first + tri_rel_offset[t]
                 nbytes = dispc1.triangle_block_bytes(lvl, bf)
+                if byte_off + nbytes > len(payload):
+                    raise ValueError(
+                        "bary_Triangle[%d].valuesOffset = %d: %d-byte "
+                        "%s block run exceeds the values payload "
+                        "(%d bytes)" % (t, int(tri_rel_offset[t]),
+                                        nbytes, bf.name, len(payload)))
                 qg = dispc1.decode_triangle(
                     payload[byte_off:byte_off + nbytes], lvl, bf)
                 q = qg[grid_to_umajor_order(lvl)]
@@ -626,7 +703,14 @@ def read_nvidia_bary(path: str) -> BaryContent:
             for t in range(g.triangle_first,
                            g.triangle_first + g.triangle_count):
                 byte_off = g.value_first + tri_rel_offset[t]
-                q = unpack_r11(payload[byte_off:], int(counts[t]))
+                try:
+                    q = unpack_r11(payload[byte_off:], int(counts[t]))
+                except ValueError:
+                    raise ValueError(
+                        "bary_Triangle[%d].valuesOffset = %d: %d-value "
+                        "r11 run exceeds the values payload (%d bytes)"
+                        % (t, int(tri_rel_offset[t]), int(counts[t]),
+                           len(payload)))
                 values_list.append(q.astype(np.float32) / 2047.0)
                 abs_offsets[t] = pos
                 pos += counts[t]
@@ -661,6 +745,14 @@ def read_nvidia_bary(path: str) -> BaryContent:
             tsel = np.arange(g.triangle_first,
                              g.triangle_first + g.triangle_count)
             tri_abs[tsel] = g.value_first + tri_rel_offset[tsel]
+        bad = np.nonzero(tri_abs + counts > values.shape[0])[0]
+        if bad.size:
+            t = int(bad[0])
+            raise ValueError(
+                "bary_Triangle[%d].valuesOffset = %d: %d-element value "
+                "run exceeds the decoded value count %d"
+                % (t, int(tri_rel_offset[t]), int(counts[t]),
+                   values.shape[0]))
 
     flags = np.zeros(n_tris, np.uint8)
     if "mesh_triangle_flags" in props:
@@ -687,9 +779,110 @@ def read_nvidia_bary(path: str) -> BaryContent:
                        tri_min_max=tri_min_max)
 
 
-def read_bary(path: str) -> BaryContent:
+def dump_bary(path: str) -> str:
+    """Human-readable inspection of a .bary container (CLI: --dump-bary).
+
+    Best-effort: prints every header/property field it can parse even when
+    later validation would reject the file, so a genuine micromesh-tools
+    file's first mismatch against this reader's reconstructed layout
+    (module PROVENANCE note; field layouts documented in
+    rtmm_tpu/io/FORMATS.md) is diagnosable from this dump alone.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    lines = [f"file: {path} ({len(data)} bytes)"]
+    if data[:6] == RTMB_MAGIC:
+        lines.append("container: RTMB (this framework's native cache format)")
+        c = read_rtmb(path)
+        lines.append(f"groups: {len(c.groups)}  triangles: "
+                     f"{len(c.tri_value_offset)}  values: {len(c.values)}")
+        return "\n".join(lines)
+    ver = data[:16]
+    lines.append(f"versionIdentifier: {ver.hex()}"
+                 + ("  (bary 1.0)" if ver == VERSION_IDENTIFIER
+                    else "  (MISMATCH vs bary 1.0 "
+                         f"{VERSION_IDENTIFIER.hex()})"))
+    if len(data) < _HEADER_SIZE:
+        lines.append("file shorter than the 32-byte header; cannot parse")
+        return "\n".join(lines)
+    _v, total, preamble, prop_count = struct.unpack_from(_HEADER_FMT, data, 0)
+    lines.append(f"totalByteSize: {total}"
+                 + ("" if total == len(data) else
+                    f"  (MISMATCH: file is {len(data)})"))
+    lines.append(f"preambleByteSize: {preamble}  propertyInfoCount: "
+                 f"{prop_count}")
+    name_of = {u: n for n, u in PROPERTY_UUIDS.items()}
+    pos = _HEADER_SIZE
+    for i in range(prop_count):
+        if pos + _PROPINFO_SIZE > len(data):
+            lines.append(f"propertyInfo[{i}]: truncated")
+            break
+        ident, off, length, scheme, _res, goff, glen = struct.unpack_from(
+            _PROPINFO_FMT, data, pos)
+        pos += _PROPINFO_SIZE
+        name = name_of.get(bytes(ident))
+        if name is None:
+            payload = data[off:off + length]
+            if _looks_like_values(payload):
+                name = "UNKNOWN uuid (structurally: values)"
+            elif length % _GROUP_SIZE == 0 and _looks_like_groups(payload):
+                name = "UNKNOWN uuid (structurally: groups)"
+            elif length % _TRIANGLE_SIZE == 0 \
+                    and _looks_like_triangles(payload):
+                name = "UNKNOWN uuid (structurally: triangles)"
+            else:
+                name = "UNKNOWN uuid"
+        lines.append(f"propertyInfo[{i}]: {ident.hex()}  {name}")
+        lines.append(f"  byteRange: offset={off} length={length} "
+                     f"scheme={scheme} uncompressed=({goff},{glen})"
+                     + ("" if off + length <= len(data)
+                        else "  (EXCEEDS FILE)"))
+        if name == "groups" and length % _GROUP_SIZE == 0:
+            for g in range(length // _GROUP_SIZE):
+                rec = struct.unpack_from(_GROUP_FMT, data,
+                                         off + g * _GROUP_SIZE)
+                lines.append(
+                    f"  group[{g}]: triangles [{rec[0]}, {rec[0]+rec[1]})"
+                    f"  values [{rec[2]}, {rec[2]+rec[3]})  levels "
+                    f"{rec[4]}..{rec[5]}  bias={rec[6]:g} scale={rec[10]:g}")
+        elif name == "triangles" and length % _TRIANGLE_SIZE == 0:
+            n = length // _TRIANGLE_SIZE
+            arr = np.frombuffer(data[off:off + n * _TRIANGLE_SIZE],
+                                "<u4").reshape(n, 2)
+            levels = arr[:, 1] & 0xFFFF
+            blocks = arr[:, 1] >> 16
+            hist = {int(l): int((levels == l).sum())
+                    for l in np.unique(levels)}
+            lines.append(f"  triangles: {n}  level histogram: {hist}"
+                         f"  blockFormats: "
+                         f"{sorted(int(b) for b in np.unique(blocks))}")
+        elif name == "values" and length >= _VALUESINFO_SIZE:
+            fmt, layout, freq, count, bsize, align = struct.unpack_from(
+                _VALUESINFO_FMT, data, off)
+            try:
+                fname = Format(fmt).name
+            except ValueError:
+                fname = f"UNKNOWN({fmt})"
+            lines.append(
+                f"  valuesInfo: format={fname} layout="
+                f"{ValueLayout(layout).name if layout in (0, 1, 2) else layout}"
+                f" frequency={freq} count={count} byteSize={bsize}"
+                f" byteAlignment={align}")
+        elif name == "triangle_min_maxs" and length >= _MINMAXINFO_SIZE:
+            mfmt, mcount, msize, malign = struct.unpack_from(
+                _MINMAXINFO_FMT, data, off)
+            try:
+                fname = Format(mfmt).name
+            except ValueError:
+                fname = f"UNKNOWN({mfmt})"
+            lines.append(f"  minMaxsInfo: format={fname} count={mcount} "
+                         f"byteSize={msize} byteAlignment={malign}")
+    return "\n".join(lines)
+
+
+def read_bary(path: str, strict: bool | None = None) -> BaryContent:
     with open(path, "rb") as f:
         head = f.read(16)
     if head[:6] == RTMB_MAGIC:
         return read_rtmb(path)
-    return read_nvidia_bary(path)
+    return read_nvidia_bary(path, strict=strict)
