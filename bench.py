@@ -453,6 +453,7 @@ def _bench_pathtrace(scene, cfg, metric, frames: int = 8):
     path-trace frame is ~28 ms on-device — timing it per-call would be
     ~50% relay latency)."""
     import functools
+    import os
 
     import jax
     import jax.numpy as jnp
@@ -461,7 +462,13 @@ def _bench_pathtrace(scene, cfg, metric, frames: int = 8):
                                            path_trace)
     from rtmm_tpu.utils import camera
 
-    pt = PathTraceConfig(bounces=3, samples_per_pixel=2, ray_chunk=16384)
+    # RTMM_PT_BOUNCES / RTMM_PT_SPP: attribution A/Bs (e.g. the cost of
+    # one extra bounce = T(3) - T(2) isolates the late, mostly-dead
+    # secondary traces; the published config-5 number is the default 3/2).
+    pt = PathTraceConfig(
+        bounces=int(os.environ.get("RTMM_PT_BOUNCES", "3")),
+        samples_per_pixel=int(os.environ.get("RTMM_PT_SPP", "2")),
+        ray_chunk=16384)
     # PathTracer only to resolve bounce_t_max from the scene bounds.
     pt = PathTracer(scene, cfg, pt).pt
 

@@ -468,7 +468,12 @@ def build_compressed_scene(mesh: mesh_mod.MicroMesh) -> DeviceScene:
 
     uniform = (mesh.has_uniform_subdivision_level()
                and all(t.u_present.all() for t in mesh.triangles))
-    if not uniform:
+    # Level < SUB_LEVEL triangles carry fewer than LPU leaves, so the
+    # one-subtree-per-unit record would waste unit slots AND epilogue
+    # lanes (a level-2 scene: 4x the units -> 4x the (tile, unit) visits
+    # at 1/4 lane occupancy; measured 23.5 vs 82.4 Mrays/s on the 51k
+    # bench pair). The indexed builder packs several triangles per unit.
+    if not uniform or mesh.max_level < comp.SUB_LEVEL:
         return _build_compressed_indexed(mesh)
 
     lvl = mesh.max_level
@@ -531,6 +536,63 @@ def build_compressed_scene(mesh: mesh_mod.MicroMesh) -> DeviceScene:
         max_level=lvl, compressed=True, sub_level=su)
 
 
+def _pack_compressed_class(mesh, ids, idx3, ref, gcoords, lvl_g, c0, k,
+                           aabb_min, aabb_max, recs, u_mins, u_maxs):
+    """Emit one class's triangles packed k-per-unit (level < SUB_LEVEL).
+
+    The unit record's position rows hold k class-topology grids at lane
+    blocks [t*gpts, (t+1)*gpts); the corner-index rows are the class's
+    stitched topology (ops/compressed.stitched_unit_topology) shifted by
+    t*gpts per slot — shared by every unit of the class. Max shifted lane
+    is k*gpts - 1 <= GRID_LANES - 2, so the degenerate sentinel lane
+    (GRID_LANES - 1, always zero) stays reserved; absent slots of the
+    last unit keep zero positions, so their leaves derive det == 0 and
+    the standard epsilon rejects them. Triangles are Morton-ordered
+    before grouping so unit AABBs stay tight (the exact role of
+    pack_units' leaf-level Morton packing in the standard build)."""
+    from ..ops import compressed as comp
+    from ..ops import precompute
+
+    spt, gpts = gcoords.shape[:2]
+    assert spt == 1 and k * gpts <= comp.GRID_LANES - 1
+    n_ids = len(ids)
+    pos = np.zeros((n_ids, gpts, 3), np.float32)
+    chunk = max(1, 4_000_000 // max(gpts, 1))
+    for s in range(0, n_ids, chunk):
+        sel = np.asarray(ids[s:s + chunk], np.int64)
+        v0, v1, v2, d0, d1, d2, scales = precompute.base_and_scales(
+            mesh, 0, 0, ids=sel)
+        pos[s:s + sel.shape[0]] = comp.grid_positions(
+            v0, v1, v2, d0, d1, d2, scales, gcoords, lvl_g)[:, 0]
+    refm = ref[0, :gpts]                               # (gpts,)
+    tmin = np.where(refm[None, :, None], pos, BIG).min(axis=1)
+    tmax = np.where(refm[None, :, None], pos, -BIG).max(axis=1)
+    ids_arr = np.asarray(ids, np.int64)
+    aabb_min[ids_arr] = tmin
+    aabb_max[ids_arr] = tmax
+
+    order = np.argsort(_morton_codes(0.5 * (tmin + tmax)), kind="stable")
+    n_units = -(-n_ids // k)
+    slot = np.full((n_units * k,), -1, np.int64)
+    slot[:n_ids] = order
+    slot = slot.reshape(n_units, k)
+    live = (slot >= 0)[..., None, None]                # (nu, k, 1, 1)
+    src = pos[np.maximum(slot, 0)]                     # (nu, k, gpts, 3)
+    mask = live & refm[None, None, :, None]
+    rec = np.zeros((n_units, comp.IDX_ROWS, comp.GRID_LANES), np.float32)
+    rec[:, 0:3, :k * gpts] = (np.where(mask, src, 0.0)
+                              .reshape(n_units, k * gpts, 3)
+                              .transpose(0, 2, 1))
+    gidx = np.full((3, comp.LPU), comp.IDX_SENTINEL, np.int64)
+    for t in range(k):
+        gidx[:, t * c0:(t + 1) * c0] = (idx3[0, :, :c0].astype(np.int64)
+                                        + t * gpts)
+    rec[:, 3:6, :] = comp.pack_index_rows(gidx[None])[0]
+    recs.append(rec)
+    u_mins.append(np.where(mask, src, BIG).min(axis=(1, 2)))
+    u_maxs.append(np.where(mask, src, -BIG).max(axis=(1, 2)))
+
+
 def _build_compressed_indexed(mesh: mesh_mod.MicroMesh) -> DeviceScene:
     """Indexed compressed build for mixed-level / stitched meshes.
 
@@ -564,6 +626,21 @@ def _build_compressed_indexed(mesh: mesh_mod.MicroMesh) -> DeviceScene:
         idx3, ref, su_g = comp.stitched_unit_topology(lvl_g, present)
         gcoords, _ = comp.subtree_grid_coords(lvl_g)
         spt, gpts = gcoords.shape[:2]
+        # Small classes (level < SUB_LEVEL: spt == 1 subtree with < LPU
+        # leaves) pack k triangles per unit — k grids concatenated in the
+        # record's lanes, the shared class topology shifted per slot —
+        # so unit count and lane occupancy match the standard build
+        # instead of one near-empty unit per triangle.
+        c0 = int((idx3[0, 0] != comp.IDX_SENTINEL).sum()) if spt else 0
+        k = 1
+        if spt == 1 and c0:
+            k = max(1, min(comp.LPU // c0,
+                           (comp.GRID_LANES - 1) // max(gpts, 1)))
+        if k > 1:
+            _pack_compressed_class(mesh, ids, idx3, ref, gcoords, lvl_g,
+                                   c0, k, aabb_min, aabb_max,
+                                   recs, u_mins, u_maxs)
+            continue
         idxrows = comp.pack_index_rows(idx3)          # (spt, 2, GRID_LANES)
         refs = ref[:, :gpts]                          # (spt, gpts)
         chunk = max(1, 4_000_000 // max(spt * gpts, 1))

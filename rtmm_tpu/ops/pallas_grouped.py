@@ -70,9 +70,11 @@ def _derive_q16_unit(grid_block, gmat, lpu, indexed):
         if indexed:
             from .compressed import GRID_LANES
             idx_row = grid_block[3 + j:4 + j, 0:lpu]          # (1, lpu)
+            # int32 iota/compare: Mosaic rejects a FLOAT tpu.iota on
+            # real v5e (the cast of the small-int f32 row is lossless).
             gi = jax.lax.broadcasted_iota(
-                jnp.float32, (GRID_LANES, lpu), 0)
-            oh = (gi == idx_row).astype(jnp.bfloat16)
+                jnp.int32, (GRID_LANES, lpu), 0)
+            oh = (gi == idx_row.astype(jnp.int32)).astype(jnp.bfloat16)
         else:
             oh = gmat[:, j * lpu:(j + 1) * lpu].astype(jnp.bfloat16)
         g9 = jax.lax.dot_general(

@@ -312,13 +312,17 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu,
         if indexed:
             # Per-unit one-hot built from the record's corner-index row
             # (stitched/mixed-level topology): oh[g, k] = (g == idx[k]).
-            # Exact — indices are small ints in f32; the sentinel index
-            # hits the guaranteed-zero lane 127 (degenerate leaf).
+            # Exact — indices are small ints in f32, so the int32 cast is
+            # lossless; the compare runs on int32 because Mosaic's
+            # verifier rejects a FLOAT tpu.iota on real v5e (interpret
+            # mode accepted it — caught on the first hardware run). The
+            # sentinel index hits the guaranteed-zero lane 127
+            # (degenerate leaf).
             from .compressed import GRID_LANES
             idx_row = grid_block[3 + j:4 + j, 0:lpu]          # (1, lpu)
             gi = jax.lax.broadcasted_iota(
-                jnp.float32, (GRID_LANES, lpu), 0)
-            oh = (gi == idx_row).astype(jnp.bfloat16)         # (GL, lpu)
+                jnp.int32, (GRID_LANES, lpu), 0)
+            oh = (gi == idx_row.astype(jnp.int32)).astype(jnp.bfloat16)
         else:
             oh = gmat[:, j * lpu:(j + 1) * lpu].astype(jnp.bfloat16)
         g9 = jax.lax.dot_general(

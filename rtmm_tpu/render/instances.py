@@ -372,6 +372,16 @@ def render_instanced(scene: DeviceScene, instances: list[Instance],
                              cfg, interpret)
 
 
+def _tile_cap(cfg, n_tiles: int) -> int:
+    """Per-instance tile-row cap for the merged launch / serial compaction.
+    RTMM_INSTANCE_TILE_CAP overrides for bench A/Bs (0 = cfg/auto)."""
+    import os
+    env = int(os.environ.get("RTMM_INSTANCE_TILE_CAP", "0"))
+    cap = env or cfg.instance_tile_cap or max(4 * cfg.tiles_per_block,
+                                              n_tiles // 8)
+    return min(n_tiles, cap)
+
+
 def _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
                              interpret: bool):
     """N-insensitive two-level traversal: ONE kernel launch for ALL
@@ -421,8 +431,7 @@ def _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
     origins_w = to_tiles(origins_w)
     s_w = ((origins_w - apex_w) * dirs_w).sum(-1)        # (tiles, TILE)
 
-    cap = cfg.instance_tile_cap or max(4 * cfg.tiles_per_block, n_tiles // 8)
-    m_cap = min(n_tiles, cap)
+    m_cap = _tile_cap(cfg, n_tiles)
     hp = jax.lax.Precision.HIGHEST
     exit_aabb = tiled.scene_exit_aabb(scene)
 
@@ -624,8 +633,7 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
     s_w = ((origins_w - apex_w) * dirs_w).sum(-1)        # (tiles, TILE)
     lpu = scene.leaves_per_unit
 
-    cap = cfg.instance_tile_cap or max(4 * cfg.tiles_per_block, n_tiles // 8)
-    m_cap = min(n_tiles, cap)
+    m_cap = _tile_cap(cfg, n_tiles)
     use_compact = m_cap < n_tiles
 
     def one_instance(carry, inst):

@@ -346,8 +346,49 @@ def test_derive_unit_kernel_matches_exact_host_mirror():
             np.concatenate([-n, -w1, -w2], axis=1),
             np.concatenate([np.zeros((3, lpu), np.float32), e2, -e1],
                            axis=1)], axis=0)
-        # rtol 1e-5 admits FMA-contraction ulps on cancelled cross
-        # terms; the failure class this guards against (a lost bf16
-        # split term / default-precision gather) shows up at ~4e-3.
-        np.testing.assert_allclose(q_t[u], q_ref, rtol=1e-5, atol=1e-30,
+        # rtol 1e-4 admits FMA-contraction ulps on cancelled cross
+        # terms (the level-2 k-packed records hit 2.7e-5 on one lane);
+        # the failure class this guards against (a lost bf16 split term
+        # / default-precision gather) shows up at ~4e-3, 40x above.
+        np.testing.assert_allclose(q_t[u], q_ref, rtol=1e-4, atol=1e-30,
                                    err_msg=f"unit {u}")
+
+
+@pytest.mark.parametrize("level,grid", [(2, (8, 8)), (1, (8, 8))])
+def test_compressed_low_level_packs_multiple_triangles(level, grid):
+    """Uniform level < 3: one unit packs several Morton-adjacent base
+    triangles into one indexed record (level 2: 4 tris = 64/64 leaves,
+    level 1: 16 tris) instead of one triangle per unit — otherwise a
+    level-2 scene quadruples its unit count AND its (tile, unit) visit
+    count while wasting 3/4 of every MT epilogue's leaf lanes (measured:
+    config 9 at 23.5 vs config 6's 82.4 Mrays/s before the repack)."""
+    mesh = procedural.make_plane(grid=grid, level=level, amplitude=0.1)
+    ds = scene_mod.build_device_scene(mesh, compressed=True)
+    std = scene_mod.build_device_scene(mesh)
+    n_c = int(np.asarray(ds.unit_valid).sum())
+    n_s = int(np.asarray(std.unit_valid).sum())
+    assert n_c == n_s, (n_c, n_s)
+    cfg = dataclasses.replace(CFG, pipeline="tile")
+    a = np.asarray(Renderer(ds, cfg).render(_ivp()))
+    b = np.asarray(Renderer(std, cfg).render(_ivp()))
+    assert _npix(a, b) <= 5, f"{_npix(a, b)} pixels diverge vs standard"
+    c = np.asarray(Renderer(
+        ds, dataclasses.replace(CFG, pipeline="pallas")).render(_ivp()))
+    assert _npix(a, c) <= 5, f"{_npix(a, c)} pixels diverge tile vs pallas"
+    bg = np.asarray(cfg.background)
+    assert (np.abs(a - bg).max(-1) > 1e-5).mean() > 0.05, "not visible"
+
+
+def test_compressed_level0_packs_triangles():
+    """Level 0 (plain triangles): lane capacity caps packing at 42 tris
+    per unit (42 * 3 verts = 126 <= 127 usable lanes) — still 42x fewer
+    units than one-per-triangle."""
+    mesh = procedural.make_plane(grid=(8, 8), level=0, amplitude=0.0)
+    ds = scene_mod.build_device_scene(mesh, compressed=True)
+    n_c = int(np.asarray(ds.unit_valid).sum())
+    assert n_c <= -(-mesh.num_triangles // 42) + 1, n_c
+    cfg = dataclasses.replace(CFG, pipeline="tile")
+    a = np.asarray(Renderer(ds, cfg).render(_ivp()))
+    b = np.asarray(Renderer(
+        scene_mod.build_device_scene(mesh), cfg).render(_ivp()))
+    assert _npix(a, b) <= 5, f"{_npix(a, b)} pixels diverge"
