@@ -32,11 +32,18 @@ FRAMES_PER_CALL = 32
 
 
 def _frames_per_call(cfg) -> int:
-    """Orbit length per device invocation. Small frames render in ~1-2 ms,
-    so the host relay's ~25 ms per-call latency would dominate a short
-    orbit; longer orbits keep the measurement about the chip (32 x ~17 ms
-    at 1080p leaves the relay <5% of a call)."""
-    return FRAMES_PER_CALL if cfg.width * cfg.height >= 2**20 else 64
+    """Orbit length per device invocation. Small frames render in well
+    under 1 ms, so the host relay's ~25 ms per-call latency would dominate
+    a short orbit; longer orbits keep the measurement about the chip
+    (32 x ~17 ms at 1080p leaves the relay <5% of a call; at 256^2 even a
+    64-frame call is ~half relay, so small frames default to 256 — one
+    fused launch of 16k tile rows, ~0.5 GB of output rows).
+    RTMM_BENCH_FRAMES overrides for orbit-length A/Bs."""
+    import os
+    env = int(os.environ.get("RTMM_BENCH_FRAMES", "0"))
+    if env:
+        return env
+    return FRAMES_PER_CALL if cfg.width * cfg.height >= 2**20 else 256
 
 
 def _build_config(n: int):
@@ -128,26 +135,32 @@ def _build_config_raw(n: int):
         return ("pathtrace_subdiv5_3bounce", scene,
                 RenderConfig(width=512, height=512, sub_frusta=8),
                 None)  # special-cased
-    if n == 8:
-        # TRUE two-level (TLAS-analog) traversal at instance scale: 64
+    if n in (8, 10):
+        # TRUE two-level (TLAS-analog) traversal at instance scale: N
         # instances of one shared object-space scene, O(scene + N) HBM,
-        # per-instance ray transform + per-tile instance culling
-        # (render/instances.py::render_instanced). Config 4 measures the
-        # baked alternative (O(N x scene) HBM, 6 instances).
+        # per-instance ray transform + per-tile instance culling, merged
+        # into ONE windowed launch whose cost scales with the instances'
+        # total screen footprint, not N
+        # (render/instances.py::_render_instanced_merged). Config 4
+        # measures the baked alternative (O(N x scene) HBM, 6 instances);
+        # config 10 is the 256-instance N-insensitivity probe (footprint
+        # per instance shrinks as the ring widens, so Mrays/s should
+        # track the ~constant covered-pixel count, not N).
         from rtmm_tpu.render import instances as inst_mod
+        n_inst = 64 if n == 8 else 256
         mesh = procedural.make_icosphere(subdivisions=1, level=3,
                                          amplitude=0.12)
         base = scene_mod.build_device_scene(mesh)
         rng = np.random.default_rng(9)
         ring = []
-        for i in range(64):
-            a = 2.0 * np.pi * i / 64
+        for i in range(n_inst):
+            a = 2.0 * np.pi * i / n_inst
             rad = 2.4 + 0.9 * ((i * 7) % 3)
             ring.append(inst_mod.Instance.from_euler(
                 [rad * np.cos(a), rad * np.sin(a),
                  0.8 * float(rng.standard_normal())],
-                (0.0, a, 0.2 * i), 0.35))
-        return ("instanced_tlas_64x_1080p", (base, ring),
+                (0.0, a, 0.2 * i), 0.35 if n == 8 else 0.18))
+        return (f"instanced_tlas_{n_inst}x_1080p", (base, ring),
                 RenderConfig(width=1920, height=1080), None)
     raise SystemExit(f"unknown config {n}")
 

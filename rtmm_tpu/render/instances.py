@@ -372,13 +372,28 @@ def render_instanced(scene: DeviceScene, instances: list[Instance],
                              cfg, interpret)
 
 
-def _tile_cap(cfg, n_tiles: int) -> int:
+def _tile_cap(cfg, n_tiles: int, n_inst: int | None = None) -> int:
     """Per-instance tile-row cap for the merged launch / serial compaction.
-    RTMM_INSTANCE_TILE_CAP overrides for bench A/Bs (0 = cfg/auto)."""
+
+    Auto mode budgets a CONSTANT total row count across instance counts
+    (cap ~ 4 * n_tiles / N): the merged launch's cost floor is its
+    (rows x TILE) t/n output traffic plus one grid step per row, both of
+    which scale with N * cap — not with the geometry actually traced —
+    so a per-instance cap that ignores N regresses exactly at high N
+    (measured, 64-instance 1080p ring: cap 512 -> 35.9, 255 -> 49.6,
+    128 -> 62.6 Mrays/s). Instances whose footprint exceeds the cap stay
+    exact via the serial re-run backstop. RTMM_INSTANCE_TILE_CAP
+    overrides for bench A/Bs (0 = cfg/auto)."""
     import os
     env = int(os.environ.get("RTMM_INSTANCE_TILE_CAP", "0"))
-    cap = env or cfg.instance_tile_cap or max(4 * cfg.tiles_per_block,
-                                              n_tiles // 8)
+    if n_inst is None:
+        # Serial path: the cap only bounds one instance's compaction
+        # window (no N-scaled output buffer exists), keep the footprint
+        # heuristic.
+        auto = max(4 * cfg.tiles_per_block, n_tiles // 8)
+    else:
+        auto = max(4 * cfg.tiles_per_block, 4 * n_tiles // max(n_inst, 1))
+    cap = env or cfg.instance_tile_cap or auto
     return min(n_tiles, cap)
 
 
@@ -431,7 +446,7 @@ def _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
     origins_w = to_tiles(origins_w)
     s_w = ((origins_w - apex_w) * dirs_w).sum(-1)        # (tiles, TILE)
 
-    m_cap = _tile_cap(cfg, n_tiles)
+    m_cap = _tile_cap(cfg, n_tiles, n_inst)
     hp = jax.lax.Precision.HIGHEST
     exit_aabb = tiled.scene_exit_aabb(scene)
 
