@@ -237,14 +237,40 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
     nrm0p = pad_to(nrm0)
     hit0p = pad_to(hit0)
 
+    # RTMM_PT_HASHRAND=1: draw each bounce's randoms at USE time as a
+    # stateless hash of (sample key, bounce, original pixel index) —
+    # a vectorized per-lane threefry on the carried idx column — instead
+    # of pre-drawing raster-order arrays and carrying the not-yet-used
+    # ones through every compaction sort (up to 2*(bounces-1) extra
+    # 262k-lane sort operands at 512^2). Same determinism property
+    # (randoms are a function of the pixel, not the permutation), so all
+    # engines still agree pixel-for-pixel — but the VALUES differ from
+    # the pre-drawn scheme, so this is an A/B knob, not a default flip,
+    # until the TPU measurement is in.
+    import os as _os
+    _hashrand = _os.environ.get("RTMM_PT_HASHRAND") == "1"
+
     def secondary_sample(key):
         """Bounces 1..N for one sample. Returns (radiance (n, 3) in raster
         order, live counts (N,), overflow counts (N,))."""
+
+        def rand2(b, idx_col):
+            kb = jax.random.fold_in(key, b)
+            return jax.vmap(
+                lambda i: jax.random.uniform(jax.random.fold_in(kb, i),
+                                             (2,)))(idx_col)
+
         # Pixel-indexed randoms: drawn in raster order per bounce event and
-        # permuted along with their rays below.
-        rs = [jax.random.uniform(jax.random.fold_in(key, b), (total, 2))
-              for b in range(n_bounce)]
-        d1 = _cosine_dir(rs[0], nrm0p)
+        # permuted along with their rays below (or hash-drawn at use time
+        # under RTMM_PT_HASHRAND — then nothing rides the sorts).
+        if _hashrand:
+            rs = None
+            d1 = _cosine_dir(rand2(0, jnp.arange(total, dtype=jnp.int32)),
+                             nrm0p)
+        else:
+            rs = [jax.random.uniform(jax.random.fold_in(key, b), (total, 2))
+                  for b in range(n_bounce)]
+            d1 = _cosine_dir(rs[0], nrm0p)
         o = borigin0p
         d = jnp.where(hit0p[:, None], d1, d0p)
         alive = hit0p
@@ -265,8 +291,9 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
             else:
                 do_sort = False
             if do_sort:
-                pending = [c for r in rs[bounce:] for c in (r[:, 0],
-                                                            r[:, 1])]
+                pending = ([] if _hashrand else
+                           [c for r in rs[bounce:] for c in (r[:, 0],
+                                                             r[:, 1])])
                 ops = jax.lax.sort(
                     (skey, o[:, 0], o[:, 1], o[:, 2],
                      d[:, 0], d[:, 1], d[:, 2],
@@ -278,9 +305,10 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
                 tp = jnp.stack(ops[7:10], axis=-1)
                 rad = jnp.stack(ops[10:13], axis=-1)
                 idx = ops[13]
-                rs = rs[:bounce] + [
-                    jnp.stack(ops[14 + 2 * i:16 + 2 * i], axis=-1)
-                    for i in range(n_bounce - bounce)]
+                if not _hashrand:
+                    rs = rs[:bounce] + [
+                        jnp.stack(ops[14 + 2 * i:16 + 2 * i], axis=-1)
+                        for i in range(n_bounce - bounce)]
                 if engine in ("pallas", "grouped"):
                     alive = ops[0] < grouped.DEAD_KEY
                 else:
@@ -316,7 +344,8 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
             if bounce == n_bounce:
                 break
             hit_pos = o + jnp.where(hit, bt, 0.0)[:, None] * d
-            new_dir = _cosine_dir(rs[bounce], nrm)
+            new_dir = _cosine_dir(
+                rand2(bounce, idx) if _hashrand else rs[bounce], nrm)
             o = hit_pos + 1e-4 * nrm
             d = jnp.where(alive[:, None], new_dir, d)
             tp = tp * jnp.where(alive[:, None], albedo, 1.0)
