@@ -34,7 +34,7 @@ BIG = np.float32(1e30)
                  "unit_aabb_min", "unit_aabb_max", "unit_valid",
                  "unit_leaf_idx",
                  "unit_qn", "unit_n", "unit_e2w2", "unit_nrm",
-                 "unit_nrm_pad", "unit_q16", "unit_grid",
+                 "unit_nrm_pad", "unit_q16", "unit_grid", "unit_gmat",
                  "cluster_aabb_min", "cluster_aabb_max", "cluster_valid",
                  "cluster_unit_meta"],
     meta_fields=["max_level", "compressed", "sub_level", "indexed"])
@@ -117,6 +117,14 @@ class DeviceScene:
     # topology — set for mixed-level / decimated-presence meshes, whose
     # units have no shared all-present gather matrix.
     indexed: bool = False
+    # Shared gather matrix (GRID_LANES, 3*LPU) for indexed scenes whose
+    # units ALL share one topology (single-class packed builds — e.g. a
+    # uniform level-2 scene packed 4 triangles/unit): the kernels then
+    # gather corners through this constant instead of building a per-unit
+    # one-hot from the record's index rows every visit (measured 34% of
+    # the config-9 frame, bench A/B 2xderive). None when unit topologies
+    # differ.
+    unit_gmat: jax.Array | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -693,6 +701,19 @@ def _build_compressed_indexed(mesh: mesh_mod.MicroMesh) -> DeviceScene:
 
     clusters = build_clusters(unit_aabb_min, unit_aabb_max, unit_valid)
 
+    # Single-topology detection: when every valid unit carries the SAME
+    # corner-index rows (one (level, presence) class — e.g. a uniform
+    # level-2 scene packed k-per-unit), the kernels can gather corners
+    # through one shared matrix instead of building a per-unit one-hot
+    # from the index rows every visit (2xderive measured the in-kernel
+    # derivation at 34% of the config-9 frame). Bit-identical: the
+    # shared matrix IS the per-unit one-hot these units would build.
+    unit_gmat = None
+    if u_real and bool((unit_grid[:u_real, 3:6]
+                        == unit_grid[0:1, 3:6]).all()):
+        unit_gmat = comp.gather_matrix_from_indices(
+            comp._corner_indices_np(unit_grid[0:1])[0])
+
     dev = lambda x: None if x is None else jax.device_put(x)  # noqa: E731
     return DeviceScene(
         aabb_min=dev(aabb_min), aabb_max=dev(aabb_max),
@@ -705,7 +726,7 @@ def _build_compressed_indexed(mesh: mesh_mod.MicroMesh) -> DeviceScene:
         unit_nrm_pad=None, unit_q16=None, unit_grid=dev(unit_grid),
         **{k: dev(v) for k, v in clusters.items()},
         max_level=mesh.max_level, compressed=True,
-        sub_level=comp.SUB_LEVEL, indexed=True)
+        sub_level=comp.SUB_LEVEL, indexed=True, unit_gmat=dev(unit_gmat))
 
 
 def _part1by2(x: np.ndarray) -> np.ndarray:

@@ -157,6 +157,21 @@ def uniform_unit_indices(su: int) -> np.ndarray:
     return idx
 
 
+def gather_matrix_from_indices(idx3: np.ndarray) -> np.ndarray:
+    """(3, LPU) corner lane indices -> (GRID_LANES, 3*LPU) one-hot gather
+    matrix (leaf_gather_matrix's layout). Sentinel indices become real
+    one-hots onto the guaranteed-zero lane GRID_LANES-1, so gathering
+    derives zero corners -> det == 0 rejection, exactly like the
+    in-kernel per-unit one-hot the matrix replaces. Used when every unit
+    of an indexed scene shares ONE topology (single-class packed builds):
+    the kernel then skips the per-visit iota/compare/cast one-hot
+    construction entirely (measured 34% of the config-9 frame)."""
+    g = np.zeros((GRID_LANES, 3 * LPU), np.float32)
+    for j in range(3):
+        g[np.asarray(idx3[j], np.int64), j * LPU + np.arange(LPU)] = 1.0
+    return g
+
+
 def pack_index_rows(idx: np.ndarray) -> np.ndarray:
     """(..., 3, LPU) int corner indices -> (..., 3, GRID_LANES) f32 record
     rows (row j lanes 0..LPU-1 = corner-j indices; layout above)."""

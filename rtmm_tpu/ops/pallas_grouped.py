@@ -271,12 +271,13 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
         q_hi = q.astype(jnp.bfloat16)
         q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         q_cat = jnp.concatenate([q_hi, q_hi, q_lo], axis=0)   # (48, 4*LPU)
-        # hi/lo normal split fused into one K=2*LPU matmul (lax.cond-gating
+        # hi/lo normal split: two accumulated K=LPU one-hot matmuls (each
+        # gather exact, n_hi + n_lo rebuilds f32 exactly) instead of one
+        # fused K=2*LPU — drops the per-step oh_cat copy (lax.cond-gating
         # this measured slower: the cond's carry copies cost more).
         nrm_v = nrm_d if compressed else nrm_buf[uslot][:, :lpu]
         n_hi = nrm_v.astype(jnp.bfloat16)
         n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        n_cat = jnp.concatenate([n_hi, n_lo], axis=1)   # (8, 2*LPU)
 
         def mt_lanes(lo, nl):
             hi_l = lo + nl
@@ -318,10 +319,13 @@ def _trace_group_nonempty(b, ccnt, ccand_ref, centry_ref, box_ref, rv_ref,
             # One-hot without & ok: invalid leaves hold t == 1e30 and an
             # all-miss lane's tb == 1e30 never wins the strict take.
             oh_b = (t <= tb).astype(jnp.bfloat16)
-            oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, nl)
-            nsel = jax.lax.dot_general(
-                n_cat, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+
+            def gath(n):
+                return jax.lax.dot_general(
+                    n, oh_b, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            nsel = gath(n_hi) + gath(n_lo)
             bt_cur = bt_scr[:, lo:hi_l]
             take = tb < bt_cur
             bt_scr[:, lo:hi_l] = jnp.where(take, tb, bt_cur)
@@ -619,12 +623,15 @@ def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
         n_in = jnp.pad(n_in, ((0, pad), (0, 0), (0, 0)))
     nb = (g + pad) // gb
 
+    # Shared-topology indexed scenes (scene.unit_gmat) take the gmat
+    # gather path — see pallas_tiled.trace_pallas.
+    kidx = compressed and scene.indexed and scene.unit_gmat is None
     kernel = functools.partial(_kernel, lpu=lpu, npad=npad,
                                t_min=cfg.t_min, t_max=cfg.t_max,
                                groups_per_block=gb,
                                grid_su=(scene.sub_level if compressed
                                         else None),
-                               indexed=compressed and scene.indexed)
+                               indexed=kidx)
     out_shape = (
         jax.ShapeDtypeStruct((nb, gb, GROUP), jnp.float32),
         jax.ShapeDtypeStruct((nb, gb, 8, GROUP), jnp.float32),
@@ -649,11 +656,14 @@ def _launch(scene, rv_t, box, ccand, ccount, centry, t_in, n_in, cfg,
     ]
     if compressed:
         from . import compressed as comp
-        # Slot 3 of the tail carries the shared all-present gather matrix
-        # as a whole-array VMEM block (uniform topology), or a dummy for
-        # indexed records (each record holds its own corner indices).
-        if scene.indexed:
+        # Slot 3 of the tail carries the shared gather matrix as a
+        # whole-array VMEM block (uniform or single-class topology), or a
+        # dummy for per-unit-topology indexed records (each record holds
+        # its own corner indices).
+        if kidx:
             gmat = jnp.zeros((8, 128), jnp.float32)
+        elif scene.unit_gmat is not None:
+            gmat = scene.unit_gmat
         else:
             gmat = jnp.asarray(comp.leaf_gather_matrix(scene.sub_level))
         in_specs.append(pl.BlockSpec(gmat.shape, lambda i: (0, 0),

@@ -676,17 +676,23 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
             else:
                 q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 q_mt = jnp.concatenate([q_hi, q_hi, q_lo], axis=0)
-        # hi/lo normal split fused into one K=2*LPU matmul (as above).
+        # hi/lo normal split: TWO accumulated K=LPU one-hot matmuls (not
+        # one fused K=2*LPU) — each gather is exact (one nonzero lane) and
+        # n_hi + n_lo reconstructs the f32 normal bit-for-bit, so the only
+        # thing the fused form bought was a (LPU, TILE) bf16 oh_cat copy
+        # per visit in the VPU-bound epilogue. Tie lanes (several leaves
+        # at the same p) sum in a different association order than the
+        # fused matmul — the same tie-rounding corner both backends
+        # already budget.
         n_hi = nrm_v.astype(jnp.bfloat16)
         n_lo = (nrm_v - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        n_cat = jnp.concatenate([n_hi, n_lo], axis=1)  # (8, 2*LPU)
-        return q_mt, n_cat, tn_col, tn_row
+        return q_mt, (n_hi, n_lo), tn_col, tn_row
 
     def ep_fold(out, tn, nsel_of):
         """VPU MT epilogue + normal select + running-best fold over the
         tile. out: the MT matmul result (3*LPU, TILE) — det|u|v
         numerator blocks; tn: per-leaf t numerators (LPU, 1);
-        nsel_of(oh_cat, bump=None): the winner-normal contraction."""
+        nsel_of(oh_b, bump=None): the winner-normal contraction."""
         det = out[0 * lpu:1 * lpu]
         u_num = out[1 * lpu:2 * lpu]
         v_num = out[2 * lpu:3 * lpu]
@@ -767,11 +773,10 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         # there tb == 1e30 fails the strict take below, discarding the
         # spurious normal sum exactly as the masked form did.
         oh_b = (p <= pb).astype(jnp.bfloat16)         # one-hot exact
-        oh_cat = jnp.concatenate([oh_b, oh_b], axis=0)  # (2*LPU, TILE)
-        nsel = nsel_of(oh_cat)
+        nsel = nsel_of(oh_b)
         if _abl == "2xnsel":
             nsel = nsel + _dep_zero(
-                nsel_of(oh_cat, jnp.max(_dep_zero(tb))))
+                nsel_of(oh_b, jnp.max(_dep_zero(tb))))
         bt_cur = bt_scr[...]
         take = tb < bt_cur
         bt_scr[...] = jnp.where(take, tb, bt_cur)
@@ -789,13 +794,17 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         (the two stages have no data dependency; the fold order A-then-B
         is preserved, so the image is bit-identical to the sequential
         call order)."""
-        q_mt, n_cat, tn_col, tn_row = unit_tables(qslot, u, cx, cy, cz)
+        q_mt, (n_hi, n_lo), tn_col, tn_row = unit_tables(qslot, u, cx, cy,
+                                                         cz)
 
-        def nsel_of(oh_cat, bump=None):
-            n = n_cat if bump is None else n_cat + bump.astype(n_cat.dtype)
-            return jax.lax.dot_general(
-                n, oh_cat, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        def nsel_of(oh_b, bump=None):
+            def gath(n):
+                if bump is not None:
+                    n = n + bump.astype(n.dtype)
+                return jax.lax.dot_general(
+                    n, oh_b, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return gath(n_hi) + gath(n_lo)
 
         def mm_stage():
             """MXU stage: per-unit recentered moment write + MT matmul."""
@@ -1082,6 +1091,11 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
             n_in = jnp.pad(n_in, ((0, pad), (0, 0), (0, 0)))
     nb = (n_tiles + pad) // tb
 
+    # Shared-topology indexed scenes (scene.unit_gmat set) take the gmat
+    # gather path: the kernel skips the per-visit one-hot construction
+    # and the records' index rows go unread — bit-identical output (the
+    # shared matrix IS the one-hot every unit would build).
+    kidx = compressed and scene.indexed and scene.unit_gmat is None
     kernel = functools.partial(_kernel, lpu=lpu,
                                t_min=cfg.t_min, t_max=cfg.t_max,
                                tiles_per_block=tb, nsub=cfg.sub_frusta,
@@ -1092,7 +1106,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
                                         else None),
                                hi_prec=cfg.mt_precision == "highest",
                                fast2=cfg.mt_precision == "fast2",
-                               indexed=compressed and scene.indexed)
+                               indexed=kidx)
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.SMEM)
@@ -1109,12 +1123,14 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
         head_args = head_args + (raymat_t.reshape(nb, tb, 8, TILE),)
     if compressed:
         from . import compressed as comp
-        if not scene.indexed:
-            gmat = jnp.asarray(comp.leaf_gather_matrix(scene.sub_level))
+        if not kidx:
+            gmat = (scene.unit_gmat if scene.unit_gmat is not None
+                    else jnp.asarray(comp.leaf_gather_matrix(
+                        scene.sub_level)))
             # The gather matrix is a per-call constant (kernels cannot
             # capture array constants): one whole-array VMEM block shared
-            # by every grid program. Indexed scenes need none — each
-            # record carries its own corner indices.
+            # by every grid program. Per-unit-topology indexed scenes
+            # need none — each record carries its own corner indices.
             head_specs = head_specs + [pl.BlockSpec(
                 gmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)]
             head_args = head_args + (gmat,)
