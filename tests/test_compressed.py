@@ -193,6 +193,28 @@ def test_indexed_build_selected_for_mixed_meshes():
     assert uni.unit_grid.shape[1] == comp.GRID_ROWS
 
 
+def test_shared_gmat_only_for_single_topology_scenes():
+    """Single-class indexed builds (uniform level-2 packed k-per-unit)
+    emit scene.unit_gmat — the shared gather matrix the kernels use
+    instead of per-visit one-hot construction; multi-class (mixed-level)
+    builds must NOT (their units carry different topologies). The gmat
+    must reproduce each unit's own index rows exactly."""
+    lo = scene_mod.build_device_scene(
+        procedural.make_plane(grid=(4, 4), level=2, amplitude=0.2),
+        compressed=True)
+    assert lo.indexed and lo.unit_gmat is not None
+    assert lo.unit_gmat.shape == (comp.GRID_LANES, 3 * comp.LPU)
+    # Equivalence: gmat one-hot == the one-hot any unit's index rows build.
+    idx = comp._corner_indices_np(np.asarray(lo.unit_grid))[0]  # (3, LPU)
+    g = np.asarray(lo.unit_gmat)
+    for j in range(3):
+        blk = g[:, j * comp.LPU:(j + 1) * comp.LPU]
+        assert (blk.sum(axis=0) == 1.0).all()
+        assert (blk.argmax(axis=0) == idx[j]).all()
+    mixed = scene_mod.build_device_scene(_mixed_mesh(), compressed=True)
+    assert mixed.indexed and mixed.unit_gmat is None
+
+
 def test_indexed_leaf_set_bitwise_matches_stitched_tables():
     """The derived (record positions + index rows) nondegenerate leaf set
     equals the standard stitched leaf_verts table EXACTLY — same closed
