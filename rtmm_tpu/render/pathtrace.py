@@ -19,9 +19,12 @@ traversal to a Monte-Carlo path tracer the TPU way:
     throughput, radiance, pixel index, pending randoms) in *sorted order*
     across bounces: each bounce pays ONE multi-operand lax.sort into
     direction-octant/origin-cell groups (dead rays sinking to the back),
-    and only the final radiance is un-permuted, once per sample. The old
-    shape (sort + unsort inside every trace) paid ~2x the permutation
-    traffic.
+    and only the final radiance is un-permuted, once. The old shape
+    (sort + unsort inside every trace) paid ~2x the permutation traffic;
+  * ALL samples ride ONE merged pipeline of spp * rays lanes: rays from
+    different samples landing in the same spatial region share groups,
+    so each group's candidate DMA + table derivation serves spp times
+    the rays, and per-bounce fixed costs are paid once, not per sample.
 
 Secondary engines: "pallas" = in-kernel cluster walk
 (ops/pallas_grouped.py, the TPU production engine; interpret-mode on
@@ -250,33 +253,55 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
     import os as _os
     _hashrand = _os.environ.get("RTMM_PT_HASHRAND") == "1"
 
-    def secondary_sample(key):
-        """Bounces 1..N for one sample. Returns (radiance (n, 3) in raster
-        order, live counts (N,), overflow counts (N,))."""
+    def secondary_all(keys):
+        """Bounces 1..N for ALL samples in ONE merged pipeline of
+        spp * total lanes. Every sample's rays ride the same sorts and
+        the same grouped traces: rays from different samples that land in
+        the same spatial region share groups, so each group's candidate
+        DMA + table derivation serves spp times the rays (the secondary
+        trace is the config-5 bottleneck), and the per-bounce fixed costs
+        (sort passes, kernel launches) are paid once instead of per
+        sample. Returns (radiance (n, 3) in raster order SUMMED over
+        samples, live counts (N,) summed, overflow counts (N,))."""
+        spp = pt.samples_per_pixel
+        mtotal = spp * total
 
-        def rand2(b, idx_col):
-            kb = jax.random.fold_in(key, b)
+        def rand2(b, idxg):
+            # Stateless per-(sample, bounce, pixel) draw keyed by the
+            # global lane index g = sample * total + pixel.
+            kb = jax.random.fold_in(key0, b)
             return jax.vmap(
-                lambda i: jax.random.uniform(jax.random.fold_in(kb, i),
-                                             (2,)))(idx_col)
+                lambda g: jax.random.uniform(
+                    jax.random.fold_in(
+                        jax.random.fold_in(kb, g // total), g % total),
+                    (2,)))(idxg)
 
-        # Pixel-indexed randoms: drawn in raster order per bounce event and
-        # permuted along with their rays below (or hash-drawn at use time
-        # under RTMM_PT_HASHRAND — then nothing rides the sorts).
+        def tile_s(x):
+            return jnp.tile(x, (spp,) + (1,) * (x.ndim - 1))
+
+        nrm0m = tile_s(nrm0p)
+        hit0m = tile_s(hit0p)
+        # Pixel-indexed randoms: drawn in raster order per (sample,
+        # bounce) event and permuted along with their rays below (or
+        # hash-drawn at use time under RTMM_PT_HASHRAND — then nothing
+        # rides the sorts). The pre-drawn values are IDENTICAL to the
+        # old per-sample pipeline's (same fold_in(keys[s], b) streams).
         if _hashrand:
             rs = None
-            d1 = _cosine_dir(rand2(0, jnp.arange(total, dtype=jnp.int32)),
-                             nrm0p)
+            d1 = _cosine_dir(rand2(0, jnp.arange(mtotal, dtype=jnp.int32)),
+                             nrm0m)
         else:
-            rs = [jax.random.uniform(jax.random.fold_in(key, b), (total, 2))
-                  for b in range(n_bounce)]
-            d1 = _cosine_dir(rs[0], nrm0p)
-        o = borigin0p
-        d = jnp.where(hit0p[:, None], d1, d0p)
-        alive = hit0p
+            rs = [jnp.concatenate(
+                [jax.random.uniform(jax.random.fold_in(keys[s], b),
+                                    (total, 2)) for s in range(spp)])
+                for b in range(n_bounce)]
+            d1 = _cosine_dir(rs[0], nrm0m)
+        o = tile_s(borigin0p)
+        d = jnp.where(hit0m[:, None], d1, tile_s(d0p))
+        alive = hit0m
         tp = jnp.where(alive[:, None], albedo, 0.0)
-        rad = jnp.zeros((total, 3), jnp.float32)
-        idx = jnp.arange(total, dtype=jnp.int32)
+        rad = jnp.zeros((mtotal, 3), jnp.float32)
+        idx = jnp.arange(mtotal, dtype=jnp.int32)
         live_counts = []
         overflow_counts = []
         for bounce in range(1, n_bounce + 1):
@@ -349,22 +374,17 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
             o = hit_pos + 1e-4 * nrm
             d = jnp.where(alive[:, None], new_dir, d)
             tp = tp * jnp.where(alive[:, None], albedo, 1.0)
-        # Undo the permutation(s): idx is a permutation of [0, total), so
-        # one sort keyed on it restores raster order.
+        # Undo the permutation(s): idx is a permutation of [0, mtotal),
+        # so one sort keyed on it restores (sample-major) raster order;
+        # the sample reduce then happens in plain blocked layout.
         (_, r0, r1, r2) = jax.lax.sort(
             (idx, rad[:, 0], rad[:, 1], rad[:, 2]), num_keys=1)
-        rad = jnp.stack([r0, r1, r2], axis=-1)[:n]
+        rad = jnp.stack([r0, r1, r2], axis=-1)
+        rad = rad.reshape(spp, total, 3)[:, :n].sum(axis=0)
         return rad, jnp.stack(live_counts), jnp.stack(overflow_counts)
 
     keys = jax.random.split(key0, pt.samples_per_pixel)
-    radiance = jnp.zeros((n, 3), jnp.float32)
-    counts = jnp.zeros((n_bounce,), jnp.int32)
-    overflows = jnp.zeros((n_bounce,), jnp.int32)
-    for k in keys:
-        r, c, ov = secondary_sample(k)
-        radiance = radiance + r
-        counts = counts + c
-        overflows = overflows + ov
+    radiance, counts, overflows = secondary_all(keys)
     spp = pt.samples_per_pixel
     image = (radiance0 + radiance / spp).reshape(height, width, 3)
     live = jnp.concatenate(
