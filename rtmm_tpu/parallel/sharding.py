@@ -79,6 +79,11 @@ def _scene_specs(scene: DeviceScene, n_scene: int):
             specs[f.name] = P("scene") if c_ok else P()
         elif f.name in _UNIT_FIELDS:
             specs[f.name] = P("scene") if u_ok else P()
+        elif f.name == "unit_gmat":
+            # Shared gather matrix (GRID_LANES x 3*LPU), one per scene —
+            # NOT a per-unit table: every shard derives its local units
+            # against the full matrix, so it must replicate.
+            specs[f.name] = P()
         else:
             specs[f.name] = P("scene")
     return dataclasses.replace(
