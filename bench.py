@@ -48,6 +48,16 @@ def _frames_per_call(cfg) -> int:
 
 def _build_config(n: int):
     metric, scene, cfg, f = _build_config_raw(n)
+    # Sub-cone grid A/B overrides (visit-pruning experiments; see
+    # PERF.md's sub-frusta notes): RTMM_SUB_FRUSTA / RTMM_SUB_ROWS.
+    import dataclasses as _dc
+    import os as _os
+    sf = _os.environ.get("RTMM_SUB_FRUSTA")
+    sr = _os.environ.get("RTMM_SUB_ROWS")
+    if sf or sr:
+        cfg = _dc.replace(cfg,
+                          sub_frusta=int(sf) if sf else cfg.sub_frusta,
+                          sub_rows=int(sr) if sr else cfg.sub_rows)
     from rtmm_tpu.ops.pallas_tiled import resolve_mt_precision
     ds = scene[0] if isinstance(scene, tuple) else scene
     return metric, scene, resolve_mt_precision(ds, cfg), f
