@@ -559,7 +559,7 @@ def main() -> None:
     result = {"metric": metric, "unit": "Mrays/s"}
     if n == 5:
         mrays = _bench_pathtrace(scene, cfg, metric)
-    elif n == 8:
+    elif n in (8, 10):
         base, ring = scene
         mrays = _bench_instanced(base, ring, cfg)
     else:
