@@ -10,6 +10,18 @@ configs:
   5  path-traced multi-bounce, subdivision-level-5 micro-mesh, compaction
   6  (extra) 51,200-base-triangle scene through the cluster hierarchy
   7  (extra) 10^6 base tris / 64M micro-tris, compressed direct tracing
+  8  (extra) TRUE two-level TLAS, 64 instances, merged one-launch path
+  9  (extra) config-6 scene through compressed (derive-at-trace) records
+  10 (extra) TRUE TLAS, 256 instances (N-insensitivity probe)
+  11 (extra) subdiv-5 direct primary tracing (long-dimension probe)
+
+Every config carries a real-TPU image gate: primary-ray configs verify
+the Pallas kernel against the XLA tile backend (_verify_image); the
+instanced configs verify the merged one-launch path against the serial
+per-instance scan (_verify_instanced); the path tracer verifies the
+pallas-grouped engine against the grouped-XLA engine (_verify_pathtrace).
+Interpret-mode CPU tests cannot see Mosaic miscompiles — this repo's
+DMA-leak and matmul-precision bugs were real-TPU-only.
 
 Renders a multi-frame orbit per device invocation (the realistic
 animation workload; also amortizes the ~25 ms per-call latency of this
@@ -48,16 +60,8 @@ def _frames_per_call(cfg) -> int:
 
 def _build_config(n: int):
     metric, scene, cfg, f = _build_config_raw(n)
-    # Sub-cone grid A/B overrides (visit-pruning experiments; see
-    # PERF.md's sub-frusta notes): RTMM_SUB_FRUSTA / RTMM_SUB_ROWS.
-    import dataclasses as _dc
-    import os as _os
-    sf = _os.environ.get("RTMM_SUB_FRUSTA")
-    sr = _os.environ.get("RTMM_SUB_ROWS")
-    if sf or sr:
-        cfg = _dc.replace(cfg,
-                          sub_frusta=int(sf) if sf else cfg.sub_frusta,
-                          sub_rows=int(sr) if sr else cfg.sub_rows)
+    # (RTMM_SUB_FRUSTA / RTMM_SUB_ROWS sub-cone A/B overrides are applied
+    # inside resolve_mt_precision — one place, not two.)
     from rtmm_tpu.ops.pallas_tiled import resolve_mt_precision
     ds = scene[0] if isinstance(scene, tuple) else scene
     return metric, scene, resolve_mt_precision(ds, cfg), f
@@ -115,6 +119,17 @@ def _build_config_raw(n: int):
                                      amplitude=0.05)
         scene = scene_mod.build_device_scene(mesh, compressed=True)
         return ("large_scene_51k_tris_compressed_1080p", scene,
+                RenderConfig(width=1920, height=1080), 1)
+    if n == 11:
+        # Subdiv-5 long-dimension probe (VERDICT r4 item 8): direct
+        # primary tracing at the reference's max subdivision level
+        # (intersection.hlsl:79) — level 5 previously ran only inside
+        # the path tracer. 320 base x 1024 = 327,680 micro-triangles,
+        # 16 units per base triangle, @1080p.
+        mesh = procedural.make_icosphere(subdivisions=2, level=5,
+                                         amplitude=0.1)
+        scene = scene_mod.build_device_scene(mesh)
+        return ("subdiv5_direct_1080p", scene,
                 RenderConfig(width=1920, height=1080), 1)
     if n == 4:
         from rtmm_tpu.render import instances as inst_mod
@@ -220,6 +235,55 @@ def _full_asset_via_io():
                                          amplitude=0.12)
         loader.save_gltf_bary(mesh, path)
     return loader.load_micromesh(path)
+
+
+# Expected per-frame (tile, unit) kernel visit counts at the verify
+# camera (yaw 25 deg, pitch -30, dist as in _verify_image) — the
+# drift gate (VERDICT r4 item 7): Mrays/s has a ~+-9% session-to-session
+# envelope on this host's relay, so a silent <9% regression in the walk
+# itself would be invisible; the EXACT in-kernel visit counter is
+# session-noise-free. A config keys in only once measured; tolerance
+# covers fast3 epsilon flips at walk boundaries (visits are otherwise
+# deterministic for a fixed scene + camera).
+EXPECTED_VISITS: dict[int, int] = {
+    # filled from the round-5 measurement session below (main() prints
+    # `visits` for every pallas config; copy the fixed-camera number here
+    # once a config's walk is final).
+}
+VISITS_RTOL = 0.05
+
+
+def visit_gate(config_n: int, visits: int) -> str | None:
+    """None if the measured visit count is within VISITS_RTOL of the
+    recorded expectation (or no expectation is recorded); else the gate
+    failure message. A +10% injection MUST trip this (tested)."""
+    exp = EXPECTED_VISITS.get(config_n)
+    if exp is not None and abs(visits - exp) > VISITS_RTOL * exp:
+        return (f"visit-count gate: {visits} vs expected {exp} "
+                f"(rtol {VISITS_RTOL})")
+    return None
+
+
+def _visit_stats(scene, cfg, dist: float):
+    """One fixed-camera frame through render_pallas(with_stats=True):
+    returns the exact (tile, unit) visit/eligible totals the kernel
+    executed (counters ride output rows 3/4 — free)."""
+    import jax
+
+    from rtmm_tpu.ops import pallas_tiled as _pt
+    from rtmm_tpu.utils import camera
+
+    tb = camera.Trackball()
+    tb.set_camera([0.0, 0.0, 0.0],
+                  [np.radians(-30.0), np.radians(25.0), 0.0], dist)
+    ivp = camera.inv_view_proj(tb, cfg.width, cfg.height)
+
+    def f(s, m):
+        img, st = _pt.render_pallas(s, m, cfg, with_stats=True)
+        return (st["kernel_unit_visits"].sum(),
+                st["kernel_unit_eligible"].sum())
+    nv, ne = jax.jit(f)(scene, ivp)
+    return int(np.asarray(nv)), int(np.asarray(ne))
 
 
 def _bench_render(scene, cfg, metric, dist: float = 3.0):
@@ -410,6 +474,91 @@ def _verify_image(scene, cfg, dist: float = 3.0) -> dict:
                if (vw, vh) != (cfg.width, cfg.height) else {})}
 
 
+def _verify_instanced(base_scene, ring, cfg, dist: float = 6.5) -> dict:
+    """Real-TPU image gate for the instanced configs (8/10): ONE
+    reduced-res frame through the merged one-launch path vs the serial
+    per-instance scan — identical object-space math, independent launch
+    structure (the merged path's concatenated row geometry is exactly
+    what no interpret-mode test can exercise on hardware). Reduced res:
+    the serial reference scans N full-frame launches."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtmm_tpu.render import instances as inst_mod
+    from rtmm_tpu.utils import camera
+
+    vw, vh = 480, 288
+    cfgv = dataclasses.replace(cfg, width=vw, height=vh)
+    tb = camera.Trackball()
+    tb.set_camera([0.0, 0.0, 0.0],
+                  [np.radians(-30.0), np.radians(25.0), 0.0], dist)
+    ivp = jnp.asarray(camera.inv_view_proj(tb, vw, vh))
+    rot = jnp.asarray(np.stack([i.rotation for i in ring]), jnp.float32)
+    trn = jnp.asarray(np.stack([i.translation for i in ring]), jnp.float32)
+    scl = jnp.asarray(np.asarray([i.scale for i in ring]), jnp.float32)
+
+    a = jax.jit(lambda s, m: inst_mod._render_instanced(
+        s, rot, trn, scl, m, cfgv, interpret=False))(base_scene, ivp)
+    jax.block_until_ready(a)
+    b = jax.jit(lambda s, m: inst_mod._render_instanced(
+        s, rot, trn, scl, m, cfgv, interpret=False, serial=True))(
+        base_scene, ivp)
+    npix, nbig, maxdiff, _, _ = jax.jit(diff_metrics)(a, b)
+    return {"verify_npix": int(np.asarray(npix)),
+            "verify_nbig": int(np.asarray(nbig)),
+            "verify_maxdiff": round(float(np.asarray(maxdiff)), 5),
+            "verify_budget": max(64, (vw * vh) // 2000),
+            "verify_big_budget": max(16, (vw * vh) // 50000),
+            "verify_mode": "pixel", "verify_wh": f"{vw}x{vh}"}
+
+
+def _verify_pathtrace(scene, cfg) -> dict:
+    """Real-TPU image gate for config 5: ONE reduced-res frame through
+    the pallas-grouped AND the grouped-XLA secondary engines on the
+    chip. The engines share the estimator (pixel-indexed randoms) but
+    differ in MT precision scheme (3-pass bf16 kernel vs HIGHEST f32
+    XLA), and an epsilon-flipped bounce hit repaints its whole pixel —
+    so the budgets are wider than the primary gate's (interpret-mode
+    agreement measured <=5 px of 64^2 per bounce; a Mosaic-miscompile
+    class repaints contiguous regions, measured 748-35,000 px)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtmm_tpu.render.pathtrace import (PathTraceConfig, PathTracer,
+                                           path_trace)
+    from rtmm_tpu.utils import camera
+
+    vw, vh = 256, 256
+    cfgv = dataclasses.replace(cfg, width=vw, height=vh)
+    tb = camera.Trackball()
+    tb.set_camera([0.0, 0.0, 0.0],
+                  [np.radians(-30.0), np.radians(25.0), 0.0], 3.0)
+    ivp = jnp.asarray(camera.inv_view_proj(tb, vw, vh))
+
+    def one(engine):
+        pt = PathTracer(scene, cfgv, PathTraceConfig(
+            bounces=3, samples_per_pixel=2, ray_chunk=16384,
+            engine=engine)).pt
+        img, _stats = jax.jit(lambda s, m: path_trace(s, m, cfgv, pt))(
+            scene, ivp)
+        jax.block_until_ready(img)
+        return img
+
+    a = one("pallas")
+    b = one("grouped")
+    npix, nbig, maxdiff, _, _ = jax.jit(diff_metrics)(a, b)
+    return {"verify_npix": int(np.asarray(npix)),
+            "verify_nbig": int(np.asarray(nbig)),
+            "verify_maxdiff": round(float(np.asarray(maxdiff)), 5),
+            "verify_budget": max(64, (vw * vh) // 500),
+            "verify_big_budget": max(16, (vw * vh) // 500),
+            "verify_mode": "pixel", "verify_wh": f"{vw}x{vh}"}
+
+
 def _bench_instanced(base_scene, ring, cfg, dist: float = 6.5):
     """Config 8: the true two-level instanced path, orbit-in-one-call
     (same relay-amortization scheme as _bench_render)."""
@@ -557,14 +706,55 @@ def main() -> None:
         n = int(sys.argv[sys.argv.index("--config") + 1])
     metric, scene, cfg, _ = _build_config(n)
     result = {"metric": metric, "unit": "Mrays/s"}
+
+    def gate_or_exit(v):
+        """Apply the two-tier pixel gate from a _verify_* dict; zero the
+        result and exit on failure (same contract as the primary gate)."""
+        result.update(v)
+        if (v["verify_npix"] > v["verify_budget"]
+                or v["verify_nbig"] > v["verify_big_budget"]):
+            result.update(
+                value=0.0, vs_baseline=0.0,
+                error=f"image verification failed: {v['verify_npix']} px "
+                      f"diverge ({v['verify_nbig']} large)")
+            print(json.dumps(result))
+            raise SystemExit(4)
+
     if n == 5:
         mrays = _bench_pathtrace(scene, cfg, metric)
+        if "--no-verify" not in sys.argv:
+            gate_or_exit(_verify_pathtrace(scene, cfg))
     elif n in (8, 10):
         base, ring = scene
         mrays = _bench_instanced(base, ring, cfg)
+        if "--no-verify" not in sys.argv:
+            gate_or_exit(_verify_instanced(base, ring, cfg))
     else:
         dist = 4.5 if n == 4 else 3.0
         mrays = _bench_render(scene, cfg, metric, dist=dist)
+        if "--no-ab" not in sys.argv:
+            # Exact visit-count drift gate (see EXPECTED_VISITS): pins
+            # the walk against silent regressions the Mrays/s session
+            # envelope (~+-9%) would hide. us_per_visit pairs the orbit's
+            # median frame time with the fixed-camera visit count —
+            # approximate, but the GATE is on the exact counter alone.
+            import jax
+            try:
+                nv, ne = _visit_stats(scene, cfg, dist=dist)
+                dt_f = cfg.width * cfg.height / (mrays * 1e6)
+                result.update(visits=nv, eligible=ne,
+                              us_per_visit=round(dt_f * 1e6 / max(nv, 1),
+                                                 3))
+                if n in EXPECTED_VISITS:
+                    result["visits_expected"] = EXPECTED_VISITS[n]
+                gate_msg = visit_gate(n, nv)
+                if gate_msg is not None:
+                    result.update(value=0.0, vs_baseline=0.0,
+                                  error=gate_msg)
+                    print(json.dumps(result))
+                    raise SystemExit(5)
+            except jax.errors.JaxRuntimeError as exc:
+                result["visits_error"] = str(exc)[:120]
         if "--no-verify" not in sys.argv:
             # Pixel-verify the kernel output against the XLA backend on
             # the real chip (tolerance as in the interpret-mode tests;
@@ -629,7 +819,10 @@ def _run_with_process_retries() -> int:
               4: "multi_instance_6x_1080p", 5: "pathtrace_subdiv5_3bounce",
               6: "large_scene_51k_tris_1080p",
               7: "compressed_1M_tris_64M_micro_1080p",
-              8: "instanced_tlas_64x_1080p"}.get(n, f"config_{n}")
+              8: "instanced_tlas_64x_1080p",
+              9: "large_scene_51k_tris_compressed_1080p",
+              10: "instanced_tlas_256x_1080p",
+              11: "subdiv5_direct_1080p"}.get(n, f"config_{n}")
     print(json.dumps({
         "metric": metric,
         "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,

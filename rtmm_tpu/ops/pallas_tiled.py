@@ -98,7 +98,7 @@ def resolve_mt_precision(scene: DeviceScene, cfg: RenderConfig
 def _kernel(*refs, lpu: int, t_min: float, t_max: float,
             tiles_per_block: int, nsub: int, nrows: int, fused_cfg,
             kraygen: bool, grid_su, hi_prec: bool, fast2: bool,
-            indexed: bool = False):
+            indexed: bool = False, raw: bool = False):
     """fused_cfg: None = windowed mode (carry t/n in and out); a
     RenderConfig = single-window fused mode (shade in-kernel, write color
     rows, no carry inputs — saves one full (tiles, 8, TILE) HBM round-trip
@@ -110,7 +110,13 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
     records; MT rows AND t_num are derived in-kernel — see _derive_unit).
     indexed: the records carry per-unit corner-index rows (stitched /
     mixed-level scenes, ops/compressed.py IDX_ROWS) instead of sharing
-    one all-present gather matrix (no gmat input at all)."""
+    one all-present gather matrix (no gmat input at all).
+    raw (single-window, unshaded): no carry inputs (every row starts
+    fresh at t=BIG) and ONE compact (4, TILE) output row [t | normal
+    xyz] — the merged-instancing launch's mode, where carries are never
+    needed and the windowed mode's 36 KB/row carry stream + 36 KB/row
+    output were pure per-row floor cost (the instanced cap sweep
+    measured ~1 us/row of floor; see render/instances.py)."""
     compressed = grid_su is not None
     it = list(refs)
     ccand_ref, ccount_ref, centry_ref, frus_ref = it[:4]
@@ -124,19 +130,23 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
         gmat_ref = it[i]       # (GRID_LANES, 3*LPU) leaf gather matrix
         i += 1
     t_in = n_in = None
-    if fused_cfg is None:
+    if fused_cfg is None and not raw:
         t_in, n_in = it[i:i + 2]
         i += 2
     meta_hbm, q_hbm = it[i:i + 2]
     i += 2
-    if fused_cfg is None:
+    if raw:
+        r_out = it[i]
+        i += 1
+        outs = (None, None, None, None, None, r_out)
+    elif fused_cfg is None:
         t_out, n_out = it[i:i + 2]
         i += 2
-        outs = (t_in, n_in, t_out, n_out, None)
+        outs = (t_in, n_in, t_out, n_out, None, None)
     else:
         c_out = it[i]
         i += 1
-        outs = (None, None, None, None, c_out)
+        outs = (None, None, None, None, c_out, None)
     meta_buf, q_buf = it[i:i + 2]
     i += 2
     msem, usem = it[i:i + 2]
@@ -184,17 +194,21 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
                 bt_scr, bn_scr,
                 *, lpu, t_min, t_max, nsub, nrows, fused_cfg, kraygen,
                 grid_su, gmat_ref, hi_prec, fast2, indexed):
-    t_in, n_in, t_out, n_out, c_out = outs
+    t_in, n_in, t_out, n_out, c_out, r_out = outs
     # count can exceed the cluster-list capacity (overflowing tiles keep
     # their true count; the host window loop re-runs them); clamp — reading
     # ccand_ref past capacity would index garbage.
     ccnt = jnp.minimum(ccount_ref[0, b, 0], ccand_ref.shape[2])
 
     # Empty tiles (~85% of a typical frame) skip everything: constant
-    # background (fused) / carry passthrough (windowed).
+    # background (fused) / carry passthrough (windowed) / miss (raw).
     @pl.when(ccnt == 0)
     def _():
-        if fused_cfg is None:
+        if r_out is not None:
+            r_out[0, b] = jnp.concatenate(
+                [jnp.full((1, TILE), jnp.float32(1e30)),
+                 jnp.zeros((3, TILE), jnp.float32)], axis=0)
+        elif fused_cfg is None:
             t_out[0, b] = t_in[0, b]
             n_out[0, b] = n_in[0, b]
         else:
@@ -293,15 +307,26 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu,
     sums are representable: the terms' mantissas do not overlap beyond
     f32's 24 bits).
     """
+    import os as _os2
+    # RTMM_DERIVE2=1 (A/B, judged by the on-TPU image gate): 2-term bf16
+    # split of the grid positions (~16 mantissa bits, rel ~2^-17 on
+    # derived e1/e2/crosses — inside the 1e-3 MT_UV_EPS budget but NOT
+    # bit-exact, so the bitwise pinning tests must run with it off).
+    # Cuts the three gather matmuls' K from 19 to 11 rows.
+    _d2 = _os2.environ.get("RTMM_DERIVE2", "0") == "1"
     pos = grid_block[0:3, :]                        # (3, GRID_LANES)
     p1 = pos.astype(jnp.bfloat16)
     r12 = pos - p1.astype(jnp.float32)
     p2 = r12.astype(jnp.bfloat16)
-    p3 = (r12 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
     zpad = jnp.zeros((5, pos.shape[1]), jnp.bfloat16)
     # Terms at row offsets 0/8/16: the f32 output's term blocks then sit
     # at vreg-aligned sublane offsets (slices stay relayout-free).
-    pos_cat = jnp.concatenate([p1, zpad, p2, zpad, p3], axis=0)  # (19, GL)
+    if _d2:
+        pos_cat = jnp.concatenate([p1, zpad, p2], axis=0)        # (11, GL)
+    else:
+        p3 = (r12 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
+        pos_cat = jnp.concatenate([p1, zpad, p2, zpad, p3],
+                                  axis=0)                        # (19, GL)
 
     def gather(j):
         # One matmul per corner (not one (3, 3*LPU) matmul sliced after):
@@ -328,12 +353,26 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu,
         g9 = jax.lax.dot_general(
             pos_cat, oh,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)     # (19, lpu)
+            preferred_element_type=jnp.float32)     # (19|11, lpu)
+        if _d2:
+            return g9[0:3] + g9[8:11]               # ~16-bit rebuild
         return g9[0:3] + g9[8:11] + g9[16:19]       # exact f32 rebuild
 
     v0 = gather(0)
     v1 = gather(1)
     v2 = gather(2)
+    import os as _os
+    if _os.environ.get("RTMM_ABLATE", "") == "2xgather":
+        # Attribute the three corner-gather matmuls alone (the rest of
+        # the 2xderive cost is the cross/concat row arithmetic): same
+        # DCE/CSE defenses as the other RTMM_ABLATE stages.
+        bump = jnp.where(jnp.max(v0) > 1e38, jnp.float32(1.0),
+                         jnp.float32(0.0))
+        pos_cat = pos_cat + bump.astype(jnp.bfloat16)
+        v0 = v0 + jnp.where(
+            jnp.max(jnp.abs(gather(0)) + jnp.abs(gather(1))
+                    + jnp.abs(gather(2))) > 1e38,
+            jnp.float32(1.0), jnp.float32(0.0))
     e1 = v1 - v0
     e2 = v2 - v0
     # Recenter v0 about the unit AABB center (zero-gather padding lanes
@@ -370,7 +409,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                          *, lpu, t_min, t_max, nsub, nrows, fused_cfg,
                          kraygen, grid_su, gmat_ref, hi_prec, fast2,
                          indexed):
-    t_in, n_in, t_out, n_out, c_out = outs
+    t_in, n_in, t_out, n_out, c_out, r_out = outs
     # Cost-attribution instrument (RTMM_ABLATE=2xmatmul|2xepilogue|
     # 2xnsel|2xpick, read at trace time): DUPLICATE one stage and fold a
     # data-dependent zero of its result into the real value, so a
@@ -384,6 +423,13 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # be merged with it).
     import os as _os
     _abl = _os.environ.get("RTMM_ABLATE", "")
+    # RTMM_COUNT_PROD=1 (instrument only): count walk iterations whose
+    # unit pair IMPROVED some ray's best hit (row-5 counter). visits -
+    # productive bounds the headroom of tighter-than-AABB unit bounds /
+    # reach sharpening: an unproductive visit is a unit that passed the
+    # cone+distance eligibility but contributed nothing. Costs one
+    # vector->scalar sync per iteration — never on in production.
+    _prod = _os.environ.get("RTMM_COUNT_PROD", "0") == "1"
     # Four alternative walk gatings were built and MEASURED as losses on
     # v5e config 6 (see PERF.md "negative results" for the full analyses):
     # per-ray slab pre-test gate (RTMM_PRETEST, 36.8 vs 46.3 — the ~11%
@@ -845,7 +891,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                      for j in range(nsub))
 
     def cluster_body(carry):
-        ci, worsts, nvis, nelig = carry
+        ci, worsts, nvis, nelig, nprod = carry
         cslot = jax.lax.rem(ci, 2)
 
         @pl.when(ci + 1 < ccnt)
@@ -944,8 +990,10 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         u0, u1, ikey0 = pick2(ikey_of(worsts, removed0))
 
         def unit_body(st):
-            ua, ub, ikey, ws, nv, ne = st
+            ua, ub, ikey, ws, nv, ne, npr = st
             hasb = ub < 128
+            if _prod:
+                bt_before = bt_scr[...]
             if _paired:
                 # Interleaved stages: mm A, mm B, ep A, ep B (see
                 # process_unit's defer doc). A dup slot (no second unit)
@@ -969,24 +1017,27 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                                             ikey_of(ws, removed)))
             nv = nv + np_a + np_b
             ne = ne + 1 + hasb.astype(jnp.int32)
+            if _prod:
+                npr = npr + jnp.max(
+                    (bt_scr[...] < bt_before).astype(jnp.int32))
             if _abl == "2xpick":
                 iz = jnp.where(nv > (1 << 30), jnp.int32(1), jnp.int32(0))
                 na2, _, _ = pick2(jnp.where(removed, imax,
                                             ikey_of(ws, removed)) + iz)
                 nv = nv + jnp.where(na2 > (1 << 30), jnp.int32(1),
                                     jnp.int32(0))
-            return (na, nb, ikey2, ws, nv, ne)
+            return (na, nb, ikey2, ws, nv, ne, npr)
 
         def unit_cond(st):
             return st[0] < 128
 
-        _, _, _, worsts, nvis, nelig = jax.lax.while_loop(
+        _, _, _, worsts, nvis, nelig, nprod = jax.lax.while_loop(
             unit_cond, unit_body,
-            (u0, u1, ikey0, worsts, nvis, nelig))
-        return ci + 1, worsts, nvis, nelig
+            (u0, u1, ikey0, worsts, nvis, nelig, nprod))
+        return ci + 1, worsts, nvis, nelig, nprod
 
     def cluster_cond(carry):
-        ci, worsts, _nv, _ne = carry
+        ci, worsts, _nv, _ne, _np = carry
         wmax = worsts[0]
         for j in range(1, nsub):
             wmax = jnp.maximum(wmax, worsts[j])
@@ -1002,7 +1053,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     # overwrites output row 3 wholesale with nv_row, and nv0 reads the
     # previous window's already-overwritten row. Do not rely on row 3 of
     # best_n being zero mid-loop.
-    if fused_cfg is None:
+    if fused_cfg is None and t_in is not None:
         bt_scr[...] = t_in[0, b].reshape(1, TILE)
         bn_scr[...] = n_in[0, b]                  # (8, TILE)
         nv0 = jnp.max(n_in[0, b, 3:4]).astype(jnp.int32)
@@ -1011,9 +1062,9 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         bt_scr[...] = jnp.full((1, TILE), 1e30, jnp.float32)
         bn_scr[...] = jnp.zeros((8, TILE), jnp.float32)
         nv0 = ne0 = jnp.int32(0)
-    c_final, _, nvis, nelig = jax.lax.while_loop(
+    c_final, _, nvis, nelig, nprod = jax.lax.while_loop(
         cluster_cond, cluster_body,
-        (jnp.int32(0), worst_subs(), nv0, ne0))
+        (jnp.int32(0), worst_subs(), nv0, ne0, jnp.int32(0)))
 
     # Drain: whenever the cluster loop stopped at c_final < ccnt (early-exit
     # bound, possibly before the first iteration), the metadata DMA for
@@ -1034,10 +1085,16 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     best_n = bn_scr[...]
     nv_row = jnp.full((1, TILE), nvis.astype(jnp.float32))
     ne_row = jnp.full((1, TILE), nelig.astype(jnp.float32))
-    if fused_cfg is None:
+    np_row = (jnp.full((1, TILE), nprod.astype(jnp.float32)) if _prod
+              else None)
+    if r_out is not None:
+        # Raw mode: compact [t | normal xyz] row, no carries, no counters.
+        r_out[0, b] = jnp.concatenate([best_t, best_n[0:3]], axis=0)
+    elif fused_cfg is None:
         t_out[0, b] = best_t[0]
         n_out[0, b] = jnp.concatenate(
-            [best_n[0:3], nv_row, ne_row, best_n[5:8]], axis=0)
+            [best_n[0:3], nv_row, ne_row,
+             np_row if _prod else best_n[5:6], best_n[6:8]], axis=0)
     else:
         # Fused epilogue: normalize the selected normal, shade against the
         # view direction (-d = -rows 0..2 of the ray matrix), Reinhard — the
@@ -1048,9 +1105,11 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
         r, g, bl = shading.shade_rows(
             nx / nn, ny / nn, nz / nn, -rm[0:1], -rm[1:2], -rm[2:3],
             hit, fused_cfg)
+        zrows = jnp.zeros((2, TILE), jnp.float32)
         c_out[0, b] = jnp.concatenate(
-            [r, g, bl, nv_row, ne_row, jnp.zeros((3, TILE), jnp.float32)],
-            axis=0)
+            [r, g, bl, nv_row, ne_row,
+             np_row if _prod else jnp.zeros((1, TILE), jnp.float32),
+             zrows], axis=0)
 
 
 def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
@@ -1059,7 +1118,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
                  n_in: jax.Array | None, cfg: RenderConfig,
                  interpret: bool = False,
                  tiles_per_block: int | None = None,
-                 fused: bool = False):
+                 fused: bool = False, raw: bool = False):
     """One cluster window (normally the whole frame). raymat_t:
     (tiles, 8, TILE); frus: (tiles, pack) frustum scalars (apex + sub-cone
     planes + scene AABB; the kernel derives the per-frame t_num row from
@@ -1086,7 +1145,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
         ccand = jnp.pad(ccand, ((0, pad), (0, 0)))
         ccount = jnp.pad(ccount, ((0, pad),))
         centry = jnp.pad(centry, ((0, pad), (0, 0)))
-        if not fused:
+        if not fused and not raw:
             t_in = jnp.pad(t_in, ((0, pad), (0, 0)), constant_values=1e30)
             n_in = jnp.pad(n_in, ((0, pad), (0, 0), (0, 0)))
     nb = (n_tiles + pad) // tb
@@ -1106,7 +1165,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
                                         else None),
                                hi_prec=cfg.mt_precision == "highest",
                                fast2=cfg.mt_precision == "fast2",
-                               indexed=kidx)
+                               indexed=kidx, raw=raw)
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.SMEM)
@@ -1138,7 +1197,12 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
     else:
         tail_args = (scene.cluster_unit_meta, scene.unit_qn)
     tail_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(tail_args)
-    if fused:
+    if raw:
+        in_specs = head_specs + tail_specs
+        args = head_args + tail_args
+        out_shape = jax.ShapeDtypeStruct((nb, tb, 4, TILE), jnp.float32)
+        out_specs = vmem((tb, 4, TILE))
+    elif fused:
         in_specs = head_specs + tail_specs
         args = head_args + tail_args
         out_shape = jax.ShapeDtypeStruct((nb, tb, 8, TILE), jnp.float32)
@@ -1197,6 +1261,8 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
+    if raw:
+        return out.reshape(-1, 4, TILE)[:n_tiles]
     if fused:
         return out.reshape(-1, 8, TILE)[:n_tiles]
     t, nrm = out
@@ -1254,6 +1320,7 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
         colors = rows[:, 0:3].transpose(0, 2, 1)     # (tiles, TILE, 3)
         visits = rows[:, 3, 0]
         eligible = rows[:, 4, 0]
+        productive = rows[:, 5, 0]
     else:
         def trace_window(ccand, ccount, centry, best_t, best_n):
             return trace_pallas(scene, raymat_t, frus,
@@ -1268,6 +1335,7 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
         best_n = nrm[:, 0:3].transpose(0, 2, 1)     # (tiles, TILE, 3)
         visits = nrm[:, 3, 0]
         eligible = nrm[:, 4, 0]
+        productive = nrm[:, 5, 0]
         hit_mask = best_t < BIG
         n_unit = best_n / jnp.maximum(
             jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
@@ -1279,7 +1347,11 @@ def render_pallas(scene: DeviceScene, inv_view_proj: jax.Array,
         return img, {"kernel_unit_visits":
                      visits.reshape(ty, tx).astype(jnp.int32),
                      "kernel_unit_eligible":
-                     eligible.reshape(ty, tx).astype(jnp.int32)}
+                     eligible.reshape(ty, tx).astype(jnp.int32),
+                     # Pair-iterations that improved some ray (row-5
+                     # counter; all-zero unless RTMM_COUNT_PROD=1).
+                     "kernel_unit_productive":
+                     productive.reshape(ty, tx).astype(jnp.int32)}
     return img
 
 

@@ -372,29 +372,38 @@ def render_instanced(scene: DeviceScene, instances: list[Instance],
                              cfg, interpret)
 
 
-def _tile_cap(cfg, n_tiles: int, n_inst: int | None = None) -> int:
-    """Per-instance tile-row cap for the merged launch / serial compaction.
-
-    Auto mode budgets a CONSTANT total row count across instance counts
-    (cap ~ 4 * n_tiles / N): the merged launch's cost floor is its
-    (rows x TILE) t/n output traffic plus one grid step per row, both of
-    which scale with N * cap — not with the geometry actually traced —
-    so a per-instance cap that ignores N regresses exactly at high N
-    (measured, 64-instance 1080p ring: cap 512 -> 35.9, 255 -> 49.6,
-    128 -> 62.6 Mrays/s). Instances whose footprint exceeds the cap stay
-    exact via the serial re-run backstop. RTMM_INSTANCE_TILE_CAP
-    overrides for bench A/Bs (0 = cfg/auto)."""
+def _tile_cap(cfg, n_tiles: int) -> int:
+    """Per-instance tile-row cap for the SERIAL path's compaction window
+    (the merged launch sizes its one global pool via _row_budget
+    instead). The cap only bounds one instance's gathered-tile window —
+    no N-scaled buffer exists here — so the footprint heuristic stands.
+    RTMM_INSTANCE_TILE_CAP overrides for bench A/Bs (0 = cfg/auto)."""
     import os
     env = int(os.environ.get("RTMM_INSTANCE_TILE_CAP", "0"))
-    if n_inst is None:
-        # Serial path: the cap only bounds one instance's compaction
-        # window (no N-scaled output buffer exists), keep the footprint
-        # heuristic.
-        auto = max(4 * cfg.tiles_per_block, n_tiles // 8)
-    else:
-        auto = max(4 * cfg.tiles_per_block, 4 * n_tiles // max(n_inst, 1))
+    auto = max(4 * cfg.tiles_per_block, n_tiles // 8)
     cap = env or cfg.instance_tile_cap or auto
     return min(n_tiles, cap)
+
+
+def _row_budget(cfg, n_tiles: int, n_inst: int) -> int:
+    """Total (instance, tile) candidate rows of the merged launch — ONE
+    shared pool filled by footprint (VERDICT r4 item 4), replacing the
+    fixed per-instance cap whose N x cap rows paid for empty tiles
+    whenever footprints were uneven. The launch's floor cost is ~1 us
+    per row (grid step + output traffic — the round-4 cap sweep), so the
+    budget should sit just above the summed footprint: measured on the
+    bench rings, S_max = 1,682 (64 inst) / 2,415 (256 inst) of n_tiles =
+    2,040 — 2 * n_tiles covers both with margin while the old scheme
+    carried 8,192 rows. Overflow (summed footprint > budget) stays exact
+    via the serial re-run backstop. RTMM_INSTANCE_ROWS overrides;
+    cfg.instance_tile_cap (a PER-INSTANCE tile cap) maps to its
+    aggregate row meaning, cap * N — the overflow tests force tiny
+    pools through it."""
+    import os
+    env = int(os.environ.get("RTMM_INSTANCE_ROWS", "0"))
+    rows = env or (cfg.instance_tile_cap * n_inst
+                   if cfg.instance_tile_cap else 2 * n_tiles)
+    return min(n_inst * n_tiles, rows)
 
 
 def _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
@@ -404,20 +413,21 @@ def _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
 
     Every kernel input is per-TILE (the frustum pack carries the apex;
     t_num derives in-kernel), so instances batch exactly like frames
-    (pallas_tiled.render_pallas_frames): each instance contributes
-    m_cap rows — its object-space ray/frustum/cluster-list tiles, chosen
-    by the per-tile instance cull — and the concatenated (N * m_cap) rows
-    trace in one windowed launch. Closest hits min-combine across
-    instances in world t with a scatter-min afterwards (exact-tie normals
-    sum, matching the kernel's own one-hot tie semantics). Cost scales
-    with the summed screen FOOTPRINT, not one sequential frame pass per
-    instance — the role hardware TLAS instancing plays for the reference
+    (pallas_tiled.render_pallas_frames). Rows come from ONE global pool
+    (_row_budget): the per-tile instance cull flags every (instance,
+    tile) pair whose frustum sees the instance, and the first `rows`
+    pairs in instance-major order each get one kernel row — object-space
+    rays + frustum pack + cluster list built per ROW. Closest hits
+    min-combine across instances in world t with a scatter-min
+    afterwards (exact-tie normals sum, matching the kernel's own one-hot
+    tie semantics). Cost scales with the summed screen FOOTPRINT, not
+    with N — the role hardware TLAS instancing plays for the reference
     (src/GPUMesh.cpp:238-278).
 
-    Exactness is preserved by a follow-up pass: any instance whose
-    footprint overflowed m_cap tiles (rare — a close-up instance) re-runs
-    through the serial full-frame trace, min-combining into the same
-    best (lax.cond per instance: the common all-fit case is a
+    Exactness is preserved by a follow-up pass: if the summed footprint
+    overflows the pool, every instance at or past the truncation point
+    re-runs through the serial full-frame trace, min-combining into the
+    same best (lax.cond per instance: the common all-fit case is a
     passthrough). Requires single-window cluster lists
     (num_clusters <= kernel_clusters_per_window); callers fall back to
     the serial path otherwise.
@@ -446,75 +456,93 @@ def _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
     origins_w = to_tiles(origins_w)
     s_w = ((origins_w - apex_w) * dirs_w).sum(-1)        # (tiles, TILE)
 
-    m_cap = _tile_cap(cfg, n_tiles, n_inst)
+    rows = _row_budget(cfg, n_tiles, n_inst)
     hp = jax.lax.Precision.HIGHEST
     exit_aabb = tiled.scene_exit_aabb(scene)
 
-    def inst_rows(r, t, s):
-        inv_s = 1.0 / s
-        apex_o = jnp.einsum("ij,j->i", r.T, apex_w - t, precision=hp) * inv_s
-        normals_o = jnp.einsum("ij,xyj->xyi", r.T, normals_w, precision=hp)
-        sub_normals_o = jnp.einsum("ij,xsyj->xsyi", r.T, sub_normals_w,
-                                   precision=hp)
-        cluster_hit = culling.cull_units(
-            apex_o, normals_o, scene.cluster_aabb_min,
-            scene.cluster_aabb_max, scene.cluster_valid)
-        tile_sees = cluster_hit.any(axis=1)               # (tiles,)
-        n_seen = tile_sees.sum()
-        key = jnp.where(tile_sees,
-                        n_tiles - jax.lax.iota(jnp.int32, n_tiles), 0)
-        _, tidx = jax.lax.top_k(key, m_cap)               # ascending tiles
-        dirs_o = jnp.einsum("ij,xyj->xyi", r.T, dirs_w[tidx], precision=hp)
-        m_o = jnp.cross(jnp.broadcast_to(apex_o, dirs_o.shape), dirs_o)
-        s_o = s_w[tidx] * inv_s
-        raymat = jnp.concatenate(
-            [dirs_o, m_o, s_o[..., None], jnp.ones_like(s_o)[..., None]],
-            axis=-1)
-        fi = tiled.FrameInputs(raymat, None, dirs_o, apex_o,
-                               normals_o[tidx], cluster_hit[tidx],
-                               sub_normals_o[tidx], None, exit_aabb)
-        frus = tiled.frustum_scalars(fi)
-        cl_dist = culling.aabb_distance(apex_o, scene.cluster_aabb_min,
-                                        scene.cluster_aabb_max)
-        ckey = jnp.where(cluster_hit[tidx], -cl_dist[None, :], -jnp.inf)
-        negd, cidx = jax.lax.top_k(ckey, kc)
-        sel = negd > -jnp.inf
-        centry = jnp.where(sel, -negd, jnp.inf).astype(jnp.float32)
-        return (raymat.transpose(0, 2, 1), frus, cidx.astype(jnp.int32),
-                sel.sum(axis=1).astype(jnp.int32), centry, tidx, n_seen)
+    # Per-instance object-space camera + coarse cull (the only O(N x
+    # tiles) stage; everything downstream is per-ROW).
+    inv_s = 1.0 / scl                                     # (N,)
+    apex_o = (jnp.einsum("nji,nj->ni", rot, apex_w - trn, precision=hp)
+              * inv_s[:, None])                           # (N, 3)
+    normals_o = jnp.einsum("nji,xyj->nxyi", rot, normals_w,
+                           precision=hp)                  # (N, tiles, 4, 3)
+    cluster_hit = jax.vmap(
+        lambda a, nm: culling.cull_units(a, nm, scene.cluster_aabb_min,
+                                         scene.cluster_aabb_max,
+                                         scene.cluster_valid)
+    )(apex_o, normals_o)                                  # (N, tiles, C)
+    tile_sees = cluster_hit.any(axis=2)                   # (N, tiles)
+    n_seen = tile_sees.sum(axis=1)                        # (N,)
 
-    raymat_t, frus, cidx, ccnt, centry, tidx, n_seen = jax.vmap(inst_rows)(
-        rot, trn, scl)
-    rows_n = n_inst * m_cap
+    # Global row assignment, instance-major: one sort of the flat
+    # (instance, tile) flags — seen pairs first, in order — then take
+    # the first `rows`. An instance is fully covered iff the running sum
+    # of footprints up to it fits the pool (checked below).
+    total = n_inst * n_tiles
+    fidx = jnp.arange(total, dtype=jnp.int32)
+    key = jnp.where(tile_sees.reshape(total), fidx, jnp.int32(total))
+    _, sidx = jax.lax.sort_key_val(key, fidx)
+    sel = sidx[:rows]
+    row_valid = key[sel] < total                          # padding rows
+    row_inst = jnp.where(row_valid, sel // n_tiles, 0)
+    row_tile = jnp.where(row_valid, sel % n_tiles, 0)
 
-    def flat(x):
-        return x.reshape((rows_n,) + x.shape[2:])
+    # Per-row object-space rays + frustum pack + cluster list.
+    row_rot = rot[row_inst]                               # (rows, 3, 3)
+    row_apex = apex_o[row_inst]                           # (rows, 3)
+    row_invs = inv_s[row_inst]
+    d_o = jnp.einsum("rji,rtj->rti", row_rot, dirs_w[row_tile],
+                     precision=hp)                        # (rows, TILE, 3)
+    m_o = jnp.cross(row_apex[:, None, :], d_o)
+    s_o = s_w[row_tile] * row_invs[:, None]
+    raymat = jnp.concatenate(
+        [d_o, m_o, s_o[..., None], jnp.ones_like(s_o)[..., None]],
+        axis=-1)
+    sub_o = jnp.einsum("rji,rsyj->rsyi", row_rot, sub_normals_w[row_tile],
+                       precision=hp)                      # (rows, ns, 4, 3)
+    nsub = sub_o.shape[1]
+    pack = tiled.frustum_pack_len(nsub)
+    used = 3 + nsub * 12 + 6
+    frus = jnp.concatenate(
+        [row_apex, sub_o.reshape(rows, nsub * 12),
+         jnp.broadcast_to(exit_aabb, (rows, 6)),
+         jnp.zeros((rows, pack - used), jnp.float32)], axis=1)
 
-    init_t = jnp.full((rows_n, TILE), BIG, jnp.float32)
-    init_n = jnp.zeros((rows_n, 8, TILE), jnp.float32)
-    bt_o, bn_rows = pallas_tiled.trace_pallas(
-        scene, flat(raymat_t), flat(frus), flat(cidx), flat(ccnt),
-        flat(centry), init_t, init_n, cfg, interpret=interpret)
+    cl_dist = culling.aabb_distance(
+        apex_o[:, None, :], scene.cluster_aabb_min,
+        scene.cluster_aabb_max)                           # (N, C)
+    row_hit = cluster_hit[row_inst, row_tile]             # (rows, C)
+    ckey = jnp.where(row_hit & row_valid[:, None],
+                     -cl_dist[row_inst], -jnp.inf)
+    negd, cidx = jax.lax.top_k(ckey, kc)
+    csel = negd > -jnp.inf
+    centry = jnp.where(csel, -negd, jnp.inf).astype(jnp.float32)
+
+    out = pallas_tiled.trace_pallas(
+        scene, raymat.transpose(0, 2, 1), frus, cidx.astype(jnp.int32),
+        csel.sum(axis=1).astype(jnp.int32), centry, None, None, cfg,
+        interpret=interpret, raw=True)                    # (rows, 4, TILE)
 
     # Object -> world: t scales per instance, normals rotate.
-    bt_o = bt_o.reshape(n_inst, m_cap, TILE)
-    bn_o = bn_rows.reshape(n_inst, m_cap, 8, TILE)[:, :, 0:3]
-    bt_w = jnp.where(bt_o < BIG * 0.5, bt_o * scl[:, None, None], BIG)
-    bn_w = jnp.einsum("nij,nxjy->nxyi", rot, bn_o)        # (N, m, TILE, 3)
+    bt_o = out[:, 0]                                      # (rows, TILE)
+    bn_o = out[:, 1:4]                                    # (rows, 3, TILE)
+    bt_w = jnp.where(bt_o < BIG * 0.5, bt_o * scl[row_inst][:, None], BIG)
+    bn_w = jnp.einsum("rij,rjt->rti", row_rot, bn_o)      # (rows, TILE, 3)
 
     # Min-combine across instances by target tile (duplicate tile rows
     # from different instances are exactly what .at[].min handles).
-    flat_tile = tidx.reshape(rows_n)
     best_t = jnp.full((n_tiles, TILE), BIG, jnp.float32
-                      ).at[flat_tile].min(bt_w.reshape(rows_n, TILE))
-    winner = bt_w.reshape(rows_n, TILE) <= best_t[flat_tile]
-    best_n = jnp.zeros((n_tiles, TILE, 3), jnp.float32).at[flat_tile].add(
-        jnp.where(winner[..., None], bn_w.reshape(rows_n, TILE, 3), 0.0))
+                      ).at[row_tile].min(bt_w)
+    winner = bt_w <= best_t[row_tile]
+    best_n = jnp.zeros((n_tiles, TILE, 3), jnp.float32).at[row_tile].add(
+        jnp.where(winner[..., None], bn_w, 0.0))
 
-    # Exactness backstop: instances seen by more tiles than m_cap re-run
-    # through the serial full-frame trace (min-combining is idempotent
-    # for the tiles the merged pass already covered).
-    overflow = n_seen > m_cap
+    # Exactness backstop: instance-major assignment means an instance is
+    # fully covered iff the cumulative footprint through it fits the
+    # pool; the truncated tail re-runs through the serial full-frame
+    # trace (min-combining is idempotent for rows already traced).
+    overflow = jnp.cumsum(n_seen) > rows
     best_t, best_n = _overflow_pass(scene, rot, trn, scl, overflow,
                                     best_t, best_n, apex_w, normals_w,
                                     sub_normals_w, dirs_w, s_w, cfg,
@@ -608,7 +636,8 @@ def _overflow_pass(scene, rot, trn, scl, overflow, best_t, best_n,
     return best_t, best_n
 
 
-def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
+def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None,
+                      serial: bool = False):
     import jax as _jax
 
     from ..ops import culling, pallas_tiled, shading, tiled
@@ -618,11 +647,13 @@ def _render_instanced(scene, rot, trn, scl, ivp, cfg, interpret=None):
         interpret = _jax.devices()[0].platform == "cpu"
 
     # The merged one-launch path is the production TLAS analog whenever a
-    # single cluster window covers the scene; RTMM_INSTANCED_SERIAL=1
-    # forces the round-3 per-instance scan for A/B.
+    # single cluster window covers the scene; serial=True (or
+    # RTMM_INSTANCED_SERIAL=1) forces the round-3 per-instance scan —
+    # the A/B partner and the bench image gate's independent reference.
     import os as _os
     kc_fit = scene.num_clusters <= max(1, cfg.kernel_clusters_per_window)
-    if kc_fit and _os.environ.get("RTMM_INSTANCED_SERIAL", "0") != "1":
+    if (kc_fit and not serial
+            and _os.environ.get("RTMM_INSTANCED_SERIAL", "0") != "1"):
         return _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
                                         interpret)
     width, height = cfg.width, cfg.height

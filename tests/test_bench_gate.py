@@ -62,6 +62,17 @@ def test_uniform_bias_caught_by_pixel_guard(base):
     assert npix > (270 * 480) // 10         # ...the 10% pixel guard does not
 
 
+def test_visit_gate_catches_injection(monkeypatch):
+    """The walk-drift gate (VERDICT r4 item 7): a +10% visit injection
+    on a keyed-in config MUST trip; within-tolerance noise must not."""
+    monkeypatch.setitem(bench.EXPECTED_VISITS, 99, 20000)
+    assert bench.visit_gate(99, 20000) is None
+    assert bench.visit_gate(99, int(20000 * 1.04)) is None   # noise band
+    assert bench.visit_gate(99, int(20000 * 1.10)) is not None
+    assert bench.visit_gate(99, int(20000 * 0.90)) is not None
+    assert bench.visit_gate(98, 10**9) is None   # un-keyed config: no gate
+
+
 def test_identical_frames_are_clean(base):
     npix, nbig, maxd, ncell, maxc = _metrics(base, base)
     assert (npix, nbig, ncell) == (0, 0, 0)
