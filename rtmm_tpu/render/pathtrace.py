@@ -149,17 +149,34 @@ def _trace_primary(scene: DeviceScene, inv_view_proj: jax.Array,
         raymat_t = fi.raymat.transpose(0, 2, 1)
         frus = tiled.frustum_scalars(fi)
         kc = max(1, min(cfg.kernel_clusters_per_window, scene.num_clusters))
+        if scene.num_clusters <= kc:
+            # Single window covers the scene: the carry-free raw kernel
+            # mode ([t | normal xyz] output, no (tiles, 8, TILE) carry
+            # streams) — the primary trace needs t/n, not colors, so the
+            # fused mode never applied here.
+            cl_dist = culling.aabb_distance(
+                fi.apex, scene.cluster_aabb_min, scene.cluster_aabb_max)
+            key = jnp.where(fi.cluster_hit, -cl_dist[None, :], -jnp.inf)
+            negd, cidx = jax.lax.top_k(key, kc)
+            sel = negd > -jnp.inf
+            centry = jnp.where(sel, -negd, jnp.inf).astype(jnp.float32)
+            out = pallas_tiled.trace_pallas(
+                scene, raymat_t, frus, cidx.astype(jnp.int32),
+                sel.sum(axis=1).astype(jnp.int32), centry, None, None,
+                cfg, interpret=interpret, raw=True)
+            best_t = out[:, 0]
+            best_n = out[:, 1:4].transpose(0, 2, 1)    # (tiles, TILE, 3)
+        else:
+            def trace_window(ccand, ccount, centry, bt, bn):
+                return pallas_tiled.trace_pallas(
+                    scene, raymat_t, frus, ccand, ccount, centry,
+                    bt, bn, cfg, interpret=interpret)
 
-        def trace_window(ccand, ccount, centry, bt, bn):
-            return pallas_tiled.trace_pallas(
-                scene, raymat_t, frus, ccand, ccount, centry,
-                bt, bn, cfg, interpret=interpret)
-
-        init = (jnp.full((n_tiles, tile), BIG, jnp.float32),
-                jnp.zeros((n_tiles, 8, tile), jnp.float32))
-        best_t, rows = tiled.trace_windowed_clusters(
-            scene, fi, cfg, trace_window, *init, kc=kc)
-        best_n = rows[:, 0:3].transpose(0, 2, 1)       # (tiles, TILE, 3)
+            init = (jnp.full((n_tiles, tile), BIG, jnp.float32),
+                    jnp.zeros((n_tiles, 8, tile), jnp.float32))
+            best_t, rows = tiled.trace_windowed_clusters(
+                scene, fi, cfg, trace_window, *init, kc=kc)
+            best_n = rows[:, 0:3].transpose(0, 2, 1)   # (tiles, TILE, 3)
     else:
         fi = tiled.build_frame_inputs(scene, inv_view_proj, cfg)
         best_t, best_n = tiled.xla_trace_frame(scene, fi, cfg)
