@@ -407,3 +407,43 @@ def test_pallas_frames_batch_matches_per_frame(kraygen):
     for i in range(3):
         one = np.asarray(render_pallas(ds, ivps[i], cfg, interpret=True))
         np.testing.assert_array_equal(batch[i], one)
+
+
+def test_raw_mode_matches_windowed(sphere_scene):
+    """The carry-free raw kernel mode ([t | normal xyz] compact output,
+    no carry inputs) must be bit-identical to the windowed mode started
+    from fresh carries — the merged-instancing launch and the path
+    tracer's primary trace ride it."""
+    import jax
+
+    from rtmm_tpu.ops import pallas_tiled, tiled
+    from rtmm_tpu.ops.tiled import TILE
+
+    ds = sphere_scene
+    w, h = 128, 64
+    cfg = pallas_tiled.resolve_mt_precision(ds, RenderConfig(width=w,
+                                                             height=h))
+    ivp = jnp.asarray(_ivp(w, h))
+    fi = tiled.build_frame_inputs(ds, ivp, cfg, need_q_frame=False)
+    raymat_t = fi.raymat.transpose(0, 2, 1)
+    frus = tiled.frustum_scalars(fi)
+    n_tiles = frus.shape[0]
+    kc = max(1, min(cfg.kernel_clusters_per_window, ds.num_clusters))
+    cl_dist = culling.aabb_distance(fi.apex, ds.cluster_aabb_min,
+                                    ds.cluster_aabb_max)
+    key = jnp.where(fi.cluster_hit, -cl_dist[None, :], -jnp.inf)
+    negd, cidx = jax.lax.top_k(key, kc)
+    sel = negd > -jnp.inf
+    centry = jnp.where(sel, -negd, jnp.inf).astype(jnp.float32)
+    ccnt = sel.sum(axis=1).astype(jnp.int32)
+
+    raw = pallas_tiled.trace_pallas(
+        ds, raymat_t, frus, cidx.astype(jnp.int32), ccnt, centry,
+        None, None, cfg, interpret=True, raw=True)
+    bt_w, nrm_w = pallas_tiled.trace_pallas(
+        ds, raymat_t, frus, cidx.astype(jnp.int32), ccnt, centry,
+        jnp.full((n_tiles, TILE), 1e30, jnp.float32),
+        jnp.zeros((n_tiles, 8, TILE), jnp.float32), cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(raw[:, 0]), np.asarray(bt_w))
+    np.testing.assert_array_equal(np.asarray(raw[:, 1:4]),
+                                  np.asarray(nrm_w[:, 0:3]))
