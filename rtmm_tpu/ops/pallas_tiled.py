@@ -98,7 +98,8 @@ def resolve_mt_precision(scene: DeviceScene, cfg: RenderConfig
 def _kernel(*refs, lpu: int, t_min: float, t_max: float,
             tiles_per_block: int, nsub: int, nrows: int, fused_cfg,
             kraygen: bool, grid_su, hi_prec: bool, fast2: bool,
-            indexed: bool = False, raw: bool = False):
+            indexed: bool = False, raw: bool = False,
+            xform: bool = False, rg_cfg=None):
     """fused_cfg: None = windowed mode (carry t/n in and out); a
     RenderConfig = single-window fused mode (shade in-kernel, write color
     rows, no carry inputs — saves one full (tiles, 8, TILE) HBM round-trip
@@ -185,7 +186,8 @@ def _kernel(*refs, lpu: int, t_min: float, t_max: float,
                     lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub,
                     nrows=nrows, fused_cfg=fused_cfg, kraygen=kraygen,
                     grid_su=grid_su, gmat_ref=gmat_ref, hi_prec=hi_prec,
-                    fast2=fast2, indexed=indexed)
+                    fast2=fast2, indexed=indexed, xform=xform,
+                    rg_cfg=rg_cfg)
 
 
 def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
@@ -193,7 +195,8 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
                 meta_buf, q_buf, msem, usem, rm_buf,
                 bt_scr, bn_scr,
                 *, lpu, t_min, t_max, nsub, nrows, fused_cfg, kraygen,
-                grid_su, gmat_ref, hi_prec, fast2, indexed):
+                grid_su, gmat_ref, hi_prec, fast2, indexed,
+                xform=False, rg_cfg=None):
     t_in, n_in, t_out, n_out, c_out, r_out = outs
     # count can exceed the cluster-list capacity (overflowing tiles keep
     # their true count; the host window loop re-runs them); clamp — reading
@@ -226,17 +229,27 @@ def _trace_tile(b, ccand_ref, ccount_ref, centry_ref, frus_ref, raymat_ref,
             lpu=lpu, t_min=t_min, t_max=t_max, nsub=nsub, nrows=nrows,
             fused_cfg=fused_cfg, kraygen=kraygen, grid_su=grid_su,
             gmat_ref=gmat_ref, hi_prec=hi_prec, fast2=fast2,
-            indexed=indexed)
+            indexed=indexed, xform=xform, rg_cfg=rg_cfg)
 
 
-def _raygen_rows(frus_ref, b, nsub, cfg):
+def _raygen_rows(frus_ref, b, nsub, cfg, apex_off: int = 0,
+                 xform_off: int | None = None):
     """In-kernel primary raygen: the exact math of ops/raygen.py +
     build_frame_inputs' ray-matrix assembly, from the 18 raygen scalars
     appended to the frustum pack ([px0, py0, inv_view_proj (row-major
     16)] at offset 3 + nsub*12). ~45 VPU ops on (1, TILE) per nonempty
     tile — replaces streaming a (tiles, TILE, 8) HBM table. Explicit FMA
     (not a matmul): the w component is a catastrophic cancellation that
-    needs f32 (see ops/raygen.py)."""
+    needs f32 (see ops/raygen.py).
+
+    apex_off: pack offset of the apex used for the moment/shift rows
+    (0 = the standard camera apex at the pack head). xform_off: when
+    set, the pack carries a rigid+uniform-scale OBJECT transform at that
+    offset ([R^T row-major (9), inv_s (1)]) and the returned rows are the
+    instanced object-space ray matrix: d_o = R^T d_w, m_o = apex_o x d_o
+    (apex_o = pack head), s_o = s_w * inv_s — the merged-instancing
+    launch's per-row rays, generated in-kernel instead of streaming a
+    (rows, TILE, 8) HBM table (render/instances.py)."""
     rg = 3 + nsub * 12
     px0 = frus_ref[0, b, rg + 0]
     py0 = frus_ref[0, b, rg + 1]
@@ -263,13 +276,31 @@ def _raygen_rows(frus_ref, b, nsub, cfg):
     dz = pf[2] / pf[3] - oz
     ln = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     dx, dy, dz = dx / ln, dy / ln, dz / ln
-    ax = frus_ref[0, b, 0]
-    ay = frus_ref[0, b, 1]
-    az = frus_ref[0, b, 2]
-    mx = ay * dz - az * dy
-    my = az * dx - ax * dz
-    mz = ax * dy - ay * dx
+    ax = frus_ref[0, b, apex_off + 0]
+    ay = frus_ref[0, b, apex_off + 1]
+    az = frus_ref[0, b, apex_off + 2]
     s = (ox - ax) * dx + (oy - ay) * dy + (oz - az) * dz
+    if xform_off is not None:
+        def xf(i):
+            return frus_ref[0, b, xform_off + i]
+        # d_o = R^T d_w (row i of the stored R^T dots d_w); the world s
+        # scales by inv_s (the object-space shift along the unit object
+        # direction: |d_o| = 1 because R is a rotation).
+        dxo = xf(0) * dx + xf(1) * dy + xf(2) * dz
+        dyo = xf(3) * dx + xf(4) * dy + xf(5) * dz
+        dzo = xf(6) * dx + xf(7) * dy + xf(8) * dz
+        dx, dy, dz = dxo, dyo, dzo
+        s = s * xf(9)
+        aox = frus_ref[0, b, 0]
+        aoy = frus_ref[0, b, 1]
+        aoz = frus_ref[0, b, 2]
+        mx = aoy * dz - aoz * dy
+        my = aoz * dx - aox * dz
+        mz = aox * dy - aoy * dx
+    else:
+        mx = ay * dz - az * dy
+        my = az * dx - ax * dz
+        mz = ax * dy - ay * dx
     return jnp.concatenate(
         [dx, dy, dz, mx, my, mz, s, jnp.ones((1, TILE), jnp.float32)],
         axis=0)
@@ -408,7 +439,7 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
                          rm_buf, bt_scr, bn_scr,
                          *, lpu, t_min, t_max, nsub, nrows, fused_cfg,
                          kraygen, grid_su, gmat_ref, hi_prec, fast2,
-                         indexed):
+                         indexed, xform=False, rg_cfg=None):
     t_in, n_in, t_out, n_out, c_out, r_out = outs
     # Cost-attribution instrument (RTMM_ABLATE=2xmatmul|2xepilogue|
     # 2xnsel|2xpick, read at trace time): DUPLICATE one stage and fold a
@@ -503,7 +534,14 @@ def _trace_tile_nonempty(b, ccnt, ccand_ref, centry_ref, frus_ref,
     def _dep_zero(x):
         return jnp.where(x > 1e38, jnp.float32(1.0), jnp.float32(0.0))
 
-    if kraygen:
+    if kraygen and xform:
+        # Merged-instancing rows: world raygen + per-row object
+        # transform, all in-kernel (xf block after the scene AABB:
+        # [R^T (9), inv_s (1), apex_w (3)]).
+        xfo = 3 + nsub * 12 + 18 + 6
+        rm = _raygen_rows(frus_ref, b, nsub, rg_cfg,
+                          apex_off=xfo + 10, xform_off=xfo)
+    elif kraygen:
         rm = _raygen_rows(frus_ref, b, nsub, fused_cfg)
     else:
         rm = raymat_ref[0, b]                     # (8, TILE)
@@ -1118,7 +1156,8 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
                  n_in: jax.Array | None, cfg: RenderConfig,
                  interpret: bool = False,
                  tiles_per_block: int | None = None,
-                 fused: bool = False, raw: bool = False):
+                 fused: bool = False, raw: bool = False,
+                 xform_raygen: bool = False):
     """One cluster window (normally the whole frame). raymat_t:
     (tiles, 8, TILE); frus: (tiles, pack) frustum scalars (apex + sub-cone
     planes + scene AABB; the kernel derives the per-frame t_num row from
@@ -1131,7 +1170,8 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
     Fused mode (fused=True, single window): shades in-kernel and returns
     one (tiles, 8, TILE) array with rgb in rows 0..2.
     """
-    kraygen = fused and cfg.kernel_raygen and raymat_t is None
+    kraygen = ((fused and cfg.kernel_raygen and raymat_t is None)
+               or (raw and xform_raygen))
     compressed = scene.compressed
     n_tiles = frus.shape[0]
     lpu = scene.leaves_per_unit
@@ -1165,14 +1205,17 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
                                         else None),
                                hi_prec=cfg.mt_precision == "highest",
                                fast2=cfg.mt_precision == "fast2",
-                               indexed=kidx, raw=raw)
+                               indexed=kidx, raw=raw,
+                               xform=raw and xform_raygen,
+                               rg_cfg=cfg if xform_raygen else None)
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.SMEM)
     vmem = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    frusp = tiled.frustum_pack_len(cfg.sub_frusta, with_raygen=kraygen)
+    frusp = tiled.frustum_pack_len(cfg.sub_frusta, with_raygen=kraygen,
+                                   with_xform=raw and xform_raygen)
     head_specs = [smem((tb, kc)), smem((tb, 1)), smem((tb, kc)),
                   smem((tb, frusp))]
     head_args = (ccand.reshape(nb, tb, kc), ccount.reshape(nb, tb, 1),

@@ -278,9 +278,14 @@ def cluster_window(scene: DeviceScene, apex: jax.Array,
             centry.astype(jnp.float32), new_remaining, next_bound)
 
 
-def frustum_pack_len(n_sub: int, with_raygen: bool = False) -> int:
-    """Length of the per-tile frustum scalar pack (rounded up to 64)."""
-    return -(-(3 + n_sub * 12 + (18 if with_raygen else 0) + 6) // 64) * 64
+def frustum_pack_len(n_sub: int, with_raygen: bool = False,
+                     with_xform: bool = False) -> int:
+    """Length of the per-tile frustum scalar pack (rounded up to 64).
+    with_xform: the merged-instancing in-kernel-raygen pack appends an
+    object transform block [R^T (9), inv_s (1), apex_w (3)] after the
+    scene AABB (implies with_raygen)."""
+    return -(-(3 + n_sub * 12 + (18 if with_raygen or with_xform else 0)
+               + 6 + (13 if with_xform else 0)) // 64) * 64
 
 
 def frustum_scalars(fi: FrameInputs,

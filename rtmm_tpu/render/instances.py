@@ -489,25 +489,50 @@ def _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
     row_tile = jnp.where(row_valid, sel % n_tiles, 0)
 
     # Per-row object-space rays + frustum pack + cluster list.
+    import os as _os
+    kray = _os.environ.get("RTMM_INSTANCED_KRAYGEN", "0") == "1"
     row_rot = rot[row_inst]                               # (rows, 3, 3)
     row_apex = apex_o[row_inst]                           # (rows, 3)
     row_invs = inv_s[row_inst]
-    d_o = jnp.einsum("rji,rtj->rti", row_rot, dirs_w[row_tile],
-                     precision=hp)                        # (rows, TILE, 3)
-    m_o = jnp.cross(row_apex[:, None, :], d_o)
-    s_o = s_w[row_tile] * row_invs[:, None]
-    raymat = jnp.concatenate(
-        [d_o, m_o, s_o[..., None], jnp.ones_like(s_o)[..., None]],
-        axis=-1)
     sub_o = jnp.einsum("rji,rsyj->rsyi", row_rot, sub_normals_w[row_tile],
                        precision=hp)                      # (rows, ns, 4, 3)
     nsub = sub_o.shape[1]
-    pack = tiled.frustum_pack_len(nsub)
-    used = 3 + nsub * 12 + 6
-    frus = jnp.concatenate(
-        [row_apex, sub_o.reshape(rows, nsub * 12),
-         jnp.broadcast_to(exit_aabb, (rows, 6)),
-         jnp.zeros((rows, pack - used), jnp.float32)], axis=1)
+    if kray:
+        # In-kernel raygen + object transform (A/B): the pack gains the
+        # raygen scalars + [R^T (9), inv_s (1), apex_w (3)] and the
+        # kernel builds each row's object-space ray matrix itself — no
+        # (rows, TILE, 8) HBM table exists at all (~32 KB/row of build
+        # + stream traffic gone; see pallas_tiled._raygen_rows).
+        raymat = None
+        pack = tiled.frustum_pack_len(nsub, with_xform=True)
+        used = 3 + nsub * 12 + 18 + 6 + 13
+        px0 = ((row_tile % tx) * culling.TILE_W).astype(jnp.float32)
+        py0 = ((row_tile // tx) * culling.TILE_H).astype(jnp.float32)
+        m16 = jnp.broadcast_to(
+            ivp.astype(jnp.float32).reshape(16), (rows, 16))
+        xf = jnp.concatenate(
+            [row_rot.transpose(0, 2, 1).reshape(rows, 9),
+             row_invs[:, None],
+             jnp.broadcast_to(apex_w, (rows, 3))], axis=1)
+        frus = jnp.concatenate(
+            [row_apex, sub_o.reshape(rows, nsub * 12),
+             px0[:, None], py0[:, None], m16,
+             jnp.broadcast_to(exit_aabb, (rows, 6)), xf,
+             jnp.zeros((rows, pack - used), jnp.float32)], axis=1)
+    else:
+        d_o = jnp.einsum("rji,rtj->rti", row_rot, dirs_w[row_tile],
+                         precision=hp)                    # (rows, TILE, 3)
+        m_o = jnp.cross(row_apex[:, None, :], d_o)
+        s_o = s_w[row_tile] * row_invs[:, None]
+        raymat = jnp.concatenate(
+            [d_o, m_o, s_o[..., None], jnp.ones_like(s_o)[..., None]],
+            axis=-1)
+        pack = tiled.frustum_pack_len(nsub)
+        used = 3 + nsub * 12 + 6
+        frus = jnp.concatenate(
+            [row_apex, sub_o.reshape(rows, nsub * 12),
+             jnp.broadcast_to(exit_aabb, (rows, 6)),
+             jnp.zeros((rows, pack - used), jnp.float32)], axis=1)
 
     cl_dist = culling.aabb_distance(
         apex_o[:, None, :], scene.cluster_aabb_min,
@@ -519,10 +544,26 @@ def _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
     csel = negd > -jnp.inf
     centry = jnp.where(csel, -negd, jnp.inf).astype(jnp.float32)
 
-    out = pallas_tiled.trace_pallas(
-        scene, raymat.transpose(0, 2, 1), frus, cidx.astype(jnp.int32),
-        csel.sum(axis=1).astype(jnp.int32), centry, None, None, cfg,
-        interpret=interpret, raw=True)                    # (rows, 4, TILE)
+    # Stage-attribution knobs (timing A/Bs ONLY — both produce wrong
+    # images; the bench image gate must be off when used):
+    # RTMM_INSTANCED_NOTRACE=1 skips the kernel launch (measures the XLA
+    # prologue + combine; the fake output keeps a data dependence on the
+    # built inputs so XLA cannot DCE the prologue);
+    # RTMM_INSTANCED_NOCOMBINE=1 (below) replaces the scatter-min with a
+    # cheap reshape (isolates the combine cost).
+    if _os.environ.get("RTMM_INSTANCED_NOTRACE", "0") == "1":
+        dep = (frus[:, 0:1, None] if raymat is None
+               else raymat[:, 0:1, 0:1])
+        out = jnp.concatenate(
+            [jnp.broadcast_to(dep, (rows, 1, TILE)) + BIG,
+             jnp.zeros((rows, 3, TILE), jnp.float32)], axis=1)
+    else:
+        out = pallas_tiled.trace_pallas(
+            scene, None if raymat is None else raymat.transpose(0, 2, 1),
+            frus, cidx.astype(jnp.int32),
+            csel.sum(axis=1).astype(jnp.int32), centry, None, None, cfg,
+            interpret=interpret, raw=True,
+            xform_raygen=kray)                            # (rows, 4, TILE)
 
     # Object -> world: t scales per instance, normals rotate.
     bt_o = out[:, 0]                                      # (rows, TILE)
@@ -532,11 +573,16 @@ def _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
 
     # Min-combine across instances by target tile (duplicate tile rows
     # from different instances are exactly what .at[].min handles).
-    best_t = jnp.full((n_tiles, TILE), BIG, jnp.float32
-                      ).at[row_tile].min(bt_w)
-    winner = bt_w <= best_t[row_tile]
-    best_n = jnp.zeros((n_tiles, TILE, 3), jnp.float32).at[row_tile].add(
-        jnp.where(winner[..., None], bn_w, 0.0))
+    if _os.environ.get("RTMM_INSTANCED_NOCOMBINE", "0") == "1":
+        best_t = bt_w[:n_tiles]                 # timing A/B: wrong image
+        best_n = bn_w[:n_tiles]
+    else:
+        best_t = jnp.full((n_tiles, TILE), BIG, jnp.float32
+                          ).at[row_tile].min(bt_w)
+        winner = bt_w <= best_t[row_tile]
+        best_n = jnp.zeros((n_tiles, TILE, 3), jnp.float32
+                           ).at[row_tile].add(
+            jnp.where(winner[..., None], bn_w, 0.0))
 
     # Exactness backstop: instance-major assignment means an instance is
     # fully covered iff the cumulative footprint through it fits the
