@@ -185,6 +185,15 @@ def _build_config_raw(n: int):
                 [rad * np.cos(a), rad * np.sin(a),
                  0.8 * float(rng.standard_normal())],
                 (0.0, a, 0.2 * i), 0.35 if n == 8 else 0.18))
+        import os
+        if os.environ.get("RTMM_INSTANCE_BAKED") == "1":
+            # A/B: the SAME ring through the baked O(N x scene)-HBM path
+            # (config 4's architecture) — the apples-to-apples control
+            # for the merged-vs-baked claim (config 4 itself is a
+            # different, larger-instance scene).
+            return (f"instanced_baked_{n_inst}x_1080p",
+                    inst_mod.bake_instances(base, ring),
+                    RenderConfig(width=1920, height=1080), 1)
         return (f"instanced_tlas_{n_inst}x_1080p", (base, ring),
                 RenderConfig(width=1920, height=1080), None)
     raise SystemExit(f"unknown config {n}")
@@ -726,13 +735,16 @@ def main() -> None:
         mrays = _bench_pathtrace(scene, cfg, metric)
         if "--no-verify" not in sys.argv:
             gate_or_exit(_verify_pathtrace(scene, cfg))
-    elif n in (8, 10):
+    elif n in (8, 10) and isinstance(scene, tuple):
         base, ring = scene
         mrays = _bench_instanced(base, ring, cfg)
         if "--no-verify" not in sys.argv:
             gate_or_exit(_verify_instanced(base, ring, cfg))
     else:
-        dist = 4.5 if n == 4 else 3.0
+        # (configs 8/10 land here under RTMM_INSTANCE_BAKED=1 — the ring
+        # baked into one scene rides the plain primary pipeline at the
+        # instanced configs' camera distance.)
+        dist = 4.5 if n == 4 else (6.5 if n in (8, 10) else 3.0)
         mrays = _bench_render(scene, cfg, metric, dist=dist)
         if "--no-ab" not in sys.argv:
             # Exact visit-count drift gate (see EXPECTED_VISITS): pins

@@ -103,6 +103,22 @@ def _cosine_dir(u: jax.Array, normal: jax.Array) -> jax.Array:
     return (x[..., None] * t + y[..., None] * b + z[..., None] * normal)
 
 
+def _compact_cap(mtotal: int, engine: str) -> int:
+    """Static lane count of the compacted secondary pipeline (0 = run
+    full-size). Only the group engines compact — the perray reference
+    keeps its original shape. Default: a quarter of the merged buffer,
+    rounded up to a GROUP multiple (the bench scenes' live counts sit
+    well under it: ~80-100k live lanes of 524k at 512^2 x 2spp);
+    RTMM_PT_CAP overrides (0 disables)."""
+    import os
+    if engine not in ("pallas", "grouped"):
+        return 0
+    env = os.environ.get("RTMM_PT_CAP")
+    cap = int(env) if env is not None else mtotal // 4
+    cap = (cap + GROUP - 1) // GROUP * GROUP
+    return cap if 0 < cap < mtotal else 0
+
+
 def _normalize_flip(bn: jax.Array, dirs: jax.Array) -> jax.Array:
     """Normalize an (unnormalized, reference-style) geometric normal and
     flip it toward the incoming ray for bounce bookkeeping."""
@@ -278,7 +294,28 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
         DMA + table derivation serves spp times the rays (the secondary
         trace is the config-5 bottleneck), and the per-bounce fixed costs
         (sort passes, kernel launches) are paid once instead of per
-        sample. Returns (radiance (n, 3) in raster order SUMMED over
+        sample.
+
+        Two exact size cuts keep the per-bounce fixed costs about the
+        LIVE rays, not the buffer (the secondary pipeline is
+        miss-dominated — most of the spp * total lanes died at bounce 0
+        and can never contribute):
+
+        * throughput never rides the sorts: the albedo is scene-constant
+          (the reference's single material, closesthit.hlsl:1-9), so
+          every lane READ at bounce b holds throughput == albedo**b — a
+          per-bounce Python constant, not 3 carried sort operands;
+        * after the first secondary sort (which sinks every dead lane to
+          the back), the state is SLICED to a static `cap` prefix and
+          the whole bounce loop runs on the small buffer; a lax.cond
+          falls back to the full-size pipeline when the live count
+          overflows the cap, so no ray is ever dropped (RTMM_PT_CAP
+          lanes, default spp*total/4 rounded up to a GROUP multiple;
+          0 disables). The sliced-off suffix is exactly the sorted dead
+          lanes: their radiance is 0 and stays 0, so concatenating it
+          back before the final unsort is exact.
+
+        Returns (radiance (n, 3) in raster order SUMMED over
         samples, live counts (N,) summed, overflow counts (N,))."""
         spp = pt.samples_per_pixel
         mtotal = spp * total
@@ -316,81 +353,124 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
         o = tile_s(borigin0p)
         d = jnp.where(hit0m[:, None], d1, tile_s(d0p))
         alive = hit0m
-        tp = jnp.where(alive[:, None], albedo, 0.0)
         rad = jnp.zeros((mtotal, 3), jnp.float32)
         idx = jnp.arange(mtotal, dtype=jnp.int32)
-        live_counts = []
-        overflow_counts = []
-        for bounce in range(1, n_bounce + 1):
+        # pend[i] holds the (lanes, 2) randoms for bounce `start + i`
+        # (consumed front-to-back; the not-yet-used columns ride every
+        # sort so the draw stays pixel-indexed under permutation).
+        pend0 = [] if _hashrand else rs[1:]
+
+        def sort_state(bounce, o, d, alive, rad, idx, pend):
             if engine in ("pallas", "grouped"):
                 skey = jnp.where(alive, grouped._sort_key(o, d, scene),
                                  grouped.DEAD_KEY)
-                do_sort = True
-            elif pt.compaction:
+            else:
                 # perray compaction: live rays to the front, stable.
                 skey = jnp.where(alive, 0, 1)
-                do_sort = True
+            cols = [c for r in pend for c in (r[:, 0], r[:, 1])]
+            ops = jax.lax.sort(
+                (skey, o[:, 0], o[:, 1], o[:, 2],
+                 d[:, 0], d[:, 1], d[:, 2],
+                 rad[:, 0], rad[:, 1], rad[:, 2], idx, *cols),
+                num_keys=1, is_stable=True)
+            o = jnp.stack(ops[1:4], axis=-1)
+            d = jnp.stack(ops[4:7], axis=-1)
+            rad = jnp.stack(ops[7:10], axis=-1)
+            idx = ops[10]
+            pend = [jnp.stack(ops[11 + 2 * i:13 + 2 * i], axis=-1)
+                    for i in range(len(pend))]
+            if engine in ("pallas", "grouped"):
+                alive = ops[0] < grouped.DEAD_KEY
             else:
-                do_sort = False
-            if do_sort:
-                pending = ([] if _hashrand else
-                           [c for r in rs[bounce:] for c in (r[:, 0],
-                                                             r[:, 1])])
-                ops = jax.lax.sort(
-                    (skey, o[:, 0], o[:, 1], o[:, 2],
-                     d[:, 0], d[:, 1], d[:, 2],
-                     tp[:, 0], tp[:, 1], tp[:, 2],
-                     rad[:, 0], rad[:, 1], rad[:, 2], idx, *pending),
-                    num_keys=1, is_stable=True)
-                o = jnp.stack(ops[1:4], axis=-1)
-                d = jnp.stack(ops[4:7], axis=-1)
-                tp = jnp.stack(ops[7:10], axis=-1)
-                rad = jnp.stack(ops[10:13], axis=-1)
-                idx = ops[13]
-                if not _hashrand:
-                    rs = rs[:bounce] + [
-                        jnp.stack(ops[14 + 2 * i:16 + 2 * i], axis=-1)
-                        for i in range(n_bounce - bounce)]
-                if engine in ("pallas", "grouped"):
-                    alive = ops[0] < grouped.DEAD_KEY
-                else:
-                    alive = ops[0] == 0
+                alive = ops[0] == 0
+            return o, d, alive, rad, idx, pend
 
-            if engine == "pallas":
-                bt, bn3, overflow = pallas_grouped.trace_sorted(
-                    scene, o.reshape(-1, GROUP, 3), d.reshape(-1, GROUP, 3),
-                    alive.reshape(-1, GROUP), cfg_bounce)
-                bt = bt.reshape(-1)
-                bn3 = bn3.reshape(-1, 3)
-                hit = alive & (bt < BIG) & (bt > 0.0)
-            elif engine == "grouped":
-                bt, bn3, overflow = grouped.trace_sorted(
-                    scene, o.reshape(-1, GROUP, 3), d.reshape(-1, GROUP, 3),
-                    alive.reshape(-1, GROUP), cfg_bounce)
-                bt = bt.reshape(-1)
-                bn3 = bn3.reshape(-1, 3)
-                hit = alive & (bt < BIG) & (bt > 0.0)
-            else:
-                bt, bn3, hit = _trace_chunked(scene, o, d, cfg_bounce,
-                                              pt.ray_chunk)
-                hit = hit & alive
-                overflow = jnp.int32(0)
-            overflow_counts.append(overflow)
-            nrm = _normalize_flip(bn3, d)
-            escaped = alive & ~hit
-            rad = rad + jnp.where(escaped[:, None], tp * bg, 0.0)
-            direct = _direct_light(nrm, albedo, cfg)
-            rad = rad + jnp.where(hit[:, None], tp * direct, 0.0)
-            alive = hit
-            live_counts.append(alive.sum())
-            if bounce == n_bounce:
-                break
-            hit_pos = o + jnp.where(hit, bt, 0.0)[:, None] * d
-            new_dir = _cosine_dir(
-                rand2(bounce, idx) if _hashrand else rs[bounce], nrm)
-            o = hit_pos + 1e-4 * nrm
-            d = jnp.where(alive[:, None], new_dir, d)
-            tp = tp * jnp.where(alive[:, None], albedo, 1.0)
+        def run_bounces(o, d, alive, rad, idx, pend, first_sorted):
+            """Bounces 1..n_bounce on a state of ANY static lane count
+            (a GROUP multiple). first_sorted: the bounce-1 sort already
+            ran at full size (the compaction split point)."""
+            live_counts = []
+            overflow_counts = []
+            for bounce in range(1, n_bounce + 1):
+                do_sort = (engine in ("pallas", "grouped")
+                           or pt.compaction)
+                if do_sort and not (bounce == 1 and first_sorted):
+                    o, d, alive, rad, idx, pend = sort_state(
+                        bounce, o, d, alive, rad, idx, pend)
+                # Throughput of every lane read this bounce (see the
+                # docstring): albedo**bounce, a compile-time constant.
+                tp_b = albedo ** bounce
+
+                if engine == "pallas":
+                    bt, bn3, overflow = pallas_grouped.trace_sorted(
+                        scene, o.reshape(-1, GROUP, 3),
+                        d.reshape(-1, GROUP, 3),
+                        alive.reshape(-1, GROUP), cfg_bounce)
+                    bt = bt.reshape(-1)
+                    bn3 = bn3.reshape(-1, 3)
+                    hit = alive & (bt < BIG) & (bt > 0.0)
+                elif engine == "grouped":
+                    bt, bn3, overflow = grouped.trace_sorted(
+                        scene, o.reshape(-1, GROUP, 3),
+                        d.reshape(-1, GROUP, 3),
+                        alive.reshape(-1, GROUP), cfg_bounce)
+                    bt = bt.reshape(-1)
+                    bn3 = bn3.reshape(-1, 3)
+                    hit = alive & (bt < BIG) & (bt > 0.0)
+                else:
+                    bt, bn3, hit = _trace_chunked(scene, o, d, cfg_bounce,
+                                                  pt.ray_chunk)
+                    hit = hit & alive
+                    overflow = jnp.int32(0)
+                overflow_counts.append(overflow)
+                nrm = _normalize_flip(bn3, d)
+                escaped = alive & ~hit
+                rad = rad + jnp.where(escaped[:, None], tp_b * bg, 0.0)
+                direct = _direct_light(nrm, albedo, cfg)
+                rad = rad + jnp.where(hit[:, None], tp_b * direct, 0.0)
+                alive = hit
+                live_counts.append(alive.sum())
+                if bounce == n_bounce:
+                    break
+                hit_pos = o + jnp.where(hit, bt, 0.0)[:, None] * d
+                new_dir = _cosine_dir(
+                    rand2(bounce, idx) if _hashrand else pend[0], nrm)
+                pend = pend[1:] if not _hashrand else pend
+                o = hit_pos + 1e-4 * nrm
+                d = jnp.where(alive[:, None], new_dir, d)
+            return (rad, idx, jnp.stack(live_counts),
+                    jnp.stack(overflow_counts))
+
+        cap = _compact_cap(mtotal, engine)
+        if cap:
+            # Sort ONCE at full size, slice the live prefix, run the
+            # whole bounce loop small; fall back to the full-size loop
+            # (exact, no drops) when the live count overflows the cap.
+            n_live = alive.sum()
+            state = sort_state(1, o, d, alive, rad, idx, pend0)
+
+            def compact_fn(st):
+                o, d, alive, rad, idx, pend = st
+                sl = lambda x: x[:cap]
+                rad_c, idx_c, live, ovf = run_bounces(
+                    sl(o), sl(d), sl(alive), sl(rad), sl(idx),
+                    [sl(p) for p in pend], first_sorted=True)
+                # The suffix is the sorted dead tail: rad there is 0 and
+                # could never change — concat restores the full lane set
+                # for the final unsort.
+                return (jnp.concatenate([rad_c, rad[cap:]]),
+                        jnp.concatenate([idx_c, idx[cap:]]), live, ovf)
+
+            def full_fn(st):
+                o, d, alive, rad, idx, pend = st
+                return run_bounces(o, d, alive, rad, idx, pend,
+                                   first_sorted=True)
+
+            rad, idx, live_counts, overflow_counts = jax.lax.cond(
+                n_live <= cap, compact_fn, full_fn, state)
+        else:
+            rad, idx, live_counts, overflow_counts = run_bounces(
+                o, d, alive, rad, idx, pend0, first_sorted=False)
         # Undo the permutation(s): idx is a permutation of [0, mtotal),
         # so one sort keyed on it restores (sample-major) raster order;
         # the sample reduce then happens in plain blocked layout.
@@ -398,7 +478,7 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
             (idx, rad[:, 0], rad[:, 1], rad[:, 2]), num_keys=1)
         rad = jnp.stack([r0, r1, r2], axis=-1)
         rad = rad.reshape(spp, total, 3)[:, :n].sum(axis=0)
-        return rad, jnp.stack(live_counts), jnp.stack(overflow_counts)
+        return rad, live_counts, overflow_counts
 
     keys = jax.random.split(key0, pt.samples_per_pixel)
     radiance, counts, overflows = secondary_all(keys)
