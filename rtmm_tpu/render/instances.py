@@ -391,18 +391,26 @@ def _row_budget(cfg, n_tiles: int, n_inst: int) -> int:
     fixed per-instance cap whose N x cap rows paid for empty tiles
     whenever footprints were uneven. The launch's floor cost is ~1 us
     per row (grid step + output traffic — the round-4 cap sweep), so the
-    budget should sit just above the summed footprint: measured on the
-    bench rings, S_max = 1,682 (64 inst) / 2,415 (256 inst) of n_tiles =
-    2,040 — 2 * n_tiles covers both with margin while the old scheme
-    carried 8,192 rows. Overflow (summed footprint > budget) stays exact
-    via the serial re-run backstop. RTMM_INSTANCE_ROWS overrides;
-    cfg.instance_tile_cap (a PER-INSTANCE tile cap) maps to its
-    aggregate row meaning, cap * N — the overflow tests force tiny
-    pools through it."""
+    budget should sit just above the summed footprint. Default
+    n_tiles + 4 * n_inst: every screen tile claimed once (instances that
+    tile the screen without overlap) plus 4 rows per instance for
+    overlap and conservative AABB-corner tiles — measured on the bench
+    rings, S_max = 1,682 (64 inst) / 2,415 (256 inst) of n_tiles =
+    2,040, both under the default with margin, and shrinking the pool
+    from the earlier 2 * n_tiles blanket to ~the footprint measured
+    +13% on config 8 (~0.9 us/padding row). The budget must also scale
+    with N at SMALL frames or the pool can't even hold one row per
+    instance (the 480x288 verify at N=256 overflowed nearly every
+    instance into the serial backstop — double-tracing every pixel and
+    verifying the backstop instead of the merged path). Overflow
+    (summed footprint > budget) stays exact via the serial re-run
+    backstop. RTMM_INSTANCE_ROWS overrides; cfg.instance_tile_cap (a
+    PER-INSTANCE tile cap) maps to its aggregate row meaning, cap * N —
+    the overflow tests force tiny pools through it."""
     import os
     env = int(os.environ.get("RTMM_INSTANCE_ROWS", "0"))
     rows = env or (cfg.instance_tile_cap * n_inst
-                   if cfg.instance_tile_cap else 2 * n_tiles)
+                   if cfg.instance_tile_cap else n_tiles + 4 * n_inst)
     return min(n_inst * n_tiles, rows)
 
 
@@ -490,7 +498,10 @@ def _render_instanced_merged(scene, rot, trn, scl, ivp, cfg,
 
     # Per-row object-space rays + frustum pack + cluster list.
     import os as _os
-    kray = _os.environ.get("RTMM_INSTANCED_KRAYGEN", "0") == "1"
+    # Default ON (measured +11% on config 8, image gate clean): the
+    # in-kernel path drops the (rows, TILE, 8) object-space ray table
+    # and its ~32 KB/row build + stream traffic entirely.
+    kray = _os.environ.get("RTMM_INSTANCED_KRAYGEN", "1") == "1"
     row_rot = rot[row_inst]                               # (rows, 3, 3)
     row_apex = apex_o[row_inst]                           # (rows, 3)
     row_invs = inv_s[row_inst]
