@@ -163,6 +163,44 @@ def test_pallas_engine_matches_grouped(scene):
     np.testing.assert_allclose(la, lb, atol=4)
 
 
+@pytest.mark.parametrize("cap", ["64", "100000"])
+def test_live_prefix_compaction_exact(scene, monkeypatch, cap):
+    """The live-prefix compaction (slice the bounce loop to a static cap
+    after the first secondary sort) must be EXACT in both regimes:
+    cap=64 lanes overflows (live > cap -> the lax.cond full-size
+    fallback runs), cap=100000 rounds down to the whole buffer (cap >=
+    mtotal -> compaction disabled); both must match RTMM_PT_CAP=0
+    bit-for-bit. A third point — a cap that genuinely compacts — needs
+    live < cap < mtotal, covered by the mid case below."""
+    import dataclasses
+    base = PathTraceConfig(bounces=2, samples_per_pixel=1, ray_chunk=1536,
+                           engine="grouped")
+    monkeypatch.setenv("RTMM_PT_CAP", "0")
+    a, sa = PathTracer(scene, CFG, base).render(_ivp())
+    monkeypatch.setenv("RTMM_PT_CAP", cap)
+    b, sb = PathTracer(scene, CFG, dataclasses.replace(base)).render(_ivp())
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(sa["live_rays_per_bounce"]),
+        np.asarray(sb["live_rays_per_bounce"]))
+
+
+def test_live_prefix_compaction_exact_mid(scene, monkeypatch):
+    """The genuinely-compacting regime: live lanes fit a cap well under
+    the buffer size, the bounce loop runs on the sliced prefix, and the
+    result still matches the uncompacted pipeline exactly."""
+    import dataclasses
+    base = PathTraceConfig(bounces=2, samples_per_pixel=1, ray_chunk=1536,
+                           engine="grouped")
+    monkeypatch.setenv("RTMM_PT_CAP", "0")
+    a, _ = PathTracer(scene, CFG, base).render(_ivp())
+    # 48x32 = 1,536 rays; the plane covers a minority of them, so 512
+    # lanes hold every live secondary while staying under mtotal.
+    monkeypatch.setenv("RTMM_PT_CAP", "512")
+    b, _ = PathTracer(scene, CFG, dataclasses.replace(base)).render(_ivp())
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pallas_grouped_closed_surface_no_loss():
     """Subdiv-3 closed sphere, bounce rays reach most of the scene (the
     config-5 saturation case): the windowed cluster walk must not lose
