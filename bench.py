@@ -260,6 +260,9 @@ EXPECTED_VISITS: dict[int, int] = {
     # tolerance is purely headroom for intentional walk changes—which
     # must update these pins.
     6: 24312,      # 51k-tri plane @1080p (sub_frusta=4)
+    7: 1041098,    # 1M-tri compressed @1080p (round-5 session)
+    9: 21967,      # 51k-tri compressed @1080p (round-5 session)
+    11: 9434,      # subdiv-5 icosphere direct @1080p (round-5 session)
 }
 VISITS_RTOL = 0.05
 
@@ -517,12 +520,20 @@ def _verify_instanced(base_scene, ring, cfg, dist: float = 6.5) -> dict:
         s, rot, trn, scl, m, cfgv, interpret=False, serial=True))(
         base_scene, ivp)
     npix, nbig, maxdiff, _, _ = jax.jit(diff_metrics)(a, b)
+    # Covered-pixel fraction (pixels not equal to the constant miss
+    # color) — the denominator of the N-insensitivity claim: merged-
+    # launch cost should track covered pixels, not N (PERF.md round 5).
+    bg = jnp.asarray(cfg.background, jnp.float32)
+    covered = jnp.any(jnp.abs(a - bg) > 1e-6, axis=-1).sum()
     return {"verify_npix": int(np.asarray(npix)),
             "verify_nbig": int(np.asarray(nbig)),
             "verify_maxdiff": round(float(np.asarray(maxdiff)), 5),
             "verify_budget": max(64, (vw * vh) // 2000),
             "verify_big_budget": max(16, (vw * vh) // 50000),
-            "verify_mode": "pixel", "verify_wh": f"{vw}x{vh}"}
+            "verify_mode": "pixel", "verify_wh": f"{vw}x{vh}",
+            "covered_px": int(np.asarray(covered)),
+            "covered_frac": round(float(np.asarray(covered))
+                                  / (vw * vh), 4)}
 
 
 def _verify_pathtrace(scene, cfg) -> dict:
@@ -731,13 +742,19 @@ def main() -> None:
             print(json.dumps(result))
             raise SystemExit(4)
 
+    # --verify-only: skip the timing orbit entirely and report just the
+    # on-TPU verify fields (value stays 0 — NOT a perf row; used to
+    # collect covered_px / gate status without paying a full bench).
+    verify_only = "--verify-only" in sys.argv
+
     if n == 5:
-        mrays = _bench_pathtrace(scene, cfg, metric)
+        mrays = 0.0 if verify_only else _bench_pathtrace(scene, cfg,
+                                                         metric)
         if "--no-verify" not in sys.argv:
             gate_or_exit(_verify_pathtrace(scene, cfg))
     elif n in (8, 10) and isinstance(scene, tuple):
         base, ring = scene
-        mrays = _bench_instanced(base, ring, cfg)
+        mrays = 0.0 if verify_only else _bench_instanced(base, ring, cfg)
         if "--no-verify" not in sys.argv:
             gate_or_exit(_verify_instanced(base, ring, cfg))
     else:
@@ -745,8 +762,9 @@ def main() -> None:
         # baked into one scene rides the plain primary pipeline at the
         # instanced configs' camera distance.)
         dist = 4.5 if n == 4 else (6.5 if n in (8, 10) else 3.0)
-        mrays = _bench_render(scene, cfg, metric, dist=dist)
-        if "--no-ab" not in sys.argv:
+        mrays = 0.0 if verify_only else _bench_render(scene, cfg, metric,
+                                                      dist=dist)
+        if "--no-ab" not in sys.argv and not verify_only:
             # Exact visit-count drift gate (see EXPECTED_VISITS): pins
             # the walk against silent regressions the Mrays/s session
             # envelope (~+-9%) would hide. us_per_visit pairs the orbit's

@@ -157,6 +157,22 @@ def uniform_unit_indices(su: int) -> np.ndarray:
     return idx
 
 
+def widen_gather_matrix(g):
+    """(GRID_LANES, 3*LPU) gather matrix -> (GRID_LANES, 6*LPU) padded
+    layout with corner blocks at 2*LPU-aligned lane offsets (0, 128, 256
+    at LPU=64). The fused single-pass gather (pallas_tiled._derive_unit)
+    contracts this once and slices per-corner blocks that are then
+    physically lane-offset-0 inside their vregs — Mosaic penalizes
+    non-128-aligned lane offsets. The interleaved zero blocks contract
+    to zero columns nobody reads. Accepts np or jax arrays."""
+    import jax.numpy as jnp
+    z = jnp.zeros((g.shape[0], LPU), jnp.float32)
+    g = jnp.asarray(g, jnp.float32)
+    return jnp.concatenate(
+        [g[:, 0 * LPU:1 * LPU], z, g[:, 1 * LPU:2 * LPU], z,
+         g[:, 2 * LPU:3 * LPU], z], axis=1)
+
+
 def gather_matrix_from_indices(idx3: np.ndarray) -> np.ndarray:
     """(3, LPU) corner lane indices -> (GRID_LANES, 3*LPU) one-hot gather
     matrix (leaf_gather_matrix's layout). Sentinel indices become real

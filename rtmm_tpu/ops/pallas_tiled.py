@@ -359,6 +359,28 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu,
         pos_cat = jnp.concatenate([p1, zpad, p2, zpad, p3],
                                   axis=0)                        # (19, GL)
 
+    import os as _os
+    fused = (not indexed and gmat is not None
+             and gmat.shape[1] == 6 * lpu)
+
+    def gather_fused():
+        """ONE wide MXU pass for all three corners (widen_gather_matrix
+        layout: corner blocks at 2*lpu-aligned lane offsets, so every
+        per-corner slice below is physically offset-0 in its vreg and
+        the downstream row arithmetic is unchanged). Bit-exact vs the
+        3-pass form — each output lane contracts the same one-hot
+        column, so the products and per-corner term sums are identical
+        f32. Why: the 3 narrow passes cost ~7.9 ms/frame on config 9
+        (RTMM_ABLATE=2xgather) while their K-row count is free
+        (RTMM_DERIVE2 measured neutral) — the cost is per-PASS MXU
+        overhead, not FLOPs, so pass count is the lever."""
+        g9 = jax.lax.dot_general(
+            pos_cat, gmat.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (19|11, 6*lpu)
+        return (g9[0:3] + g9[8:11] if _d2
+                else g9[0:3] + g9[8:11] + g9[16:19])    # (3, 6*lpu)
+
     def gather(j):
         # One matmul per corner (not one (3, 3*LPU) matmul sliced after):
         # slices of a matmul result carry their lane offset into every
@@ -389,21 +411,25 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu,
             return g9[0:3] + g9[8:11]               # ~16-bit rebuild
         return g9[0:3] + g9[8:11] + g9[16:19]       # exact f32 rebuild
 
-    v0 = gather(0)
-    v1 = gather(1)
-    v2 = gather(2)
-    import os as _os
+    if fused:
+        g3 = gather_fused()
+        v0 = g3[:, 0 * lpu:1 * lpu]                     # lane offset 0
+        v1 = g3[:, 2 * lpu:3 * lpu]                     # 2*lpu = vreg 1
+        v2 = g3[:, 4 * lpu:5 * lpu]                     # 4*lpu = vreg 2
+    else:
+        v0, v1, v2 = gather(0), gather(1), gather(2)
     if _os.environ.get("RTMM_ABLATE", "") == "2xgather":
-        # Attribute the three corner-gather matmuls alone (the rest of
+        # Attribute the corner-gather matmul stage alone (the rest of
         # the 2xderive cost is the cross/concat row arithmetic): same
         # DCE/CSE defenses as the other RTMM_ABLATE stages.
         bump = jnp.where(jnp.max(v0) > 1e38, jnp.float32(1.0),
                          jnp.float32(0.0))
         pos_cat = pos_cat + bump.astype(jnp.bfloat16)
-        v0 = v0 + jnp.where(
-            jnp.max(jnp.abs(gather(0)) + jnp.abs(gather(1))
-                    + jnp.abs(gather(2))) > 1e38,
-            jnp.float32(1.0), jnp.float32(0.0))
+        dup = (jnp.abs(gather_fused()) if fused
+               else (jnp.abs(gather(0)) + jnp.abs(gather(1))
+                     + jnp.abs(gather(2))))
+        v0 = v0 + jnp.where(jnp.max(dup) > 1e38,
+                            jnp.float32(1.0), jnp.float32(0.0))
     e1 = v1 - v0
     e2 = v2 - v0
     # Recenter v0 about the unit AABB center (zero-gather padding lanes
@@ -1229,6 +1255,12 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
             gmat = (scene.unit_gmat if scene.unit_gmat is not None
                     else jnp.asarray(comp.leaf_gather_matrix(
                         scene.sub_level)))
+            # Fused single-pass corner gather (default; RTMM_DERIVE_FUSED=0
+            # reverts to three narrow per-corner passes — bit-identical,
+            # the A/B is pure pass-count cost, see _derive_unit).
+            import os as _osf
+            if _osf.environ.get("RTMM_DERIVE_FUSED", "1") == "1":
+                gmat = comp.widen_gather_matrix(gmat)
             # The gather matrix is a per-call constant (kernels cannot
             # capture array constants): one whole-array VMEM block shared
             # by every grid program. Per-unit-topology indexed scenes

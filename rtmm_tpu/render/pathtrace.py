@@ -103,20 +103,38 @@ def _cosine_dir(u: jax.Array, normal: jax.Array) -> jax.Array:
     return (x[..., None] * t + y[..., None] * b + z[..., None] * normal)
 
 
-def _compact_cap(mtotal: int, engine: str) -> int:
-    """Static lane count of the compacted secondary pipeline (0 = run
-    full-size). Only the group engines compact — the perray reference
-    keeps its original shape. Default: a quarter of the merged buffer,
-    rounded up to a GROUP multiple (the bench scenes' live counts sit
-    well under it: ~80-100k live lanes of 524k at 512^2 x 2spp);
-    RTMM_PT_CAP overrides (0 disables)."""
+def _cap_schedule(mtotal: int, engine: str, n_bounce: int) -> list[int]:
+    """Per-bounce static lane caps of the compacted secondary pipeline
+    (entry b-1 = cap applied after bounce b's sort; 0 = no compaction at
+    that bounce). Only the group engines compact — the perray reference
+    keeps its original shape.
+
+    Live counts COLLAPSE across bounces (config 5 at 512^2 x 2 spp:
+    ~80-100k live of the 524k buffer entering bounce 1, a few thousand
+    re-hits entering bounce 2), so one static cap leaves bounces >= 2
+    paying sorts/launches for a buffer that is almost all dead tail.
+    Default: mtotal/4 at bounce 1, then /4 per further bounce (floored
+    at 4*GROUP); every slice keeps the lax.cond full-size fallback, so
+    an overflowing schedule is a perf knob, never a correctness one.
+    RTMM_PT_CAP overrides bounce 1 (0 disables all compaction);
+    RTMM_PT_CAPS='a,b,...' overrides the whole schedule."""
     import os
-    if engine not in ("pallas", "grouped"):
-        return 0
-    env = os.environ.get("RTMM_PT_CAP")
-    cap = int(env) if env is not None else mtotal // 4
-    cap = (cap + GROUP - 1) // GROUP * GROUP
-    return cap if 0 < cap < mtotal else 0
+    if engine not in ("pallas", "grouped") or n_bounce < 1:
+        return [0] * n_bounce
+    env_s = os.environ.get("RTMM_PT_CAPS")
+    if env_s:
+        caps = [int(x) for x in env_s.split(",")]
+        caps += [caps[-1]] * (n_bounce - len(caps))
+        caps = caps[:n_bounce]
+    else:
+        env = os.environ.get("RTMM_PT_CAP")
+        c1 = int(env) if env is not None else mtotal // 4
+        if c1 <= 0:
+            return [0] * n_bounce
+        caps = [max(c1 // (4 ** b), 4 * GROUP) for b in range(n_bounce)]
+    caps = [(c + GROUP - 1) // GROUP * GROUP if c > 0 else 0
+            for c in caps]
+    return [c if 0 < c < mtotal else 0 for c in caps]
 
 
 def _normalize_flip(bn: jax.Array, dirs: jax.Array) -> jax.Array:
@@ -385,92 +403,96 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
                 alive = ops[0] == 0
             return o, d, alive, rad, idx, pend
 
-        def run_bounces(o, d, alive, rad, idx, pend, first_sorted):
-            """Bounces 1..n_bounce on a state of ANY static lane count
-            (a GROUP multiple). first_sorted: the bounce-1 sort already
-            ran at full size (the compaction split point)."""
-            live_counts = []
-            overflow_counts = []
-            for bounce in range(1, n_bounce + 1):
-                do_sort = (engine in ("pallas", "grouped")
-                           or pt.compaction)
-                if do_sort and not (bounce == 1 and first_sorted):
-                    o, d, alive, rad, idx, pend = sort_state(
-                        bounce, o, d, alive, rad, idx, pend)
-                # Throughput of every lane read this bounce (see the
-                # docstring): albedo**bounce, a compile-time constant.
-                tp_b = albedo ** bounce
+        caps = _cap_schedule(mtotal, engine, n_bounce)
+        do_sort = engine in ("pallas", "grouped") or pt.compaction
 
-                if engine == "pallas":
-                    bt, bn3, overflow = pallas_grouped.trace_sorted(
-                        scene, o.reshape(-1, GROUP, 3),
-                        d.reshape(-1, GROUP, 3),
-                        alive.reshape(-1, GROUP), cfg_bounce)
-                    bt = bt.reshape(-1)
-                    bn3 = bn3.reshape(-1, 3)
-                    hit = alive & (bt < BIG) & (bt > 0.0)
-                elif engine == "grouped":
-                    bt, bn3, overflow = grouped.trace_sorted(
-                        scene, o.reshape(-1, GROUP, 3),
-                        d.reshape(-1, GROUP, 3),
-                        alive.reshape(-1, GROUP), cfg_bounce)
-                    bt = bt.reshape(-1)
-                    bn3 = bn3.reshape(-1, 3)
-                    hit = alive & (bt < BIG) & (bt > 0.0)
-                else:
-                    bt, bn3, hit = _trace_chunked(scene, o, d, cfg_bounce,
-                                                  pt.ray_chunk)
-                    hit = hit & alive
-                    overflow = jnp.int32(0)
-                overflow_counts.append(overflow)
-                nrm = _normalize_flip(bn3, d)
-                escaped = alive & ~hit
-                rad = rad + jnp.where(escaped[:, None], tp_b * bg, 0.0)
-                direct = _direct_light(nrm, albedo, cfg)
-                rad = rad + jnp.where(hit[:, None], tp_b * direct, 0.0)
-                alive = hit
-                live_counts.append(alive.sum())
-                if bounce == n_bounce:
-                    break
-                hit_pos = o + jnp.where(hit, bt, 0.0)[:, None] * d
-                new_dir = _cosine_dir(
-                    rand2(bounce, idx) if _hashrand else pend[0], nrm)
-                pend = pend[1:] if not _hashrand else pend
-                o = hit_pos + 1e-4 * nrm
-                d = jnp.where(alive[:, None], new_dir, d)
-            return (rad, idx, jnp.stack(live_counts),
-                    jnp.stack(overflow_counts))
+        def bounce_from(bounce, o, d, alive, rad, idx, pend):
+            """Run bounces `bounce..n_bounce` on a state of ANY static
+            lane count (a GROUP multiple): sort (dead lanes sink to the
+            back), optionally SLICE to this bounce's static cap (the
+            sliced-off suffix is exactly the sorted dead tail — its
+            radiance is 0 and can never change, so concatenating it back
+            is exact; a lax.cond falls back to the unsliced loop when
+            the live count overflows the cap), trace, recurse. Returns
+            (rad, idx, live (n_bounce-bounce+1,), ovf (same,)) at the
+            CALLER's lane count."""
+            if do_sort:
+                o, d, alive, rad, idx, pend = sort_state(
+                    bounce, o, d, alive, rad, idx, pend)
+            cap = caps[bounce - 1]
+            if do_sort and 0 < cap < o.shape[0]:
+                st = (o, d, alive, rad, idx, pend)
 
-        cap = _compact_cap(mtotal, engine)
-        if cap:
-            # Sort ONCE at full size, slice the live prefix, run the
-            # whole bounce loop small; fall back to the full-size loop
-            # (exact, no drops) when the live count overflows the cap.
-            n_live = alive.sum()
-            state = sort_state(1, o, d, alive, rad, idx, pend0)
+                def compact_fn(st):
+                    o, d, alive, rad, idx, pend = st
+                    sl = lambda x: x[:cap]
+                    rad_c, idx_c, live, ovf = trace_bounce(
+                        bounce, sl(o), sl(d), sl(alive), sl(rad),
+                        sl(idx), [sl(p) for p in pend])
+                    return (jnp.concatenate([rad_c, rad[cap:]]),
+                            jnp.concatenate([idx_c, idx[cap:]]),
+                            live, ovf)
 
-            def compact_fn(st):
-                o, d, alive, rad, idx, pend = st
-                sl = lambda x: x[:cap]
-                rad_c, idx_c, live, ovf = run_bounces(
-                    sl(o), sl(d), sl(alive), sl(rad), sl(idx),
-                    [sl(p) for p in pend], first_sorted=True)
-                # The suffix is the sorted dead tail: rad there is 0 and
-                # could never change — concat restores the full lane set
-                # for the final unsort.
-                return (jnp.concatenate([rad_c, rad[cap:]]),
-                        jnp.concatenate([idx_c, idx[cap:]]), live, ovf)
+                def full_fn(st):
+                    return trace_bounce(bounce, *st)
 
-            def full_fn(st):
-                o, d, alive, rad, idx, pend = st
-                return run_bounces(o, d, alive, rad, idx, pend,
-                                   first_sorted=True)
+                return jax.lax.cond(alive.sum() <= cap,
+                                    compact_fn, full_fn, st)
+            return trace_bounce(bounce, o, d, alive, rad, idx, pend)
 
-            rad, idx, live_counts, overflow_counts = jax.lax.cond(
-                n_live <= cap, compact_fn, full_fn, state)
-        else:
-            rad, idx, live_counts, overflow_counts = run_bounces(
-                o, d, alive, rad, idx, pend0, first_sorted=False)
+        def trace_bounce(bounce, o, d, alive, rad, idx, pend):
+            """Trace ONE bounce at this state's static lane count, fold
+            radiance, then recurse into bounce_from(bounce + 1)."""
+            # Throughput of every lane read this bounce (see the
+            # docstring): albedo**bounce, a compile-time constant.
+            tp_b = albedo ** bounce
+
+            if engine == "pallas":
+                bt, bn3, overflow = pallas_grouped.trace_sorted(
+                    scene, o.reshape(-1, GROUP, 3),
+                    d.reshape(-1, GROUP, 3),
+                    alive.reshape(-1, GROUP), cfg_bounce)
+                bt = bt.reshape(-1)
+                bn3 = bn3.reshape(-1, 3)
+                hit = alive & (bt < BIG) & (bt > 0.0)
+            elif engine == "grouped":
+                bt, bn3, overflow = grouped.trace_sorted(
+                    scene, o.reshape(-1, GROUP, 3),
+                    d.reshape(-1, GROUP, 3),
+                    alive.reshape(-1, GROUP), cfg_bounce)
+                bt = bt.reshape(-1)
+                bn3 = bn3.reshape(-1, 3)
+                hit = alive & (bt < BIG) & (bt > 0.0)
+            else:
+                bt, bn3, hit = _trace_chunked(scene, o, d, cfg_bounce,
+                                              pt.ray_chunk)
+                hit = hit & alive
+                overflow = jnp.int32(0)
+            nrm = _normalize_flip(bn3, d)
+            escaped = alive & ~hit
+            rad = rad + jnp.where(escaped[:, None], tp_b * bg, 0.0)
+            direct = _direct_light(nrm, albedo, cfg)
+            rad = rad + jnp.where(hit[:, None], tp_b * direct, 0.0)
+            alive = hit
+            live_b = alive.sum()
+            if bounce == n_bounce:
+                return (rad, idx, live_b[None].astype(jnp.int32),
+                        overflow[None])
+            hit_pos = o + jnp.where(hit, bt, 0.0)[:, None] * d
+            new_dir = _cosine_dir(
+                rand2(bounce, idx) if _hashrand else pend[0], nrm)
+            pend = pend if _hashrand else pend[1:]
+            o = hit_pos + 1e-4 * nrm
+            d = jnp.where(alive[:, None], new_dir, d)
+            rad, idx, live_rest, ovf_rest = bounce_from(
+                bounce + 1, o, d, alive, rad, idx, pend)
+            return (rad, idx,
+                    jnp.concatenate([live_b[None].astype(jnp.int32),
+                                     live_rest]),
+                    jnp.concatenate([overflow[None], ovf_rest]))
+
+        rad, idx, live_counts, overflow_counts = bounce_from(
+            1, o, d, alive, rad, idx, pend0)
         # Undo the permutation(s): idx is a permutation of [0, mtotal),
         # so one sort keyed on it restores (sample-major) raster order;
         # the sample reduce then happens in plain blocked layout.
