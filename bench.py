@@ -259,6 +259,10 @@ EXPECTED_VISITS: dict[int, int] = {
     # are deterministic for a fixed scene + camera + walk, so the 5%
     # tolerance is purely headroom for intentional walk changes—which
     # must update these pins.
+    1: 95,         # tessellated 256² low-poly (round-5 session)
+    2: 95,         # direct micro-mesh, same asset (round-5 session)
+    3: 5359,       # flagship 1,280-tri subdiv-3 @1080p (round-5 session)
+    4: 13338,      # six baked instances @1080p (round-5 session)
     6: 24312,      # 51k-tri plane @1080p (sub_frusta=4)
     7: 1041098,    # 1M-tri compressed @1080p (round-5 session)
     9: 21967,      # 51k-tri compressed @1080p (round-5 session)
@@ -719,6 +723,12 @@ def _bench_pathtrace(scene, cfg, metric, frames: int = 8):
     if not times:
         raise SystemExit(3)
     dt = float(np.median(times)) / frames
+    # Orbit-mean live secondaries per bounce (per-sample), printed to
+    # stderr for cap-schedule tuning (RTMM_PT_CAP/RTMM_PT_CAPS must sit
+    # above spp * live[b-1] at every bounce or the exact full-size
+    # fallback erases the compaction's win for that frame).
+    print(f"pt live per bounce (per-sample means): "
+          f"{[round(float(x), 1) for x in live]}", file=sys.stderr)
     return rays_per_frame / dt / 1e6
 
 
