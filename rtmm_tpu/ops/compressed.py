@@ -173,21 +173,6 @@ def widen_gather_matrix(g):
          g[:, 2 * LPU:3 * LPU], z], axis=1)
 
 
-def pack_gather_matrix(g):
-    """(GRID_LANES, 3*LPU) gather matrix -> (GRID_LANES, 4*LPU): corners
-    contiguous at lane offsets 0/LPU/2*LPU plus one zero pad block. The
-    fused gather's output then spans 2 padded 128-lane tiles instead of
-    the widened layout's 3 — the measured cost scales with output tiles
-    (the 6*LPU wide form was NEUTRAL vs three narrow passes), so this is
-    the layout that actually cuts MXU work. The v1 slice at lane offset
-    LPU=64 is deliberately misaligned; Mosaic relayouts it once into
-    e1 = v1 - v0 (a (3, 64) copy — cycles, vs ~0.12 us/visit of MXU
-    tile work saved)."""
-    import jax.numpy as jnp
-    z = jnp.zeros((g.shape[0], LPU), jnp.float32)
-    return jnp.concatenate([jnp.asarray(g, jnp.float32), z], axis=1)
-
-
 def gather_matrix_from_indices(idx3: np.ndarray) -> np.ndarray:
     """(3, LPU) corner lane indices -> (GRID_LANES, 3*LPU) one-hot gather
     matrix (leaf_gather_matrix's layout). Sentinel indices become real

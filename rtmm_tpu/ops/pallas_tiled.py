@@ -361,8 +361,7 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu,
 
     import os as _os
     fused = (not indexed and gmat is not None
-             and gmat.shape[1] in (4 * lpu, 6 * lpu))
-    packed = fused and gmat.shape[1] == 4 * lpu
+             and gmat.shape[1] == 6 * lpu)
 
     def gather_fused():
         """ONE wide MXU pass for all three corners (widen_gather_matrix
@@ -412,14 +411,13 @@ def _derive_unit(grid_block, gmat, ax, ay, az, cx, cy, cz, lpu,
             return g9[0:3] + g9[8:11]               # ~16-bit rebuild
         return g9[0:3] + g9[8:11] + g9[16:19]       # exact f32 rebuild
 
-    if packed:
-        # pack_gather_matrix layout: 2 output tiles, one misaligned
-        # slice (v1 at lane offset lpu — Mosaic relayouts it once).
-        g3 = gather_fused()
-        v0 = g3[:, 0 * lpu:1 * lpu]
-        v1 = g3[:, 1 * lpu:2 * lpu]
-        v2 = g3[:, 2 * lpu:3 * lpu]
-    elif fused:
+    if fused:
+        # (A packed 4*LPU / 2-output-tile variant — v1 at lane offset
+        # LPU — was tried and is NOT legalizable: the offset-64 slice
+        # propagates its lane offset into the derived rows and real-v5e
+        # Mosaic rejects the q/nrm concats with "result/input offset
+        # mismatch on non-concat dimension"; interpret mode accepts it.
+        # Corner blocks must stay at 128-aligned offsets.)
         g3 = gather_fused()
         v0 = g3[:, 0 * lpu:1 * lpu]                     # lane offset 0
         v1 = g3[:, 2 * lpu:3 * lpu]                     # 2*lpu = vreg 1
@@ -1267,10 +1265,7 @@ def trace_pallas(scene: DeviceScene, raymat_t: jax.Array,
             # reverts to three narrow per-corner passes — bit-identical,
             # the A/B is pure pass-count cost, see _derive_unit).
             import os as _osf
-            _fm = _osf.environ.get("RTMM_DERIVE_FUSED", "1")
-            if _fm == "2":
-                gmat = comp.pack_gather_matrix(gmat)
-            elif _fm == "1":
+            if _osf.environ.get("RTMM_DERIVE_FUSED", "1") == "1":
                 gmat = comp.widen_gather_matrix(gmat)
             # The gather matrix is a per-call constant (kernels cannot
             # capture array constants): one whole-array VMEM block shared

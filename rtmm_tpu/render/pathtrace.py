@@ -291,18 +291,19 @@ def path_trace(scene: DeviceScene, inv_view_proj: jax.Array,
     nrm0p = pad_to(nrm0)
     hit0p = pad_to(hit0)
 
-    # RTMM_PT_HASHRAND=1: draw each bounce's randoms at USE time as a
-    # stateless hash of (sample key, bounce, original pixel index) —
-    # a vectorized per-lane threefry on the carried idx column — instead
-    # of pre-drawing raster-order arrays and carrying the not-yet-used
-    # ones through every compaction sort (up to 2*(bounces-1) extra
-    # 262k-lane sort operands at 512^2). Same determinism property
-    # (randoms are a function of the pixel, not the permutation), so all
-    # engines still agree pixel-for-pixel — but the VALUES differ from
-    # the pre-drawn scheme, so this is an A/B knob, not a default flip,
-    # until the TPU measurement is in.
+    # Hash-drawn randoms (default; RTMM_PT_HASHRAND=0 reverts): each
+    # bounce's randoms are drawn at USE time as a stateless hash of
+    # (sample key, bounce, original pixel index) — a vectorized per-lane
+    # threefry on the carried idx column — instead of pre-drawing
+    # raster-order arrays and carrying the not-yet-used ones through
+    # every compaction sort (up to 2*(bounces-1) extra 262k-lane sort
+    # operands at 512^2). Same determinism property (randoms are a
+    # function of the pixel, not the permutation), so all engines still
+    # agree pixel-for-pixel; the VALUES differ from the pre-drawn
+    # scheme. Measured +2.7% on config 5 once compaction landed (14.08
+    # -> 14.46; was neutral pre-compaction when sorts ran full-size).
     import os as _os
-    _hashrand = _os.environ.get("RTMM_PT_HASHRAND") == "1"
+    _hashrand = _os.environ.get("RTMM_PT_HASHRAND", "1") == "1"
 
     def secondary_all(keys):
         """Bounces 1..N for ALL samples in ONE merged pipeline of
