@@ -644,12 +644,15 @@ def _bench_instanced(base_scene, ring, cfg, dist: float = 6.5):
     return cfg.width * cfg.height / dt / 1e6
 
 
-def _bench_pathtrace(scene, cfg, metric, frames: int = 8):
+def _bench_pathtrace(scene, cfg, metric, frames: int = 32):
     """Config 5: total rays traced per second across bounces + samples.
 
     Times an `frames`-frame orbit inside ONE jit call (a single 512^2
-    path-trace frame is ~28 ms on-device — timing it per-call would be
-    ~50% relay latency)."""
+    path-trace frame is ~25 ms on-device — timing it per-call would be
+    ~50% relay latency, and even the earlier 8-frame orbit billed the
+    ~30 ms per-call relay overhead as ~15% phantom frame time; 32
+    frames matches the primary configs' amortization so the number is
+    about the chip, like every other row)."""
     import functools
     import os
 
