@@ -215,6 +215,25 @@ def test_shared_gmat_only_for_single_topology_scenes():
     assert mixed.indexed and mixed.unit_gmat is None
 
 
+def test_widened_gather_matrix_vreg_aligned_layout():
+    """The fused single-pass gather's layout contract: corner blocks at
+    2*LPU-aligned lane offsets (0, 128, 256 at LPU=64) with zero blocks
+    between. This alignment is LOAD-BEARING on real hardware — Mosaic
+    rejects downstream concats of slices whose lane offset is not a
+    multiple of the 128-lane vreg ("result/input offset mismatch"), a
+    failure class interpret mode cannot see (PERF.md round 5)."""
+    g = comp.leaf_gather_matrix(3)
+    w = np.asarray(comp.widen_gather_matrix(g))
+    assert w.shape == (comp.GRID_LANES, 6 * comp.LPU)
+    assert 2 * comp.LPU % 128 == 0     # corner-block stride = whole vregs
+    for j in range(3):
+        blk = w[:, 2 * j * comp.LPU:(2 * j + 1) * comp.LPU]
+        pad = w[:, (2 * j + 1) * comp.LPU:(2 * j + 2) * comp.LPU]
+        np.testing.assert_array_equal(
+            blk, g[:, j * comp.LPU:(j + 1) * comp.LPU])
+        assert (pad == 0.0).all()
+
+
 def test_indexed_leaf_set_bitwise_matches_stitched_tables():
     """The derived (record positions + index rows) nondegenerate leaf set
     equals the standard stitched leaf_verts table EXACTLY — same closed
